@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify's parquet
+dumps against DuckDB running oracle_sql.json on the same source tables.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp units for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = norm(con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df())
+        if name not in oracles:
+            print(f"  ~ {name}: rows-only check — {len(got)} rows")
+            continue
+        want = norm(con.execute(oracles[name]).df())
+        ok = True
+        msgs = []
+        if list(got.columns) != list(want.columns):
+            ok = False
+            msgs.append(f"columns {list(got.columns)} != {list(want.columns)}")
+        elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            msgs.append(f"dtype diff: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
+        if ok and len(got) != len(want):
+            ok = False
+            msgs.append(f"rows {len(got)} != {len(want)}")
+        if ok:
+            g = got.sort_values(list(got.columns)).reset_index(drop=True)
+            w = want.sort_values(list(want.columns)).reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            except AssertionError as e:
+                ok = False
+                msgs.append(str(e).split("\n")[0:3])
+        if ok:
+            n_pass += 1
+            print(f"  ✓ {name}: {len(got)} rows" + (f" [{msgs}]" if msgs else ""))
+        else:
+            n_fail += 1
+            print(f"  ✗ {name}: {msgs}")
+    print(f"PASS={n_pass} FAIL={n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
