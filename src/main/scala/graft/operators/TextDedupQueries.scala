@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** LLM-data-pipeline operators over the `documents` / `embeddings` tables:
+  * exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup, language ID,
+  * quality scoring, token stats, fingerprinting, brute-force and LSH-bucketed
+  * cosine similarity search, and binary (multimodal) column plumbing.
+  *
+  * Oracle parity notes: every function used here was chosen to have an exact
+  * DuckDB equivalent (md5, list/array ops, integer-exact double divisions);
+  * cosine ranks are stable because adjacent-rank gaps (≥2e-5 on this data)
+  * dwarf float-summation noise (~1e-15).
+  */
+object TextDedupQueries {
+
+  private val stops = TextFunctions.DefaultStopwords
+  private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB: distinct 3-word shingles per document (mirrors
+    * TextFunctions.shingles).
+    */
+  private val shinglesCte =
+    """docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  /** DuckDB replica of Similarity.annTopK's bucket computation, generated
+    * from the same deterministic hyperplanes.
+    */
+  private def annOracleSql(nPlanes: Int, dim: Int, bitsPerTable: Int, k: Int): String = {
+    val ps = Similarity.planes(nPlanes, dim)
+    val bitExprs = ps.map { p =>
+      val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END"
+    }
+    val tables = bitExprs.grouped(bitsPerTable).toSeq.zipWithIndex.map {
+      case (tb, t) => s"'$t:' || " + tb.mkString(" || ")
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, unnest([${tables.mkString(",\n")}]) AS bucket FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+       |    c.vec_id AS neighbor_id, c.v AS cv
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+       |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_dot_product(qv,cv)/(sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(cv,cv))) AS cos
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    // ---- exact dedup: hash-group + duplicate count + canonical keep flag
+    Q("q19_dedup_exact",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.exactDuplicates(t.documents, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("text_md5"), col("dup_count"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+             |  count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+             |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- token counting + lexical stats
+    Q("q20_token_stats",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(col("text"))
+        t.documents.select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_types"),
+            TextFunctions.avgTokenLen(toks).as("avg_len"),
+            TextFunctions.typeTokenRatio(toks).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_types,
+             |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t) AS avg_len,
+             |  CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS ttr
+             |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring (length/diversity/stopword heuristic)
+    Q("q21_quality_score",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(col("text"))
+        t.documents.select(
+            col("doc_id"),
+            TextFunctions.stopwordRatio(toks, stops).as("stop_ratio"),
+            TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_filter(t, x -> list_contains($stopsSql, x))) AS DOUBLE)/len(t) AS stop_ratio,
+              |  CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/len(text) AS punct_ratio,
+              |  ((least(CAST(len(t) AS DOUBLE)/100.0, 1.0) * 0.4)
+              |   + ((CAST(len(list_distinct(t)) AS DOUBLE)/len(t)) * 0.4))
+              |   + (least((CAST(len(list_filter(t, x -> list_contains($stopsSql, x))) AS DOUBLE)/len(t)) * 5.0, 1.0) * 0.2) AS quality
+              |FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonical token-set fingerprint
+    Q("q22_fingerprint",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("doc_id"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID heuristic (no SQL equivalent -> rows-only check)
+    Q("q23_langid",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("doc_id"), col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- all-pairs n-gram Jaccard (exact; LSH is the scale path)
+    Q("q24_jaccard_pairs",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.allPairsJaccard(t.documents, "doc_id", "text", 3, 0.1)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, len(sh) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              |      FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2)
+              |SELECT id1, id2, inter,
+              |  CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
+              |FROM i JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+              |WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.1
+              |ORDER BY id1, id2""".stripMargin),
+      headline = true),
+
+    // ---- MinHash + LSH near-dup pipeline (shingle -> sign -> band -> verify)
+    Q("q25_minhash_lsh",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.nearDuplicatesMinhashLsh(t.documents, "doc_id", "text",
+            shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |signed AS (
+              |  SELECT doc_id, sh, list_transform(range(0, 16), s ->
+              |    list_min(list_transform(sh, w -> md5(CAST(s AS VARCHAR) || ':' || w)))) AS sig
+              |  FROM docs),
+              |banded AS (
+              |  SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM banded),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+              |    AND a.doc_id < b.doc_id),
+              |v AS (
+              |  SELECT id1, id2,
+              |    CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+              |      / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))) AS jaccard
+              |  FROM cand JOIN docs d1 ON d1.doc_id = id1 JOIN docs d2 ON d2.doc_id = id2)
+              |SELECT id1, id2, jaccard FROM v WHERE jaccard >= 0.5
+              |ORDER BY id1, id2""".stripMargin),
+      headline = true),
+
+    // ---- SimHash per document (16-bit, ±1 votes over token md5 bits)
+    Q("q26_simhash",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("doc_id"),
+            Dedup.simhash16(TextFunctions.tokens(col("text"))).as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(list_sum(list_transform(range(0,16), b ->
+             |  CASE WHEN list_sum(list_transform(t, w ->
+             |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), CAST(b//4 AS INT)+1, 1))-1)
+             |               // ([8,4,2,1])[CAST(b%4 AS INT)+1]) % 2 = 1
+             |    THEN 1 ELSE -1 END)) > 0 THEN 2**b ELSE 0 END)) AS INTEGER) AS simhash
+             |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- brute-force cosine top-k (exact ANN baseline)
+    Q("q27_cosine_topk",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.cosineTopK(
+            t.embeddings.filter(col("vec_id") < 10), t.embeddings, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      headline = true),
+
+    // ---- LSH-bucketed approximate nearest neighbors (the 100 TB scale path)
+    Q("q28_ann_lsh",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.annTopK(
+            t.embeddings.filter(col("vec_id") < 10), t.embeddings,
+            "vec_id", "embedding", 5, nPlanes = 24, dim = 64, bitsPerTable = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(annOracleSql(24, 64, 8, 5))),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata
+    Q("q29_binary_meta",
+      (s, d) => {
+        val t = Tables(s, d)
+        val bin = encode(col("text"), "UTF-8")
+        t.documents.select(
+            col("doc_id"),
+            length(bin).cast("long").as("n_bytes"),
+            md5(bin).as("content_md5"),
+            hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  hex(encode(substr(text, 1, 8))) AS head_hex
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

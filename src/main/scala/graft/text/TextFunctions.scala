@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines.
+  *
+  * Everything here is built from Spark SQL built-ins (codegen'd, no UDFs,
+  * no shuffles) so whole-stage codegen keeps the hot path vectorized at
+  * 100 TB — per-document work is embarrassingly parallel.
+  */
+object TextFunctions {
+
+  /** whitespace tokenization */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** distinct word n-gram shingles, the dedup unit (empty if < n tokens) */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** token count */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** type-token ratio (lexical diversity) */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** mean token length */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(toks)
+
+  /** fraction of punctuation characters */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text)
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** fraction of tokens that are stopwords */
+  def stopwordRatio(toks: Column, stops: Seq[String] = DefaultStopwords): Column =
+    size(filter(toks, t => t.isin(stops.map(x => x: Any): _*)))
+      .cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]: favors mid-length docs with diverse
+    * vocabulary and a sane stopword rate (LLM-corpus filtering heuristic).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(size(t).cast("double") / 100.0, lit(1.0))
+    val diversity = typeTokenRatio(t)
+    val stop = stopwordRatio(t)
+    (lenScore * 0.4 + diversity * 0.4 + least(stop * 5.0, lit(1.0)) * 0.2)
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"))
+
+  /** Language-ID heuristic: CJK-character ratio decides zh; otherwise the
+    * stopword profile with the most hits wins (ties: profile order).
+    * Scalar column logic only — scales linearly, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    // score struct array sorted desc by (hits, reverse profile priority)
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, stops), i) =>
+      struct(
+        size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).as("hits"),
+        lit(LangProfiles.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
+    when(cjk * 3 > length(text), lit("zh")).otherwise(best)
+  }
+
+  /** Canonical document fingerprint: hash of the sorted distinct token set
+    * (whitespace/order/duplication-insensitive).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}
