@@ -1,0 +1,240 @@
+package graft.cluster
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The clustering operator: incremental connected components with cluster
+  * identity, re-expressing the reference's record↔match-value graph semantics
+  * (Storage.java:299-522, SURVEY.md §2.9) as set-based Spark jobs.
+  *
+  * Semantics preserved from the reference (MainVerticleTest.java:1404-1567):
+  *   - clusters MERGE when a record's keys connect them; the survivor is the
+  *     deterministic min clusterId (the reference picks "first found" —
+  *     observable tests never pin which uuid survives);
+  *   - a record whose new keys match no existing value MOVES to a fresh
+  *     cluster; removed values are never garbage-collected, so components
+  *     never split retroactively;
+  *   - a merged-away or emptied cluster keeps its meta row as a touched
+  *     tombstone (served as OAI status=deleted);
+  *   - match values are truncated to 600 chars (Storage.java:62,356-358);
+  *   - records with zero keys each get a solo cluster
+  *     (MainVerticleTest.java:1679-1758).
+  *
+  * Scale design: batch work is proportional to (batch edges + touched
+  * clusters), not table size — the probe into `values` is an equi-join on
+  * `value` (bucket the values table by value for a co-located probe), and the
+  * fixpoint loop runs on the batch's local graph only. Label propagation uses
+  * localCheckpoint each round to cut lineage (swap for checkpoint(dir) on a
+  * real cluster).
+  */
+object Clusterize {
+
+  val MatchValueMaxLength = 600
+
+  /** Connected components over a bipartite (id, key) edge set by alternating
+    * min-label propagation. Returns (id, component) where component is the
+    * min id of the connected component. Converges in O(diameter) rounds;
+    * each round is two shuffles keyed the same way (AQE coalesces partitions).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    require(edges.columns.toSeq == Seq("id", "key"),
+      s"expected (id, key) edges, got ${edges.columns.mkString(",")}")
+    val e = edges.distinct().localCheckpoint(true)
+    var labels = e.select(col("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val keyMin = e.join(labels, "id")
+        .groupBy("key").agg(min("label").as("klabel"))
+      val idMin = e.join(keyMin, "key")
+        .groupBy("id").agg(min("klabel").as("nlabel"))
+      val next = labels.join(idMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** normalize a key array: truncate to 600 chars, dedup (Storage.java:353-361) */
+  def normalizeKeys(keys: Column): Column =
+    array_distinct(transform(keys, k => substring(k, 1, MatchValueMaxLength)))
+
+  private val newClusterUuid = udf((seed: String) =>
+    UUID.nameUUIDFromBytes(("graft-cluster:" + seed).getBytes("UTF-8")).toString)
+
+  /** One incremental clustering step for one pool.
+    *
+    * @param state current (meta, assignments, values) tables
+    * @param batch (recordId: String, keys: Array[String]) — upserted records
+    *              with their freshly-evaluated match keys
+    * @param matchKeyId the pool id
+    * @param now the ingest timestamp for touched datestamps (also salts new
+    *            cluster uuids so re-moves mint fresh identities)
+    * @return next state
+    */
+  def ingestBatch(state: ClusterState, batch: DataFrame, matchKeyId: String,
+      now: java.sql.Timestamp): ClusterState = {
+    val keyed = batch.select(col("recordId"),
+      normalizeKeys(col("keys")).as("keys")).localCheckpoint(true)
+    val seedPrefix = s"$matchKeyId:${now.getTime}:"
+
+    // the J5 probe (Storage.java:363-401): which batch values already have an
+    // owning cluster
+    val batchEdges = keyed.select(col("recordId"), explode(col("keys")).as("value"))
+    val probed = batchEdges.join(state.values, Seq("value"), "left")
+      .select(col("recordId"), col("value"), col("clusterId"))
+      .localCheckpoint(true)
+
+    // bipartite CC where a matched value contributes its owning cluster as
+    // the key (so records sharing a value OR a cluster land in one component)
+    val edges = probed.select(col("recordId").as("id"),
+      when(col("clusterId").isNotNull, concat(lit("c:"), col("clusterId")))
+        .otherwise(concat(lit("v:"), col("value"))).as("key"))
+    val comps = connectedComponents(edges)
+      .withColumnRenamed("id", "recordId")
+
+    // survivor per component: min existing clusterId if any, else a fresh
+    // deterministic uuid from the component representative
+    val existingInComp = comps
+      .join(probed.filter(col("clusterId").isNotNull), "recordId")
+      .select(col("component"), col("clusterId")).distinct()
+    val compCluster = comps.select(col("component")).distinct()
+      .join(existingInComp.groupBy("component")
+        .agg(min("clusterId").as("existing")), Seq("component"), "left")
+      .withColumn("clusterId", coalesce(col("existing"),
+        newClusterUuid(concat(lit(seedPrefix), col("component")))))
+      .select(col("component"), col("clusterId"))
+      .localCheckpoint(true)
+
+    // batch assignments; zero-key records get solo fresh clusters
+    val assignment = comps.join(compCluster, "component")
+      .select(col("recordId"), col("clusterId"))
+    val soloAssignment = keyed.filter(size(col("keys")) === 0)
+      .select(col("recordId"),
+        newClusterUuid(concat(lit(seedPrefix + "solo:"), col("recordId")))
+          .as("clusterId"))
+    val newAssignments = assignment.unionByName(soloAssignment)
+      .localCheckpoint(true)
+
+    // merge map: existing clusters absorbed into a different survivor
+    // (Storage.java:432-439,505-522)
+    val mergedMap = existingInComp
+      .withColumnRenamed("clusterId", "absorbed")
+      .join(compCluster, "component")
+      .filter(col("absorbed") =!= col("clusterId"))
+      .select(col("absorbed"), col("clusterId").as("survivor"))
+      .distinct().localCheckpoint(true)
+
+    def repoint(df: DataFrame): DataFrame =
+      df.join(mergedMap, df("clusterId") === mergedMap("absorbed"), "left")
+        .withColumn("cid", coalesce(col("survivor"), col("clusterId")))
+        .drop("clusterId", "absorbed", "survivor")
+        .withColumnRenamed("cid", "clusterId")
+
+    // new values, owned by their component's survivor (Storage.java:451-477);
+    // existing values keep their owner (modulo merge repointing) — values are
+    // never garbage-collected
+    val valueOwner = probed.filter(col("clusterId").isNull)
+      .select(col("recordId"), col("value"))
+      .join(newAssignments, "recordId")
+      .groupBy("value").agg(min("clusterId").as("clusterId"))
+    val nextValues = repoint(state.values)
+      .unionByName(valueOwner.select(col("value"), col("clusterId")))
+
+    // assignments: batch rows replace their previous assignment (upsert,
+    // Storage.java:441-447); untouched rows follow merges
+    val nextAssignments = repoint(state.assignments)
+      .join(newAssignments.select(col("recordId")), Seq("recordId"), "left_anti")
+      .unionByName(newAssignments)
+
+    // touched: clusters gaining records, both sides of each merge, and the
+    // previous clusters of moved batch records
+    val previousOf = state.assignments
+      .join(keyed.select(col("recordId")), "recordId")
+      .select(col("clusterId"))
+    val touched = newAssignments.select(col("clusterId"))
+      .union(mergedMap.select(col("survivor")))
+      .union(mergedMap.select(col("absorbed")))
+      .union(previousOf)
+      .distinct()
+
+    // meta: tombstones persist; touched clusters get datestamp = now
+    val allIds = state.meta.select(col("clusterId"))
+      .union(newAssignments.select(col("clusterId"))).distinct()
+    val nextMeta = allIds
+      .join(state.meta, Seq("clusterId"), "left")
+      .join(touched.withColumn("t", lit(true)), Seq("clusterId"), "left")
+      .withColumn("datestamp", when(col("t"), lit(now)).otherwise(col("datestamp")))
+      .select(col("clusterId"), col("datestamp"))
+
+    ClusterState(nextMeta, nextAssignments, nextValues)
+  }
+
+  /** Delete records: drop their assignments, touch their clusters (which
+    * remain as tombstones — Storage.java:226-240, ClusterRecordStream.java:77-79).
+    */
+  def deleteRecords(state: ClusterState, recordIds: DataFrame,
+      now: java.sql.Timestamp): ClusterState = {
+    val touched = state.assignments.join(recordIds, "recordId")
+      .select(col("clusterId")).distinct()
+    val nextAssignments = state.assignments
+      .join(recordIds, Seq("recordId"), "left_anti")
+    val nextMeta = state.meta
+      .join(touched.withColumn("t", lit(true)), Seq("clusterId"), "left")
+      .withColumn("datestamp", when(col("t"), lit(now)).otherwise(col("datestamp")))
+      .select(col("clusterId"), col("datestamp"))
+    ClusterState(nextMeta, nextAssignments, state.values)
+  }
+
+  /** Full rebuild from scratch (the `initialize` path, Storage.java:799-879):
+    * one batch CC over all records' keys.
+    */
+  def initialize(batch: DataFrame, matchKeyId: String,
+      now: java.sql.Timestamp): ClusterState =
+    ingestBatch(ClusterState.empty(batch.sparkSession), batch, matchKeyId, now)
+
+  /** Pool statistics (Storage.java:881-965): per-cluster sizes rolled into
+    * per-size histograms with ≤3 sample cluster ids per bucket.
+    */
+  def stats(state: ClusterState): DataFrame = {
+    val recSizes = state.assignments.groupBy("clusterId")
+      .agg(count(lit(1)).as("records"))
+    val valSizes = state.values.groupBy("clusterId")
+      .agg(count(lit(1)).as("values"))
+    recSizes.join(valSizes, Seq("clusterId"), "outer")
+      .na.fill(0, Seq("records", "values"))
+      .groupBy("records", "values")
+      .agg(count(lit(1)).as("clusters"),
+        slice(sort_array(collect_list(col("clusterId"))), 1, 3).as("sample"))
+      .orderBy("records", "values")
+  }
+}
+
+/** The three cluster tables of one match-key pool (Storage.java:159-187). */
+final case class ClusterState(
+    meta: DataFrame,        // (clusterId, datestamp)
+    assignments: DataFrame, // (recordId, clusterId)
+    values: DataFrame)      // (value, clusterId)
+
+object ClusterState {
+  def empty(spark: org.apache.spark.sql.SparkSession): ClusterState = {
+    import org.apache.spark.sql.types._
+    def df(schema: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ClusterState(
+      df(StructType(Seq(StructField("clusterId", StringType),
+        StructField("datestamp", TimestampType)))),
+      df(StructType(Seq(StructField("recordId", StringType),
+        StructField("clusterId", StringType)))),
+      df(StructType(Seq(StructField("value", StringType),
+        StructField("clusterId", StringType)))))
+  }
+}

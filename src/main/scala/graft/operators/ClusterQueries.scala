@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cluster.Clusterize
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** The clustering operator (SURVEY.md §2.9) driven through the gate: the
+  * reference's record↔match-value connected components, here applied to the
+  * documents table with MinHash-LSH band hashes as the match values — the
+  * same explode-probe-merge frame generalized to approximate dedup
+  * (SURVEY.md §7.1 step 8).
+  *
+  * Oracle: DuckDB recursive-CTE min-label propagation over the identical
+  * bipartite graph.
+  */
+object ClusterQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q30_cluster_near_dups",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = t.documents.select(col("doc_id"),
+            TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = docs
+          .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+          .select(col("doc_id"),
+            explode(Dedup.lshBandHashes(col("sig"), 4, 4)).as("b"))
+          .select(col("doc_id").as("id"),
+            concat(col("b.band").cast("string"), lit(":"), col("b.bhash")).as("key"))
+        Clusterize.connectedComponents(banded)
+          .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |signed AS (
+             |  SELECT doc_id, list_transform(range(0, 16), s ->
+             |    list_min(list_transform(sh, w -> md5(CAST(s AS VARCHAR) || ':' || w)))) AS sig
+             |  FROM docs),
+             |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+             |bh AS (
+             |  SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+             |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS key
+             |  FROM banded),
+             |lbl AS (
+             |  SELECT doc_id, doc_id AS comp FROM (SELECT DISTINCT doc_id FROM bh)
+             |  UNION
+             |  SELECT b2.doc_id, l.comp
+             |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key)
+             |SELECT doc_id, min(comp) AS cluster_rep FROM lbl
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      headline = true)
+  )
+}
