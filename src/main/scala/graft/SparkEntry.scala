@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ClusterQueries, Q, Relational, TextDedupQueries}
+import graft.operators.{ClusterQueries, CqlQueries, Q, Relational, TextDedupQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All operator queries, grouped by module. */
   def allQ: Seq[Q] =
-    Relational.all ++ TextDedupQueries.all ++ ClusterQueries.all
+    Relational.all ++ TextDedupQueries.all ++ ClusterQueries.all ++
+      CqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
