@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.{KeyedLatest, RecordEvent}
+
+/** Structured Streaming tests: file-source micro-batches, watermarked window
+  * aggregation, and stateful latest-version MERGE.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("localId", StringType), StructField("sourceId", StringType),
+    StructField("sourceVersion", IntegerType),
+    StructField("delete", BooleanType), StructField("ts", TimestampType)))
+
+  test("file stream + watermarked window aggregation") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      """{"localId":"a","sourceId":"S1","sourceVersion":1,"delete":false,"ts":"2024-01-01T10:05:00.000Z"}
+        |{"localId":"b","sourceId":"S1","sourceVersion":1,"delete":true,"ts":"2024-01-01T10:20:00.000Z"}
+        |{"localId":"c","sourceId":"S2","sourceVersion":1,"delete":false,"ts":"2024-01-01T11:10:00.000Z"}"""
+        .stripMargin)
+    val stream = StreamingIngest.recordStream(spark, dir, schema)
+    assert(stream.isStreaming)
+    val agg = StreamingIngest.windowedIngestStats(stream, "ts")
+    StreamingIngest.runToMemory(agg, "ingest_stats", OutputMode.Append())
+    // append mode holds back open windows until the watermark passes; feed a
+    // late-enough second file to close the first windows
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch2.json"),
+      """{"localId":"d","sourceId":"S1","sourceVersion":1,"delete":false,"ts":"2024-01-01T13:00:00.000Z"}""")
+    StreamingIngest.runToMemory(agg, "ingest_stats2", OutputMode.Append())
+    val rows = spark.table("ingest_stats2").collect()
+    val s1 = rows.find(r => r.getString(2) == "S1"
+      && r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(s1.isDefined)
+    assert(s1.get.getLong(3) == 2 && s1.get.getLong(4) == 1,
+      "2 processed, 1 delete in the 10:00 window for S1")
+  }
+
+  test("stateful latest-version MERGE across micro-batches") {
+    import spark.implicits._
+    val events = Seq(
+      RecordEvent("a", "S1", 1, "{\"v\":1}", Timestamp.valueOf("2024-01-01 10:00:00")),
+      RecordEvent("a", "S1", 3, "{\"v\":3}", Timestamp.valueOf("2024-01-01 10:01:00")),
+      RecordEvent("a", "S1", 2, "{\"v\":2}", Timestamp.valueOf("2024-01-01 10:02:00")),
+      RecordEvent("b", "S1", 1, "{\"v\":1}", Timestamp.valueOf("2024-01-01 10:03:00")))
+      .toDS()
+    val out = StreamingIngest.latestVersionState(events).collect()
+    val a = out.find(_.localId == "a").get
+    assert(a.sourceVersion == 3 && a.payloadJson == "{\"v\":3}",
+      "latest version wins regardless of arrival order")
+    assert(out.find(_.localId == "b").get.sourceVersion == 1)
+  }
+}
