@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{GoldRush, GoldRush2021, JsonPathLite}
+import graft.storage.Catalog
+
+/** `module[::function]` invocation string (ModuleInvocation.java:11-27). */
+final case class ModuleInvocation(module: String, function: Option[String])
+
+object ModuleInvocation {
+  def parse(s: String): ModuleInvocation = s.split("::", 2) match {
+    case Array(m) => ModuleInvocation(m, None)
+    case Array(m, f) => ModuleInvocation(m, Some(f))
+  }
+}
+
+/** A registered code module (CodeModuleEntity.java:9-28). Types:
+  *   - `jsonpath`: script is the JSONPath expression (F28)
+  *   - `native`: script names a built-in Scala matcher (the shipped GoldRush
+  *     scripts are ported natively — required for codegen throughput at
+  *     100 TB; SURVEY.md §2.11)
+  *   - `javascript`: accepted in config for compatibility, but execution
+  *     requires an embedded JS engine (GraalVM polyglot) that this build
+  *     intentionally excludes (zero-egress, no extra deps); resolving it
+  *     fails with a clear error
+  */
+final case class CodeModule(id: String, mtype: String, script: String,
+    function: Option[String] = None)
+
+/** Per-tenant module registry backed by the catalog, with an in-memory
+  * resolve cache invalidated by `reload` (ModuleCache.java:14-18,
+  * ReservoirService.java:64-80).
+  */
+final class ModuleRegistry(catalog: Catalog) {
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("mtype", StringType),
+    StructField("script", StringType), StructField("function", StringType)))
+
+  @volatile private var cache = Map.empty[String, String => Seq[String]]
+
+  def put(m: CodeModule): Unit = {
+    val rest = catalog.readOr("config_modules", schema)
+      .filter(col("id") =!= m.id)
+    val spark = catalog.spark
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        m.id, m.mtype, m.script, m.function.orNull)), schema)
+    catalog.write("config_modules", rest.unionByName(row))
+    reload()
+  }
+
+  def list(): Seq[CodeModule] =
+    catalog.readOr("config_modules", schema).collect().toSeq.map(r =>
+      CodeModule(r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3))))
+
+  def get(id: String): Option[CodeModule] = list().find(_.id == id)
+
+  def delete(id: String): Unit = {
+    catalog.write("config_modules",
+      catalog.readOr("config_modules", schema).filter(col("id") =!= id))
+    reload()
+  }
+
+  /** purge the compiled-matcher cache (POST /config/modules/reload) */
+  def reload(): Unit = synchronized { cache = Map.empty }
+
+  /** Resolve an invocation to a matcher function payloadJson → keys. */
+  def resolveMatcher(invocation: String): String => Seq[String] = {
+    cache.getOrElse(invocation, synchronized {
+      cache.getOrElse(invocation, {
+        val f = compile(invocation)
+        cache = cache.updated(invocation, f)
+        f
+      })
+    })
+  }
+
+  private def compile(invocation: String): String => Seq[String] = {
+    val inv = ModuleInvocation.parse(invocation)
+    val m = get(inv.module).getOrElse(
+      throw new IllegalArgumentException(s"module not found: ${inv.module}"))
+    m.mtype match {
+      case "jsonpath" =>
+        val path = JsonPathLite.compile(m.script)
+        p => path.strings(p)
+      case "native" => m.script match {
+        case "goldrush" | "goldrush2024" =>
+          p => try Seq(GoldRush.matchkeyFromPayload(p))
+               catch { case _: Exception => Nil }
+        case "goldrush2021" =>
+          p => try Seq(GoldRush2021.matchkeyFromPayload(p))
+               catch { case _: Exception => Nil }
+        case other =>
+          throw new IllegalArgumentException(s"unknown native matcher: $other")
+      }
+      case "javascript" =>
+        throw new UnsupportedOperationException(
+          "javascript modules need an embedded JS engine; this build ships " +
+            "native ports of the stock scripts — register type=native " +
+            "(goldrush2024/goldrush2021) or type=jsonpath instead")
+      case other =>
+        throw new IllegalArgumentException(s"unknown module type: $other")
+    }
+  }
+}
