@@ -19,6 +19,89 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  // ---- single-pass scalar kernels -------------------------------------
+  // The pure-Column formulations below (minhashSignature/lshBandHashes)
+  // document the algorithm and match the SQL oracle 1:1, but Catalyst
+  // re-evaluates outer expressions inside every higher-order-function
+  // lambda (the shingle array would be rebuilt once per seed), which is a
+  // 10-100× slowdown. The hot paths therefore use these Scala kernels —
+  // one pass per row, byte-identical md5 hex output.
+
+  private val md5tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5tl.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = hexChars(v >>> 4)
+      out(i * 2 + 1) = hexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** distinct n-word shingles, first-occurrence order (same set as
+    * TextFunctions.shingles)
+    */
+  def shinglesOf(text: String, n: Int): Seq[String] = {
+    val toks = wsSplit.split(text, -1)
+    if (toks.length < n) Nil
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(sb.toString); i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
+  }
+
+  /** k min-hashes over a shingle set (identical to minhashSignature) */
+  def minhashOf(shingles: Seq[String], k: Int): Seq[String] =
+    (0 until k).map { s =>
+      var min: String = null
+      shingles.foreach { w =>
+        val h = md5Hex(s.toString + ":" + w)
+        if (min == null || h < min) min = h
+      }
+      min
+    }
+
+  /** banded hashes of a signature (identical to lshBandHashes) */
+  def bandHashesOf(sig: Seq[String], bands: Int, rows: Int): Seq[String] =
+    (0 until bands).map(j =>
+      j.toString + ":" + md5Hex(sig.slice(j * rows, j * rows + rows).mkString(",")))
+
+  /** udf: text → distinct shingle array (single pass) */
+  def shingleUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => shinglesOf(text, n))
+
+  /** udf: shingles → minhash signature (single pass) */
+  def minhashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sh: Seq[String]) => minhashOf(sh, k))
+
+  /** udf: shingles → band-qualified LSH bucket hashes (single pass) */
+  def bandUdf(k: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sh: Seq[String]) => bandHashesOf(minhashOf(sh, k), bands, k / bands))
+
   /** Annotate each row with an exact-dup hash and the duplicate count. */
   def exactDuplicates(df: DataFrame, text: Column, id: Column): DataFrame = {
     val h = md5(text)
@@ -57,15 +140,12 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleLen).as("sh"))
+        shingleUdf(shingleLen)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val signed = docs.withColumn("sig",
-      minhashSignature(col("sh"), numHashes))
-    val banded = signed.select(col("doc_id"),
-        explode(lshBandHashes(col("sig"), bands, numHashes / bands)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bhash"))
+    val banded = docs.select(col("doc_id"),
+      explode(bandUdf(numHashes, bands)(col("sh"))).as("bhash"))
     val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash")
+        col("x.bhash") === col("y.bhash")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
@@ -90,7 +170,7 @@ object Dedup {
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleLen).as("sh"))
+        shingleUdf(shingleLen)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
     val words = docs.select(col("doc_id"), explode(col("sh")).as("w"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))

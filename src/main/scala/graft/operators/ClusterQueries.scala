@@ -23,14 +23,10 @@ object ClusterQueries {
       (s, d) => {
         val t = Tables(s, d)
         val docs = t.documents.select(col("doc_id"),
-            TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+            Dedup.shingleUdf(3)(col("text")).as("sh"))
           .filter(size(col("sh")) > 0)
-        val banded = docs
-          .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
-          .select(col("doc_id"),
-            explode(Dedup.lshBandHashes(col("sig"), 4, 4)).as("b"))
-          .select(col("doc_id").as("id"),
-            concat(col("b.band").cast("string"), lit(":"), col("b.bhash")).as("key"))
+        val banded = docs.select(col("doc_id").as("id"),
+          explode(Dedup.bandUdf(16, 4)(col("sh"))).as("key"))
         Clusterize.connectedComponents(banded)
           .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
           .orderBy(col("doc_id"))
