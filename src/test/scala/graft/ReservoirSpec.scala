@@ -84,6 +84,21 @@ class ReservoirSpec extends AnyFunSuite {
       all.map(_.getString(0)).toSet)
   }
 
+  test("localIdPath extracts ids from the payload; missing ids are ignored") {
+    import spark.implicits._
+    val r = freshReservoir()
+    val b = Seq(
+      (null: String, "SRC", 1,
+        """{"marc":{"fields":[{"001":"  X1 "}]}}""", false),
+      (null: String, "SRC", 1,
+        """{"marc":{"fields":[{"002":"no-001"}]}}""", false))
+      .toDF("localId", "sourceId", "sourceVersion", "payloadJson", "delete")
+    val st = r.ingest(b, Some("$.marc.fields[*].001"))
+    assert(st.ignored == 1 && st.inserted == 1)
+    assert(r.records().select("localId").collect().map(_.getString(0)).toSeq
+      == Seq("X1"), "extracted and trimmed")
+  }
+
   test("version precedence: cluster doc keeps latest sourceVersion per source") {
     val r = freshReservoir()
     r.ingest(batchDf(rec("S1", "SRC", 1, Seq("a"))))
