@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Property tests: the single-pass scalar kernels must agree exactly with
+  * the declarative column formulations (which in turn match the SQL oracle),
+  * so the fast path can never drift from the verified semantics.
+  */
+class DedupKernelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val word = Gen.oneOf("spark", "join", "data", "row", "the", "a",
+    "merge", "x1", "ünïcode", "汉字")
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  private def sample(n: Int): Seq[String] =
+    (0 until n).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("scalar shingles == column shingles") {
+    import spark.implicits._
+    val texts = sample(60)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val colSide = df.select(col("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(Dedup.shinglesOf(t, 3) == colSide(i.toLong), s"text='$t'")
+    }
+  }
+
+  test("scalar minhash+bands == column minhash+bands") {
+    import spark.implicits._
+    val texts = sample(40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val colSide = df.select(col("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 8))
+      .withColumn("bands", Dedup.lshBandHashes(col("sig"), 4, 2))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](2), r.getSeq[org.apache.spark.sql.Row](3)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val sh = Dedup.shinglesOf(t, 3)
+      if (sh.nonEmpty) {
+        val (sigCol, bandsCol) = colSide(i.toLong)
+        val sig = Dedup.minhashOf(sh, 8)
+        assert(sig == sigCol, s"sig for '$t'")
+        val bands = Dedup.bandHashesOf(sig, 4, 2)
+        val bandsColStr = bandsCol.map(b => s"${b.getInt(0)}:${b.getString(1)}")
+        assert(bands == bandsColStr, s"bands for '$t'")
+      }
+    }
+  }
+}

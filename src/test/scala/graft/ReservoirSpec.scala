@@ -157,6 +157,23 @@ class ReservoirSpec extends AnyFunSuite {
     assert(r.clusters("manualpool").count() == 1)
   }
 
+  test("tenants are fully isolated under one root") {
+    val dir = Files.createTempDirectory("graft-tenants").toString
+    val t1 = new Reservoir(spark, dir, "tenantA")
+    val t2 = new Reservoir(spark, dir, "tenantB")
+    t1.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
+    t2.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
+    t1.ingest(batchDf(rec("S1", "SRC", 1, Seq("a"))))
+    assert(t1.records().count() == 1)
+    assert(t2.records().count() == 0)
+    assert(t2.clusters("issn").count() == 0)
+    // same natural key in both tenants → different globalIds
+    t2.ingest(batchDf(rec("S1", "SRC", 1, Seq("a"))))
+    val g1 = t1.records().select("globalId").collect().head.getString(0)
+    val g2 = t2.records().select("globalId").collect().head.getString(0)
+    assert(g1 != g2)
+  }
+
   test("goldrush matcher pools cluster by the computed key") {
     val r = freshReservoir()
     r.putMatchKeyConfig(MatchKeyConfig("gr", "goldrush"))
