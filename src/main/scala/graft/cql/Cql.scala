@@ -22,7 +22,8 @@ object Cql {
   case object UuidField extends FieldType
   case object TimestampField extends FieldType
 
-  final case class Parsed(where: Option[Column], orderBy: Seq[Column]) {
+  final case class Parsed(where: Option[Column], orderBy: Seq[Column],
+      referenced: Set[String] = Set.empty) {
     def apply(df: DataFrame): DataFrame = {
       val filtered = where.map(df.filter).getOrElse(df)
       if (orderBy.nonEmpty) filtered.orderBy(orderBy: _*) else filtered
@@ -43,6 +44,7 @@ object Cql {
 
   private final class Parser(input: String, fields: Map[String, FieldType]) {
     private var pos = 0
+    private val referenced = scala.collection.mutable.Set.empty[String]
 
     def parseQuery(): Parsed = {
       val expr = parseOr()
@@ -53,7 +55,7 @@ object Cql {
       skipWs()
       if (pos < input.length)
         throw new CqlException(s"unexpected input at $pos: '${input.substring(pos)}'")
-      Parsed(Some(expr), sorts)
+      Parsed(Some(expr), sorts, referenced.toSet)
     }
 
     private def parseSorts(): Seq[Column] = {
@@ -67,6 +69,7 @@ object Cql {
             val name = parts(0)
             if (!fields.contains(name))
               throw new CqlException(s"unsupported sort field: $name")
+            referenced += name
             val c = col(name)
             sorts += (if (parts.length > 1 && parts(1) == "sort.descending") c.desc
                       else c.asc)
@@ -124,6 +127,7 @@ object Cql {
         } else {
           val ftype = fields.getOrElse(field,
             throw new CqlException(s"unsupported CQL index: $field"))
+          referenced += field
           skipWs()
           val rel = expectRelation()
           skipWs()
