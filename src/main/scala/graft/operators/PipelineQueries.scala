@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Similarity
+
+/** Additional training-data-pipeline operators: event sessionization
+  * (gap-based session windows over the events stream) and embedding-cosine
+  * near-duplicate pairs (the brief's embedding near-dup dedup mode).
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+    // ---- gap-based sessionization: a new session starts after >30 min idle
+    Q("q34_sessionize",
+      (s, d) => {
+        val t = Tables(s, d)
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t.events
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull
+              || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("event_id"), col("session_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |FROM (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- embedding-cosine near-duplicate pairs (threshold chosen with a
+    // >1e-3 margin to the nearest cosine so float noise can't flip a pair)
+    Q("q35_embedding_dupes",
+      (s, d) => {
+        val t = Tables(s, d)
+        val e = t.embeddings.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
+        val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))
+        a.join(b, col("id1") < col("id2"))
+          .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+          .filter(col("cos") >= 0.42)
+          .select(col("id1"), col("id2"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id1, b.vec_id AS id2
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v)
+             |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+             |ORDER BY id1, id2""".stripMargin))
+  )
+}
