@@ -41,6 +41,44 @@ object PipelineQueries {
              |  FROM events)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- IVF-bucketed ANN (deterministic coarse quantizer, nProbe=2)
+    Q("q36_ann_ivf",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.ivfTopK(
+            t.embeddings.filter(col("vec_id") < 10), t.embeddings,
+            "vec_id", "embedding", 5, centroidStride = 50, nProbe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             |assign AS (
+             |  SELECT vec_id, v, cent_id, crank FROM (
+             |    SELECT e.vec_id, e.v, c.cent_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_dot_product(e.v, c.cv)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |        c.cent_id) AS crank
+             |    FROM e CROSS JOIN cents c)),
+             |lists AS (SELECT vec_id AS neighbor_id, v AS nv, cent_id FROM assign WHERE crank <= 1),
+             |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM assign
+             |           WHERE crank <= 2 AND vec_id < 10),
+             |cand AS (
+             |  SELECT DISTINCT p.query_id, p.qv, l.neighbor_id, l.nv
+             |  FROM probes p JOIN lists l USING (cent_id)
+             |  WHERE p.query_id <> l.neighbor_id),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_dot_product(qv, nv)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+             |  FROM cand)
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- embedding-cosine near-duplicate pairs (threshold chosen with a
     // >1e-3 margin to the nearest cosine so float noise can't flip a pair)
     Q("q35_embedding_dupes",

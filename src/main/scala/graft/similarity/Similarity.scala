@@ -74,6 +74,42 @@ object Similarity {
     }: _*)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStride`-th
+    * corpus row is a centroid — reproducible in the SQL oracle without a
+    * training step), each corpus row assigned to its nearest centroid
+    * (inverted lists), and each query probing the `nProbe` nearest lists.
+    * At 100 TB the inverted lists are the partition key: a query touches
+    * nProbe/nLists of the corpus instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidStride: Int = 50,
+      nProbe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cv"))
+    def assign(df: DataFrame, id: String, n: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"v_$id"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(col(s"v_$id"), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col(id), col(s"v_$id"), col("cent_id"))
+    }
+    val lists = assign(corpus, "neighbor_id", 1)
+    val probes = assign(queries, "query_id", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("v_query_id").as("qv"),
+        col("neighbor_id"), col("v_neighbor_id").as("cv2"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: candidates = corpus rows
     * sharing any bucket with the query, then exact cosine rank within
     * candidates. May return fewer than k per query (approximate recall) —
