@@ -73,6 +73,36 @@ object StreamingIngest {
       }
   }
 
+  final case class DocEvent(docId: Long, text: String)
+
+  final case class DedupedDoc(docId: Long, text: String, firstSeen: Boolean)
+
+  /** Streaming exact dedup: per content-hash state remembers the first doc
+    * id that carried the text; later arrivals are flagged duplicates — the
+    * LLM-pipeline dedup operator on an unbounded stream (state is the
+    * hash → first-id map, sharded by Spark's state store).
+    */
+  def streamingExactDedup(docs: Dataset[DocEvent]): Dataset[DedupedDoc] = {
+    import docs.sparkSession.implicits._
+    def md5(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    docs
+      .groupByKey(e => md5(e.text))
+      .flatMapGroupsWithState[Long, DedupedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Long]) =>
+          val events = batch.toSeq.sortBy(_.docId)
+          val known = state.getOption
+          val first = known.getOrElse(events.head.docId)
+          if (known.isEmpty) state.update(first)
+          events.iterator.map(e =>
+            DedupedDoc(e.docId, e.text, known.isEmpty && e.docId == first))
+      }
+  }
+
   /** run a streaming frame to a named in-memory sink until drained (local
     * verification path; on a cluster this would be writeStream to the
     * catalog with checkpointLocation)

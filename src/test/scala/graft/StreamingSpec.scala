@@ -53,6 +53,28 @@ class StreamingSpec extends AnyFunSuite {
       "2 processed, 1 delete in the 10:00 window for S1")
   }
 
+  test("streaming exact dedup flags only the first arrival per content") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamingIngest.DocEvent](spark)
+    val out = StreamingIngest.streamingExactDedup(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(StreamingIngest.DocEvent(1, "same text"),
+        StreamingIngest.DocEvent(2, "same text"),
+        StreamingIngest.DocEvent(3, "other"))
+      q.processAllAvailable()
+      // a later micro-batch re-sends the same content → duplicate
+      input.addData(StreamingIngest.DocEvent(9, "same text"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[StreamingIngest.DedupedDoc]
+        .collect().sortBy(_.docId)
+      assert(rows.map(r => r.docId -> r.firstSeen).toSeq ==
+        Seq(1L -> true, 2L -> false, 3L -> true, 9L -> false))
+    } finally q.stop()
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
