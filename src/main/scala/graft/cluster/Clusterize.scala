@@ -34,9 +34,12 @@ object Clusterize {
   val MatchValueMaxLength = 600
 
   /** Connected components over a bipartite (id, key) edge set by alternating
-    * min-label propagation. Returns (id, component) where component is the
-    * min id of the connected component. Converges in O(diameter) rounds;
-    * each round is two shuffles keyed the same way (AQE coalesces partitions).
+    * min-label propagation with pointer jumping: each round also treats the
+    * current labels as super-keys, so nodes already proven co-labeled
+    * exchange labels directly — convergence in O(log diameter) rounds
+    * instead of O(diameter) (a chain of 1000 pairwise-linked records needs
+    * ~10 rounds, not 1000). Each round is two shuffles keyed the same way
+    * (AQE coalesces partitions). Returns (id, component = min id).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     require(edges.columns.toSeq == Seq("id", "key"),
@@ -46,19 +49,34 @@ object Clusterize {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var converged = false
+    var round = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged) {
+      round += 1
+      val t0 = System.nanoTime()
+      // hop 1: propagate the min label across the bipartite edges
       val keyMin = e.join(labels, "id")
         .groupBy("key").agg(min("label").as("klabel"))
       val idMin = e.join(keyMin, "key")
         .groupBy("id").agg(min("klabel").as("nlabel"))
-      val next = labels.join(idMin, Seq("id"), "left")
+      val hop = labels.join(idMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // hop 2: pointer doubling — follow the label chain (labels are node
+      // ids, so label(label(x)) halves the distance to the component min
+      // each round → O(log diameter) convergence on chain-shaped components
+      val parents = hop.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = hop.as("a")
+        .join(parents, col("a.label") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
       labels = next
       converged = changed == 0
+      if (debug) println(f"[cc] round=$round changed=$changed " +
+        f"elapsed=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     labels.withColumnRenamed("label", "component")
   }

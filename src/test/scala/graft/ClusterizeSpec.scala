@@ -133,6 +133,19 @@ class ClusterizeSpec extends AnyFunSuite {
     assert(a("r5") != a("r1"))
   }
 
+  test("long chains converge fast (pointer jumping)") {
+    // 400 records pairwise linked into one chain — naive propagation would
+    // need ~400 rounds; pointer jumping needs ~log2(400)
+    val rows = (0 until 400).map(i =>
+      f"r$i%04d" -> Seq(s"k$i", s"k${i + 1}"))
+    val t0 = System.nanoTime()
+    val s = Clusterize.initialize(batch(rows: _*), "k", t("2024-01-01 00:00:00"))
+    val a = assignMap(s)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(a.values.toSet.size == 1, "one component")
+    assert(elapsed < 120, f"chain clustering took $elapsed%.1f s")
+  }
+
   test("stats histogram reflects cluster sizes with samples") {
     val s = Clusterize.initialize(
       batch("r1" -> Seq("a"), "r2" -> Seq("a"), "r3" -> Seq("b")),
