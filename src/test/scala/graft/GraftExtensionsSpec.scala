@@ -9,12 +9,23 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.extensions", "graft.api.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // other suites may have created the shared session (and registered the
+    // plain-UDF variant); force a fresh session so the extensions class and
+    // the native expression are what resolve here
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // config("spark.sql.extensions", ...) is the production path, but it is
+    // read from the SparkContext conf at first-context creation — in a
+    // shared-JVM test run the context already exists, so apply the same
+    // class programmatically
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.api.GraftExtensions()(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   private val payload =
     """{"marc":{"leader":"01010ccm a2200289   4500","fields":[
