@@ -174,6 +174,37 @@ class ReservoirSpec extends AnyFunSuite {
     assert(g1 != g2)
   }
 
+  test("OAI page assembly is O(page): every aggregate sits above the id filter") {
+    val r = freshReservoir()
+    r.ingest(batchDf(
+      rec("S1", "SRC", 1, Seq("a")), rec("S2", "SRC", 1, Seq("b")),
+      rec("S3", "SRC", 1, Seq("c")), rec("S4", "SRC", 1, Seq("d"))))
+    val ids = r.clusters("issn").select("clusterId").collect()
+      .map(_.getString(0)).sorted.take(2).toSeq
+    val df = r.pageClusterDocs("issn", ids)
+
+    // parity with the full assembly restricted to the same ids
+    val full = r.clusters("issn").filter(col("clusterId").isin(ids: _*))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == full)
+
+    // plan shape: the pool tables are filtered to the page ids BELOW every
+    // aggregation, so the window + groupBys never see the whole pool
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val plan = df.queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "expected aggregates in the page plan")
+    aggs.foreach { a =>
+      val gated = a.exists {
+        case f: Filter =>
+          val s = f.condition.sql
+          s.contains("clusterId") && ids.exists(s.contains)
+        case _ => false
+      }
+      assert(gated, s"aggregate not gated by the page-id filter:\n$a")
+    }
+  }
+
   test("goldrush matcher pools cluster by the computed key") {
     val r = freshReservoir()
     r.putMatchKeyConfig(MatchKeyConfig("gr", "goldrush"))
