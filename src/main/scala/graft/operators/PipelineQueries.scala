@@ -41,18 +41,19 @@ object PipelineQueries {
              |  FROM events)
              |ORDER BY user_id, event_id""".stripMargin)),
 
-    // ---- IVF-bucketed ANN (deterministic coarse quantizer, nProbe=2)
+    // ---- IVF-bucketed ANN (constant-size md5-sampled quantizer, nProbe=2)
     Q("q36_ann_ivf",
       (s, d) => {
         val t = Tables(s, d)
         Similarity.ivfTopK(
             t.embeddings.filter(col("vec_id") < 10), t.embeddings,
-            "vec_id", "embedding", 5, centroidStride = 50, nProbe = 2)
+            "vec_id", "embedding", 5, nCentroids = 32, nProbe = 2)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
              |assign AS (
              |  SELECT vec_id, v, cent_id, crank FROM (
              |    SELECT e.vec_id, e.v, c.cent_id,

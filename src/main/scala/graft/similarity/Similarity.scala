@@ -3,7 +3,6 @@ package graft.similarity
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -27,9 +26,30 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Rank a scored candidate frame (query_id, neighbor_id, cos) down to the
+    * top k per query with the bounded [[TopKAgg]] aggregate: map-side
+    * partials keep ≤ k rows per (partition, query), so the exchange carries
+    * O(|Q| × k) partial buffers — never the full scored set, which a
+    * row_number window would shuffle wholesale. Ids must be integral
+    * (cast to long); ranking order is (cos desc, neighbor_id asc), identical
+    * to `row_number() OVER (ORDER BY cos DESC, neighbor_id)`.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new TopKAgg(k))
+    scored
+      .select(col("query_id"), col("cos"), col("neighbor_id").cast("long").as("nid"))
+      .groupBy("query_id")
+      .agg(tk(col("cos"), col("nid")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
   /** Exact brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows (self excluded), ranked by (cosine desc, id asc).
-    * The query side is broadcast — the corpus is scanned once, never shuffled.
+    * The query side is broadcast — the corpus is scanned once, never
+    * shuffled — and the rank is a bounded top-k aggregate, so only k rows
+    * per (query, partition) reach the exchange.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -37,13 +57,9 @@ object Similarity {
       asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 hyperplane components: parity of the first hex nibble
@@ -74,40 +90,50 @@ object Similarity {
     }: _*)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStride`-th
-    * corpus row is a centroid — reproducible in the SQL oracle without a
-    * training step), each corpus row assigned to its nearest centroid
-    * (inverted lists), and each query probing the `nProbe` nearest lists.
-    * At 100 TB the inverted lists are the partition key: a query touches
-    * nProbe/nLists of the corpus instead of all of it.
+  /** IVF-style ANN with a constant-size coarse quantizer: the centroid set is
+    * the `nCentroids` corpus rows with the smallest md5(id) — a deterministic
+    * pseudo-random sample whose size is independent of |corpus| (picked with
+    * a TakeOrdered, i.e. per-partition top-k + driver merge, no shuffle) and
+    * reproducible in the SQL oracle. The centroids are inlined as literal
+    * arrays, so nearest-centroid assignment is pure per-row codegen'd
+    * column work — no join, no window, no shuffle; corpus rows land in their
+    * single nearest inverted list, queries probe the `nProbe` nearest lists.
+    * At 100 TB the cost is O(|corpus| × nCentroids) flops on the scan plus
+    * one equi-join keyed by cent_id: a query touches ~nProbe/nCentroids of
+    * the corpus instead of all of it.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidStride: Int = 50,
+      vecCol: String, k: Int, nCentroids: Int = 32,
       nProbe: Int = 2): DataFrame = {
-    val cents = corpus.filter(col(idCol) % centroidStride === 0)
+    val cents = corpus
       .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cv"))
-    def assign(df: DataFrame, id: String, n: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"v_$id"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos", cosine(col(s"v_$id"), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col(id), col(s"v_$id"), col("cent_id"))
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+
+    // nearest `n` centroid ids of a vector, ordered (cos desc, cent_id asc):
+    // score every centroid literal, sort the (−cos, cent_id) structs, slice
+    def nearest(v: Column, n: Int): Column = {
+      val scoredCents = array(cents.map { case (cid, cv) =>
+        struct((-cosine(v, array(cv.map(lit): _*))).as("neg"),
+          lit(cid).as("cent_id"))
+      }.toSeq: _*)
+      transform(slice(array_sort(scoredCents), 1, n), s => s.getField("cent_id"))
     }
-    val lists = assign(corpus, "neighbor_id", 1)
-    val probes = assign(queries, "query_id", nProbe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(lists, Seq("cent_id"))
+
+    val lists = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv2"))
+      .withColumn("cent_id", element_at(nearest(col("cv2"), 1), 1))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cent_id", explode(nearest(col("qv"), nProbe)))
+    val scored = probes.join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("v_query_id").as("qv"),
-        col("neighbor_id"), col("v_neighbor_id").as("cv2"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv2"))
       .distinct()
       .withColumn("cos", cosine(col("qv"), col("cv2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** ANN top-k via multi-table hyperplane LSH: candidates = corpus rows
@@ -130,11 +156,6 @@ object Similarity {
       .select(col("query_id"), col("v_query_id").as("qv"),
         col("neighbor_id"), col("v_neighbor_id").as("cv"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Similarity
+
+/** Plan-shape and equivalence guarantees for the similarity operators:
+  * the IVF path must stay free of cartesian products (its quantizer is a
+  * constant-size literal set, not a joined table), and the bounded top-k
+  * aggregate must rank identically to the row_number window it replaced.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** deterministic synthetic embeddings: dim-8 vectors from a hash mix */
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val v = (0 until 8).map(j => math.sin(i * 31 + j * 7).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK plan has no cartesian product or nested-loop join") {
+    val c = corpus(200)
+    val df = Similarity.ivfTopK(c.filter(col("vec_id") < 5), c,
+      "vec_id", "embedding", 3, nCentroids = 8, nProbe = 2)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    // sanity: every query gets ranked neighbors starting at 1
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.filter(_.getInt(1) == 1).length == 5, "rank 1 per query")
+  }
+
+  test("bounded top-k ranks exactly like the row_number window") {
+    val c = corpus(300)
+    val got = Similarity.cosineTopK(c.filter(col("vec_id") < 7), c,
+        "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+
+    // reference formulation: full window rank over all scored pairs
+    val q = c.filter(col("vec_id") < 7).select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qv"))
+    val cc = c.select(col("vec_id").as("neighbor_id"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val want = q.join(cc, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+
+    assert(got == want)
+  }
+
+  test("topK aggregate handles fewer candidates than k") {
+    val c = corpus(4)
+    val rows = Similarity.cosineTopK(c.filter(col("vec_id") < 2), c,
+      "vec_id", "embedding", 10).collect()
+    // 3 neighbors per query (self excluded), ranks 1..3
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(1)).toSet == Set(1, 2, 3))
+  }
+}
