@@ -60,6 +60,34 @@ object TextDedupQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replica of TextFunctions.langId, generated from the same
+    * LangProfiles so the two can't drift: the desc sort by
+    * (hits, profile priority) becomes a CASE chain where profile i wins when
+    * its hits are >= every later profile's (earlier profile wins ties).
+    */
+  private val langIdOracleSql: String = {
+    val profiles = TextFunctions.LangProfiles
+    val hitCols = profiles.zipWithIndex.map { case ((_, sw), i) =>
+      val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS h$i"
+    }.mkString(",\n    ")
+    val cases = profiles.zipWithIndex.dropRight(1).map { case ((lang, _), i) =>
+      val conds = ((i + 1) until profiles.size).map(j => s"h$i >= h$j").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN cjk * 3 > n THEN 'zh'
+       |       $cases
+       |       ELSE '${profiles.last._1}' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, lang, len(text) AS n,
+       |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+       |    $hitCols
+       |  FROM (SELECT doc_id, lang, text,
+       |        regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-group + duplicate count + canonical keep flag
     Q("q19_dedup_exact",
@@ -126,7 +154,7 @@ object TextDedupQueries {
              |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- language ID heuristic (no SQL equivalent -> rows-only check)
+    // ---- language ID heuristic (stopword vote + CJK ratio)
     Q("q23_langid",
       (s, d) => {
         val t = Tables(s, d)
@@ -134,7 +162,7 @@ object TextDedupQueries {
             TextFunctions.langId(col("text")).as("lang_pred"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(langIdOracleSql)),
 
     // ---- all-pairs n-gram Jaccard (exact; LSH is the scale path)
     Q("q24_jaccard_pairs",
