@@ -206,18 +206,38 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming over 16-bit
-    * simhashes, id1 < id2. (At scale: block on simhash bytes first.)
+    * simhashes, id1 < id2.
+    *
+    * Blocked, not all-pairs: the 16 bits are split into maxHamming+1
+    * contiguous bands, and candidates come from an equi-join on
+    * (band, band bits). By pigeonhole a pair with ≤ maxHamming differing
+    * bits must agree on at least one band, so recall is exact; the
+    * per-bucket join keeps the pair count near-linear — the same frame as
+    * MinHash-LSH, but lossless. Exact hamming is verified on candidates.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0,15], got $maxHamming")
     val sh = df.select(col(idCol).as("doc_id"),
       simhash16(TextFunctions.tokens(col(textCol))).as("simhash"))
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= maxHamming)
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 16 / nBands)
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val mask = (1 << (bounds(b + 1) - lo)) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandKeys: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.simhash").as("simhash1"), col("b.simhash").as("simhash2"),
-        col("hamming"))
+        col("a.simhash").as("simhash1"), col("b.simhash").as("simhash2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("simhash1").bitwiseXOR(col("simhash2"))))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -69,4 +69,31 @@ class DedupKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("banded simhashPairs == all-pairs formulation, with no cartesian join") {
+    import spark.implicits._
+    val texts = sample(80)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+    for (maxHamming <- Seq(0, 2, 3, 6)) {
+      val blocked = Dedup.simhashPairs(df, "id", "text", maxHamming)
+      val physical = blocked.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"), physical)
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      val got = blocked.select("id1", "id2", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+      // reference: brute-force cross join on the same simhashes
+      val sh = df.select(col("id"),
+        Dedup.simhash16(TextFunctions.tokens(col("text"))).as("s"))
+      val want = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .withColumn("hamming", bit_count(col("a.s").bitwiseXOR(col("b.s"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a.id"), col("b.id"), col("hamming")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+      assert(got == want, s"maxHamming=$maxHamming")
+    }
+  }
 }
