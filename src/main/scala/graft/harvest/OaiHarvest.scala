@@ -139,7 +139,10 @@ final case class HarvestConfig(
     sourceVersion: Int = 1,
     headers: Map[String, String] = Map.empty,
     numberRetries: Int = 3,
-    waitRetriesMillis: Long = 10000)
+    waitRetriesMillis: Long = 10000,
+    // pages buffered into one ingest call: amortizes the per-ingest cluster
+    // state commit across pages (the HTTP pull stays sequential regardless)
+    pagesPerIngest: Int = 10)
 
 final case class HarvestStatus(
     id: String,
@@ -241,40 +244,57 @@ final class OaiPmhClient(reservoir: Reservoir,
     st = st.copy(status = "running", error = None)
     saveStatus(st, stop = false)
     var maxDatestamp: Option[String] = st.from
+    // pages are buffered and ingested pagesPerIngest at a time; the cursor
+    // tracks the token AFTER the last buffered page and is only persisted at
+    // flush, so a crash resumes from the first un-ingested page
+    var cursor: Option[String] = st.resumptionToken
+    var buffer = Vector.empty[OaiHarvest.OaiRecord]
+    var bufferedPages = 0
+
+    def flush(): Unit = if (bufferedPages > 0) {
+      val stats = reservoir.ingest(toBatch(buffer, cfg))
+      st = st.copy(
+        totalRecords = st.totalRecords + stats.processed,
+        totalRequests = st.totalRequests + bufferedPages,
+        resumptionToken = cursor)
+      buffer = Vector.empty
+      bufferedPages = 0
+      saveStatus(st, stop = false)
+    }
+
     var continue = true
     try {
       while (continue) {
         val stopped = loadStatus(cfg.id).exists(_._2)
         if (stopped) {
+          flush()
           st = st.copy(status = "idle")
           continue = false
         } else {
-          val url = buildUrl(cfg, st.resumptionToken, st.from)
+          val url = buildUrl(cfg, cursor, st.from)
           val (_, body) = fetchWithRetry(cfg, url)
           val resp = OaiHarvest.parseResponse(body)
           resp.errorCode match {
             case Some("noRecordsMatch") =>
+              flush()
               st = st.copy(status = "idle", resumptionToken = None)
               continue = false
             case Some(code) =>
               throw new RuntimeException(s"OAI error: $code")
             case None =>
-              val batch = toBatch(resp.records, cfg)
-              val stats = reservoir.ingest(batch)
+              buffer ++= resp.records
+              bufferedPages += 1
+              cursor = resp.resumptionToken
               val pageMax = resp.records.map(_.datestamp).filter(_.nonEmpty)
                 .maxOption
               maxDatestamp = (maxDatestamp.toSeq ++ pageMax.toSeq).maxOption
-              st = st.copy(
-                totalRecords = st.totalRecords + stats.processed,
-                totalRequests = st.totalRequests + 1,
-                resumptionToken = resp.resumptionToken)
-              if (resp.resumptionToken.isEmpty) {
+              if (cursor.isEmpty) {
+                flush()
                 // bump the watermark so the next run re-harvests nothing (T5)
                 st = st.copy(status = "idle",
                   from = maxDatestamp.map(OaiDates.nextOaiDate))
                 continue = false
-              }
-              saveStatus(st, stop = false)
+              } else if (bufferedPages >= cfg.pagesPerIngest) flush()
           }
         }
       }
@@ -282,6 +302,9 @@ final class OaiPmhClient(reservoir: Reservoir,
       st
     } catch {
       case e: Exception =>
+        // pages that parsed cleanly are still ingested, so the persisted
+        // token resumes after them
+        try flush() catch { case _: Exception => () }
         st = st.copy(status = "error", error = Some(e.getMessage))
         saveStatus(st, stop = false)
         st

@@ -65,4 +65,120 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     }
     v
   }
+
+  // ---------------- partitioned copy-on-write tables ----------------
+  // Layout: <table>/_LATEST names manifest version N; <table>/_MANIFEST.v=N
+  // maps each partition value to its current data version; data files live at
+  // <table>/parts/<urlencoded(part)>/v=M. A batch that touches partitions S
+  // rewrites ONLY those partitions' data dirs plus one small manifest file —
+  // per-batch I/O is O(touched partitions), not O(table) — while readers
+  // keep full snapshot isolation (the committed manifest only ever names
+  // complete data dirs; the previous manifest and its dirs are retained for
+  // in-flight readers).
+
+  private def enc(part: String): String =
+    java.net.URLEncoder.encode(part, "UTF-8")
+
+  private def manifestFile(name: String, v: Long) =
+    new Path(tableDir(name), s"_MANIFEST.v=$v")
+
+  private def partDataDir(name: String, part: String, v: Long) =
+    new Path(tableDir(name), s"parts/${enc(part)}/v=$v")
+
+  /** current partition manifest: part value → data version (empty if none) */
+  def partitionManifest(name: String): Map[String, Long] =
+    latestVersion(name) match {
+      case None => Map.empty
+      case Some(v) =>
+        val in = fs.open(manifestFile(name, v))
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        text.split("\n").filter(_.nonEmpty).map { line =>
+          val Array(ver, part) = line.split("\t", 2)
+          java.net.URLDecoder.decode(part, "UTF-8") -> ver.toLong
+        }.toMap
+    }
+
+  /** read the given partitions of a partitioned table (missing parts skipped) */
+  def readPartitionsOr(name: String, schema: StructType,
+      parts: Seq[String]): DataFrame = {
+    val mf = partitionManifest(name)
+    val dirs = parts.distinct.sorted.flatMap(p =>
+      mf.get(p).map(v => partDataDir(name, p, v).toString))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** read every partition of a partitioned table */
+  def readPartitionedOr(name: String, schema: StructType): DataFrame =
+    readPartitionsOr(name, schema, partitionManifest(name).keys.toSeq)
+
+  /** Overwrite exactly the `touched` partitions with `df`'s rows (df must
+    * contain only rows whose `partCol` is in `touched`; a touched partition
+    * with no rows in df is dropped). One Spark write job for all touched
+    * partitions, one manifest commit. Untouched partitions' files are not
+    * read, written, or moved.
+    */
+  def overwritePartitions(name: String, df: DataFrame, partCol: String,
+      touched: Seq[String]): Long = {
+    val mf = partitionManifest(name)
+    val staging = new Path(tableDir(name),
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    // duplicate the partition column: partitionBy consumes `_p`, keeping
+    // partCol itself inside the data files
+    df.withColumn("_p", org.apache.spark.sql.functions.col(partCol))
+      .write.partitionBy("_p").mode("overwrite").parquet(staging.toString)
+
+    var next = mf
+    touched.distinct.foreach { p =>
+      val stagedDir = new Path(staging,
+        "_p=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(p))
+      if (fs.exists(stagedDir)) {
+        val nv = mf.getOrElse(p, 0L) + 1
+        val dest = partDataDir(name, p, nv)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(stagedDir, dest))
+          sys.error(s"failed to commit partition $p of $name")
+        next = next + (p -> nv)
+      } else next = next - p // partition emptied by this batch
+    }
+    fs.delete(staging, true)
+
+    val v = latestVersion(name).getOrElse(0L) + 1
+    val body = next.toSeq.sortBy(_._1)
+      .map { case (p, ver) => s"$ver\t${enc(p)}" }.mkString("\n")
+    val tmp = new Path(tableDir(name), s"_MANIFEST.tmp.$v")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, manifestFile(name, v)))
+      sys.error(s"failed to write manifest v=$v for $name")
+    val lt = new Path(tableDir(name), s"_LATEST.tmp.$v")
+    val lo = fs.create(lt, true)
+    try lo.write(v.toString.getBytes("UTF-8")) finally lo.close()
+    if (!fs.rename(lt, latestFile(name))) {
+      fs.delete(latestFile(name), false)
+      fs.rename(lt, latestFile(name))
+    }
+
+    // GC: keep current + previous data version per touched partition and the
+    // two latest manifests; everything older goes
+    touched.distinct.foreach { p =>
+      next.get(p).foreach { nv =>
+        val pd = partDataDir(name, p, nv).getParent
+        if (fs.exists(pd)) fs.listStatus(pd).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v=") && n.stripPrefix("v=").toLong < nv - 1)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    fs.listStatus(tableDir(name)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_MANIFEST.v=") &&
+          n.stripPrefix("_MANIFEST.v=").toLong < v - 1)
+        fs.delete(st.getPath, false)
+    }
+    v
+  }
 }
