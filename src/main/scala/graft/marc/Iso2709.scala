@@ -9,8 +9,8 @@ import java.nio.charset.StandardCharsets
   * searching for the next frame. Record layout is the public ISO 2709
   * standard: 24-byte leader, directory of 12-byte entries terminated by 0x1E,
   * fields terminated by 0x1E, subfields delimited by 0x1F, record terminated
-  * by 0x1D. Leader pos 9 == 'a' → UTF-8, else Latin-1 (MARC-8 transliteration
-  * is out of scope; the reference delegates it to marc4j).
+  * by 0x1D. Leader pos 9 == 'a' → UTF-8, else MARC-8 via [[Marc8]] (the
+  * reference delegates that transliteration to marc4j's AnselToUnicode).
   */
 object Iso2709 {
 
@@ -48,12 +48,17 @@ object Iso2709 {
     out.result()
   }
 
-  /** Parse one framed ISO 2709 record. */
+  /** Parse one framed ISO 2709 record. Leader pos 9 == 'a' → UTF-8;
+    * otherwise the payload is MARC-8 and goes through the [[Marc8]]
+    * basic/extended-Latin decoder (which passes unsupported ranges through
+    * as Latin-1, preserving the previous permissive fallback).
+    */
   def parseRecord(rec: Array[Byte]): MarcRecord = {
     val leader = new String(rec, 0, 24, StandardCharsets.US_ASCII)
-    val charset =
-      if (leader.length > 9 && leader(9) == 'a') StandardCharsets.UTF_8
-      else StandardCharsets.ISO_8859_1
+    val decode: (Array[Byte], Int, Int) => String =
+      if (leader.length > 9 && leader(9) == 'a')
+        (b, from, until) => new String(b, from, until - from, StandardCharsets.UTF_8)
+      else Marc8.decode
     val baseAddress = leader.substring(12, 17).trim.toIntOption.getOrElse(0)
 
     // directory: 12-byte entries (tag 3, length 4, start 5) until 0x1E
@@ -75,23 +80,23 @@ object Iso2709 {
         // drop the trailing field terminator
         val rawEnd = if (until > from && rec(until - 1) == FieldTerm) until - 1 else until
         val data = java.util.Arrays.copyOfRange(rec, from, rawEnd)
-        Some(parseField(tag, data, charset))
+        Some(parseField(tag, data, decode))
       }
     }
     MarcRecord(Some(leader), fields)
   }
 
   private def parseField(tag: String, data: Array[Byte],
-      charset: java.nio.charset.Charset): MarcField = {
+      decode: (Array[Byte], Int, Int) => String): MarcField = {
     val isControl = tag < "010" && !data.contains(SubfieldDelim.toByte)
-    if (isControl) MarcField(tag, Some(new String(data, charset)), Nil, Nil)
+    if (isControl) MarcField(tag, Some(decode(data, 0, data.length)), Nil, Nil)
     else {
       // first bytes up to the first subfield delimiter are indicators
       val firstDelim = data.indexOf(SubfieldDelim.toByte) match {
         case -1 => data.length
         case i => i
       }
-      val indStr = new String(data, 0, firstDelim, charset)
+      val indStr = decode(data, 0, firstDelim)
       val inds = indStr.zipWithIndex.map { case (c, i) =>
         Indicator(s"ind${i + 1}", c.toString)
       }
@@ -99,10 +104,10 @@ object Iso2709 {
       var p = firstDelim
       while (p < data.length) {
         if (data(p) == SubfieldDelim.toByte && p + 1 < data.length) {
-          val code = new String(data, p + 1, 1, charset)
+          val code = decode(data, p + 1, p + 2)
           var e = p + 2
           while (e < data.length && data(e) != SubfieldDelim.toByte) e += 1
-          sfs += Subfield(code, new String(data, p + 2, e - (p + 2), charset))
+          sfs += Subfield(code, decode(data, p + 2, e))
           p = e
         } else p += 1
       }

@@ -55,6 +55,39 @@ class MarcCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("MARC-8 diacritics decode to the reference XML's Unicode") {
+    // marc3.marc record 3 is a MARC-8 exercise sheet: every ANSEL spacing
+    // character, every combining diacritic (preceding its base 'o'), and
+    // greek-symbol escapes; marc3.xml is the reference's Unicode parallel of
+    // the same records, so full subfield equality proves the MARC-8 mapping
+    val bin = Iso2709.parseAll(bytes("marc3.marc"))
+    val xml = MarcXml.parseCollection(text("marc3.xml"))
+    bin.zip(xml).foreach { case (b, x) =>
+      val bs = b.fields.map(f => (f.tag, f.value, f.subfields))
+      val xs = x.fields.map(f => (f.tag, f.value, f.subfields))
+      bs.zip(xs).foreach { case (bf, xf) => assert(bf == xf) }
+    }
+  }
+
+  test("MARC-8 decoder handles escapes, reordering, and fallback") {
+    import graft.marc.Marc8
+    def d(bs: Int*): String = Marc8.decode(bs.map(_.toByte).toArray)
+    // combining diacritic precedes base in MARC-8, follows it in Unicode
+    assert(d(0xE2, 'e') == "e\u0301")
+    // stacked diacritics keep their order after the base
+    assert(d(0xE2, 0xF0, 'c') == "c\u0301\u0327")
+    // ANSEL spacing characters
+    assert(d(0xB2) == "\u00F8" && d(0xA5) == "\u00C6" && d(0xC8) == "\u20AC")
+    // greek symbol / subscript / superscript escapes, back to ASCII with ESC s
+    assert(d(0x1B, 'g', 'a', 0x1B, 's', 'x') == "\u03B1x")
+    assert(d(0x1B, 'b', '2', 0x1B, 's') == "\u2082")
+    assert(d(0x1B, 'p', '2', 0x1B, 's') == "\u00B2")
+    // unsupported set designation → Latin-1 passthrough, ESC (B restores
+    assert(d(0x1B, '(', 'N', 'a', 0x1B, '(', 'B', 'b') == "ab")
+    // plain ASCII is identity
+    assert(d('h', 'i', '!') == "hi!")
+  }
+
   test("ISO 2709 roundtrips losslessly") {
     val recs = Iso2709.parseAll(bytes("marc3.marc"))
     recs.foreach { r =>
