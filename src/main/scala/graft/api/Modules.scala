@@ -21,13 +21,15 @@ object ModuleInvocation {
   *   - `native`: script names a built-in Scala matcher (the shipped GoldRush
   *     scripts are ported natively — required for codegen throughput at
   *     100 TB; SURVEY.md §2.11)
-  *   - `javascript`: accepted in config for compatibility, but execution
-  *     requires an embedded JS engine (GraalVM polyglot) that this build
-  *     intentionally excludes (zero-egress, no extra deps); resolving it
-  *     fails with a clear error
+  *   - `javascript`: the reference's stock matchkey scripts (recognized by
+  *     their `url`) resolve through an alias table to the golden-verified
+  *     native ports, so reference module configs load unmodified; arbitrary
+  *     user scripts would need an embedded JS engine (GraalVM polyglot)
+  *     that this build intentionally excludes (zero-egress, no extra deps)
+  *     and fail with a clear error
   */
 final case class CodeModule(id: String, mtype: String, script: String,
-    function: Option[String] = None)
+    function: Option[String] = None, url: Option[String] = None)
 
 /** Per-tenant module registry backed by the catalog, with an in-memory
   * resolve cache invalidated by `reload` (ModuleCache.java:14-18,
@@ -37,7 +39,8 @@ final class ModuleRegistry(catalog: Catalog) {
 
   private val schema = StructType(Seq(
     StructField("id", StringType), StructField("mtype", StringType),
-    StructField("script", StringType), StructField("function", StringType)))
+    StructField("script", StringType), StructField("function", StringType),
+    StructField("url", StringType)))
 
   @volatile private var cache = Map.empty[String, String => Seq[String]]
 
@@ -47,15 +50,34 @@ final class ModuleRegistry(catalog: Catalog) {
     val spark = catalog.spark
     val row = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        m.id, m.mtype, m.script, m.function.orNull)), schema)
+        m.id, m.mtype, m.script, m.function.orNull, m.url.orNull)), schema)
     catalog.write("config_modules", rest.unionByName(row))
     reload()
+  }
+
+  /** Register a reference-style CodeModuleEntity JSON verbatim
+    * (`{"id":…, "type":…, "url"|"script":…, "function":…}`,
+    * CodeModuleEntity.java:9-28).
+    */
+  def putJson(json: String): CodeModule = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def str(f: String): Option[String] =
+      Option(node.get(f)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+    val m = CodeModule(
+      str("id").getOrElse(
+        throw new IllegalArgumentException("module config must include 'id'")),
+      str("type").getOrElse(
+        throw new IllegalArgumentException("module config must include 'type'")),
+      str("script").getOrElse(""),
+      str("function"), str("url"))
+    put(m)
+    m
   }
 
   def list(): Seq[CodeModule] =
     catalog.readOr("config_modules", schema).collect().toSeq.map(r =>
       CodeModule(r.getString(0), r.getString(1), r.getString(2),
-        Option(r.getString(3))))
+        Option(r.getString(3)), Option(r.getString(4))))
 
   def get(id: String): Option[CodeModule] = list().find(_.id == id)
 
@@ -98,12 +120,32 @@ final class ModuleRegistry(catalog: Catalog) {
           throw new IllegalArgumentException(s"unknown native matcher: $other")
       }
       case "javascript" =>
-        throw new UnsupportedOperationException(
-          "javascript modules need an embedded JS engine; this build ships " +
-            "native ports of the stock scripts — register type=native " +
-            "(goldrush2024/goldrush2021) or type=jsonpath instead")
+        // the two stock matchkey scripts resolve to their golden-verified
+        // native ports, so the reference's shipped module configs
+        // (js/matchkeys/*/config-matchkeys-*.json) load unmodified
+        val src = m.url.getOrElse(m.script)
+        ModuleRegistry.stockJsAliases.collectFirst {
+          case (marker, f) if src.contains(marker) => f
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"javascript module '$src' is not a recognized stock script and " +
+            "needs an embedded JS engine this build excludes; port it and " +
+            "register type=native, or use type=jsonpath"))
       case other =>
         throw new IllegalArgumentException(s"unknown module type: $other")
     }
   }
+}
+
+object ModuleRegistry {
+  /** javascript→native alias table for the reference's stock matchkey
+    * scripts, keyed by the url path segment that identifies each script
+    * (checked in order — goldrush2024 before the goldrush/2021 variant).
+    */
+  val stockJsAliases: Seq[(String, String => Seq[String])] = Seq(
+    "matchkeys/goldrush2024/" -> (p =>
+      try Seq(GoldRush.matchkeyFromPayload(p))
+      catch { case _: Exception => Nil }),
+    "matchkeys/goldrush/" -> (p =>
+      try Seq(GoldRush2021.matchkeyFromPayload(p))
+      catch { case _: Exception => Nil }))
 }

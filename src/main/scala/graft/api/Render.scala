@@ -65,16 +65,18 @@ object Render {
     } else {
       out.write(s"  <$verb>\n")
       page.items.foreach { item =>
-        out.write("    <record>\n")
-        writeItemHeader(out, item)
         if (verb == "ListRecords") {
+          // ListRecords wraps header+metadata in <record>; ListIdentifiers
+          // carries bare <header> elements (OAI-PMH.xsd)
+          out.write("    <record>\n")
+          writeItemHeader(out, item)
           item.metadataXml.foreach { xml =>
             out.write("      <metadata>")
             out.write(xml)
             out.write("</metadata>\n")
           }
-        }
-        out.write("    </record>\n")
+          out.write("    </record>\n")
+        } else writeItemHeader(out, item)
       }
       page.resumptionToken.foreach(t =>
         out.write(s"    <resumptionToken>${xmlEsc(t)}</resumptionToken>\n"))

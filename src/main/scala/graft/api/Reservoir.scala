@@ -476,37 +476,9 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
 
     val hasMore = page.length > limit
     val pageIds = page.take(limit).map(_.getString(0)).toSeq
-    val docs =
-      if (pageIds.isEmpty) Map.empty[String, (Seq[String], Seq[MarcUtil.ClusterRecordDoc])]
-      else {
-        val sel = pageClusterDocs(pool, pageIds).collect()
-        sel.map { r =>
-          val cid = r.getString(0)
-          val mvs = r.getSeq[String](2)
-          val recs = r.getSeq[org.apache.spark.sql.Row](3).map { rr =>
-            val payload = Option(rr.getString(4))
-            val marc = payload.flatMap { p =>
-              try {
-                val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p)
-                Option(node.get("marc")).map(MarcJson.fromNode)
-              } catch { case _: Exception => None }
-            }
-            MarcUtil.ClusterRecordDoc(rr.getString(2), rr.getString(0),
-              rr.getInt(1), marc.getOrElse(graft.marc.MarcRecord(None, Nil)))
-          }
-          cid -> (mvs, recs)
-        }.toMap
-      }
-
-    val items = page.take(limit).map { r =>
-      val cid = r.getString(0)
-      val ds = r.getTimestamp(1)
-      val (mvs, recs) = docs.getOrElse(cid, (Nil, Nil))
-      val meta =
-        if (!withMetadata || recs.isEmpty) None
-        else MarcUtil.defaultClusterMarc(cid, mvs, recs).map(MarcXml.toXml)
-      OaiItem(cid, ds, deleted = recs.isEmpty, metadataXml = meta)
-    }.toSeq
+    val docs = clusterDocMap(pool, pageIds)
+    val items = page.take(limit).map(r =>
+      mkOaiItem(r.getString(0), r.getTimestamp(1), docs, withMetadata)).toSeq
 
     val nextToken =
       if (!hasMore) None
@@ -518,4 +490,45 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
       }
     OaiPage(items, nextToken)
   }
+
+  /** collect the cluster documents of the given (page-bounded) ids */
+  private def clusterDocMap(pool: String, ids: Seq[String])
+      : Map[String, (Seq[String], Seq[MarcUtil.ClusterRecordDoc])] =
+    if (ids.isEmpty) Map.empty
+    else pageClusterDocs(pool, ids).collect().map { r =>
+      val cid = r.getString(0)
+      val mvs = r.getSeq[String](2)
+      val recs = r.getSeq[org.apache.spark.sql.Row](3).map { rr =>
+        val payload = Option(rr.getString(4))
+        val marc = payload.flatMap { p =>
+          try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p)
+            Option(node.get("marc")).map(MarcJson.fromNode)
+          } catch { case _: Exception => None }
+        }
+        MarcUtil.ClusterRecordDoc(rr.getString(2), rr.getString(0),
+          rr.getInt(1), marc.getOrElse(graft.marc.MarcRecord(None, Nil)))
+      }
+      cid -> (mvs, recs)
+    }.toMap
+
+  private def mkOaiItem(cid: String, ds: Timestamp,
+      docs: Map[String, (Seq[String], Seq[MarcUtil.ClusterRecordDoc])],
+      withMetadata: Boolean): OaiItem = {
+    val (mvs, recs) = docs.getOrElse(cid, (Nil, Nil))
+    val meta =
+      if (!withMetadata || recs.isEmpty) None
+      else MarcUtil.defaultClusterMarc(cid, mvs, recs).map(MarcXml.toXml)
+    OaiItem(cid, ds, deleted = recs.isEmpty, metadataXml = meta)
+  }
+
+  /** One cluster as an OAI record (the GetRecord verb): None when the pool
+    * has no such cluster (OaiService.java:352-386).
+    */
+  def getOaiRecord(pool: String, clusterId: String): Option[OaiItem] =
+    loadState(pool).meta.filter(col("clusterId") === clusterId)
+      .collect().headOption.map { r =>
+        mkOaiItem(clusterId, r.getTimestamp(1),
+          clusterDocMap(pool, Seq(clusterId)), withMetadata = true)
+      }
 }

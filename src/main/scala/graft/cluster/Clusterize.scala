@@ -25,13 +25,31 @@ import org.apache.spark.sql.functions._
   * Scale design: batch work is proportional to (batch edges + touched
   * clusters), not table size — the probe into `values` is an equi-join on
   * `value` (bucket the values table by value for a co-located probe), and the
-  * fixpoint loop runs on the batch's local graph only. Label propagation uses
-  * localCheckpoint each round to cut lineage (swap for checkpoint(dir) on a
-  * real cluster).
+  * fixpoint loop runs on the batch's local graph only. Label propagation cuts
+  * lineage each round — localCheckpoint by default, reliable checkpoint(dir)
+  * when `spark.graft.checkpointDir` is set (required on a real cluster).
   */
 object Clusterize {
 
   val MatchValueMaxLength = 600
+
+  /** Cut lineage between CC rounds. Default is `localCheckpoint` (executor
+    * blocks — fine in local mode and fastest); setting the Spark conf
+    * `spark.graft.checkpointDir` switches to reliable `checkpoint` into that
+    * directory, which a real cluster needs: with localCheckpoint, losing one
+    * executor discards blocks the loop can no longer recompute (lineage was
+    * cut), killing the job.
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+  }
 
   /** Connected components over a bipartite (id, key) edge set by alternating
     * min-label propagation with pointer jumping: each round also treats the
@@ -44,10 +62,9 @@ object Clusterize {
   def connectedComponents(edges: DataFrame): DataFrame = {
     require(edges.columns.toSeq == Seq("id", "key"),
       s"expected (id, key) edges, got ${edges.columns.mkString(",")}")
-    val e = edges.distinct().localCheckpoint(true)
-    var labels = e.select(col("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val e = cut(edges.distinct())
+    var labels = cut(e.select(col("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var round = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -66,11 +83,10 @@ object Clusterize {
       // ids, so label(label(x)) halves the distance to the component min
       // each round → O(log diameter) convergence on chain-shaped components
       val parents = hop.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = hop.as("a")
+      val next = cut(hop.as("a")
         .join(parents, col("a.label") === col("lid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label")))
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
       labels = next

@@ -146,6 +146,19 @@ class ClusterizeSpec extends AnyFunSuite {
     assert(elapsed < 120, f"chain clustering took $elapsed%.1f s")
   }
 
+  test("CC converges with reliable checkpointing enabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val rows = (0 until 50).map(i => f"r$i%03d" -> Seq(s"k$i", s"k${i + 1}"))
+      val s = Clusterize.initialize(batch(rows: _*), "k", t("2024-01-01 00:00:00"))
+      assert(assignMap(s).values.toSet.size == 1, "one chained component")
+      // reliable checkpoint files actually got written
+      val fs = new java.io.File(dir)
+      assert(fs.listFiles != null && fs.listFiles.nonEmpty, "checkpoint dir used")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("stats histogram reflects cluster sizes with samples") {
     val s = Clusterize.initialize(
       batch("r1" -> Seq("a"), "r2" -> Seq("a"), "r3" -> Seq("b")),

@@ -60,6 +60,41 @@ class RenderModulesSpec extends AnyFunSuite {
     assert(r.clusters("viamod").count() == 1)
   }
 
+  test("the reference's stock javascript module configs load verbatim") {
+    import java.nio.file.{Files, Paths}
+    val r = freshReservoir()
+    // the exact shipped config JSONs (js/matchkeys/*/config-matchkeys-*.json)
+    val cfg2024 = Files.readString(Paths.get(
+      "/root/reference/js/matchkeys/goldrush2024/config-matchkeys-goldrush2024.json"))
+    val cfg2021 = Files.readString(Paths.get(
+      "/root/reference/js/matchkeys/goldrush/config-matchkeys-goldrush.json"))
+    val m1 = r.modules.putJson(cfg2024)
+    val m2 = r.modules.putJson(cfg2021)
+    assert(m1.id == "goldrush2024-matcher" && m1.mtype == "javascript")
+    assert(m2.id == "goldrush-matcher")
+
+    val payload =
+      """{"marc":{"leader":"01010ccm a2200289   4500","fields":[
+        |{"001":"a1"},{"245":{"ind1":"0","ind2":"0","subfields":[{"a":"Symphony, op. 38"}]}},
+        |{"260":{"ind1":" ","ind2":" ","subfields":[{"b":"Lehman,"},{"c":"1967"}]}}]}}"""
+        .stripMargin.replace("\n", "")
+    // both resolve through the javascript→native alias table to the
+    // golden-verified ports
+    val k2024 = r.modules.resolveMatcher("goldrush2024-matcher")(payload)
+    val k2021 = r.modules.resolveMatcher("goldrush-matcher")(payload)
+    assert(k2024.length == 1 && k2024.head.nonEmpty)
+    assert(k2021.length == 1 && k2021.head.nonEmpty)
+    assert(k2024 == Seq(graft.functions.GoldRush.matchkeyFromPayload(payload)))
+    assert(k2021 == Seq(graft.functions.GoldRush2021.matchkeyFromPayload(payload)))
+
+    // an unrecognized user script still fails with guidance
+    r.modules.putJson("""{"id":"custom","type":"javascript",
+      "url":"https://example.com/my-matcher.mjs"}""")
+    assertThrows[UnsupportedOperationException] {
+      r.modules.resolveMatcher("custom")
+    }
+  }
+
   test("items JSON envelope matches the reference's list shape") {
     val r = freshReservoir()
     r.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
@@ -98,6 +133,66 @@ class RenderModulesSpec extends AnyFunSuite {
     val w4 = new StringWriter()
     Render.oaiGetRecord(None, "http://localhost/oai", w4)
     validate(w4.toString)
+  }
+
+  test("OAI verb dispatcher routes all four verbs and error paths, XSD-valid") {
+    import graft.api.OaiEndpoint
+    import graft.oai.OaiIdentifier
+    val r = freshReservoir()
+    r.putOaiConfig("graft repo", "http://localhost/oai")
+    r.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
+    r.ingest(batch(r, "A" -> Seq("1"), "B" -> Seq("2")))
+    def call(params: (String, String)*): String = {
+      val w = new StringWriter()
+      OaiEndpoint.handle(r, params.toMap, w)
+      w.toString
+    }
+    // the four verbs
+    val identify = call("verb" -> "Identify")
+    validate(identify)
+    assert(identify.contains("<repositoryName>graft repo</repositoryName>"))
+    val list = call("verb" -> "ListRecords", "set" -> "issn",
+      "metadataPrefix" -> "marcxml")
+    validate(list)
+    assert(list.contains("<ListRecords>") && list.contains("<metadata>"))
+    val idents = call("verb" -> "ListIdentifiers", "set" -> "issn")
+    validate(idents)
+    assert(idents.contains("<ListIdentifiers>") && !idents.contains("<metadata>"))
+    val cid = r.clusters("issn").select("clusterId").collect().head.getString(0)
+    val got = call("verb" -> "GetRecord",
+      "identifier" -> OaiIdentifier.encode(cid))
+    validate(got)
+    assert(got.contains("<GetRecord>") && got.contains(cid))
+    // resumption-token continuation through the dispatcher
+    val p1 = r.listRecords("issn", limit = 1)
+    val cont = call("verb" -> "ListRecords",
+      "resumptionToken" -> p1.resumptionToken.get)
+    validate(cont)
+    assert(cont.contains("<ListRecords>"))
+    // error paths
+    val badVerb = call("verb" -> "Frobnicate")
+    validate(badVerb)
+    assert(badVerb.contains("""<error code="badVerb">"""))
+    val noVerb = call()
+    validate(noVerb)
+    assert(noVerb.contains("""<error code="badVerb">"""))
+    val badArg = call("verb" -> "GetRecord")
+    validate(badArg)
+    assert(badArg.contains("""<error code="badArgument">"""))
+    val noSet = call("verb" -> "ListRecords", "set" -> "nope")
+    validate(noSet)
+    assert(noSet.contains("""<error code="badArgument">"""))
+    val missing = call("verb" -> "GetRecord", "identifier" ->
+      OaiIdentifier.encode("00000000-0000-0000-0000-000000000000"))
+    validate(missing)
+    assert(missing.contains("""<error code="idDoesNotExist">"""))
+    val badFmt = call("verb" -> "ListRecords", "set" -> "issn",
+      "metadataPrefix" -> "oai_dc")
+    validate(badFmt)
+    assert(badFmt.contains("""<error code="cannotDisseminateFormat">"""))
+    val badTok = call("verb" -> "ListRecords", "resumptionToken" -> "%%%")
+    validate(badTok)
+    assert(badTok.contains("""<error code="badResumptionToken">"""))
   }
 
   test("deleted clusters serialize with status=deleted and no metadata") {
