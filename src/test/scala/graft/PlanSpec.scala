@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make the headline
+  * queries scale — predicate pushdown reaching the parquet scan, minimal
+  * read schemas, broadcast joins for dimensions, partial (map-side)
+  * aggregation, no cartesian products, and bounded top-k instead of global
+  * windows — asserted on the real sf0.001 tables so a plan regression fails
+  * CI even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Executed plan with AQE off: AdaptiveSparkPlanExec defers codegen and
+    * join planning until runtime, which hides the static plan shape these
+    * guards pin (the properties themselves hold either way).
+    */
+  private def plan(name: String): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q02 filter is pushed into the parquet scan with a pruned schema") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "filters must reach the scan")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1).count(_ == ',') + 1).toSeq
+    assert(scanCols.nonEmpty, p)
+    scanCols.foreach(n => assert(n <= 8, s"scan reads $n columns"))
+  }
+
+  test("q03 joins dimension tables by broadcast, aggregates partially") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregates partially before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q25 minhash-LSH plan has no cartesian product") {
+    val p = plan("q25_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q27 ranks with a bounded aggregate, not a global window") {
+    val p = plan("q27_cosine_topk")
+    assert(!p.contains("Window"), "row_number window would shuffle all scored rows")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded top-k aggregate expected:\n" + p)
+  }
+
+  test("q36 IVF plan is cartesian-free with no window") {
+    val p = plan("q36_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q34 sessionize keeps whole-stage codegen around the windows") {
+    // executedPlan.toString marks WholeStageCodegen stages with "*(n)"
+    val p = plan("q34_sessionize")
+    assert(p.contains("*("), p)
+  }
+}
