@@ -103,6 +103,39 @@ object StreamingIngest {
       }
   }
 
+  final case class UserEvent(userId: Long, eventId: Long, ts: Timestamp)
+
+  final case class SessionAssign(userId: Long, eventId: Long, sessionId: Long)
+
+  /** Streaming gap-based sessionization — the stateful twin of the batch
+    * q34 operator: per-user state keeps (last event time, session counter),
+    * and an event arriving more than `gapSeconds` after the previous one
+    * opens a new session. State is sharded by userId in Spark's state store,
+    * so throughput scales with executors; within a micro-batch events are
+    * ordered by (ts, eventId), matching the batch window's ordering, and the
+    * counter continues seamlessly across micro-batches.
+    */
+  def streamingSessionize(events: Dataset[UserEvent],
+      gapSeconds: Long = 1800): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[(Long, Long), SessionAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[(Long, Long)]) =>
+          var (lastMillis, session) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).map { e =>
+            val millis = e.ts.getTime
+            if (lastMillis == Long.MinValue || millis - lastMillis > gapSeconds * 1000L)
+              session += 1
+            lastMillis = millis
+            SessionAssign(userId, e.eventId, session)
+          }
+          state.update((lastMillis, session))
+          out.iterator
+      }
+  }
+
   /** run a streaming frame to a named in-memory sink until drained (local
     * verification path; on a cluster this would be writeStream to the
     * catalog with checkpointLocation)

@@ -75,6 +75,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization continues sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SessionAssign, UserEvent}
+    def ev(id: Long, sec: Long) =
+      UserEvent(1L, id, new Timestamp(1700000000000L + sec * 1000))
+    val input = MemoryStream[UserEvent](spark)
+    val out = StreamingIngest.streamingSessionize(input.toDS(), gapSeconds = 1800)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: two close events, then a >30min gap
+      input.addData(ev(1, 0), ev(2, 100), ev(3, 2000))
+      q.processAllAvailable()
+      // batch 2: continues session 2, then a fresh gap opens session 3
+      input.addData(ev(4, 2100), ev(5, 4500))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").as[SessionAssign]
+        .collect().sortBy(_.eventId)
+      assert(rows.map(r => r.eventId -> r.sessionId).toSeq ==
+        Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L),
+        "gap-based sessions must survive the micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
