@@ -232,6 +232,27 @@ object TextDedupQueries {
              |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- banded SimHash near-dup pairs (pigeonhole blocking, exact recall)
+    Q("q37_simhash_pairs",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(range(0,16), b ->
+             |    CASE WHEN list_sum(list_transform(t, w ->
+             |      CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), CAST(b//4 AS INT)+1, 1))-1)
+             |                 // ([8,4,2,1])[CAST(b%4 AS INT)+1]) % 2 = 1
+             |      THEN 1 ELSE -1 END)) > 0 THEN 2**b ELSE 0 END)) AS INTEGER) AS simhash
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents))
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  a.simhash AS simhash1, b.simhash AS simhash2,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ---- brute-force cosine top-k (exact ANN baseline)
     Q("q27_cosine_topk",
       (s, d) => {
