@@ -80,6 +80,24 @@ object PipelineQueries {
              |  FROM scored) WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- LSH-bucketed embedding near-dup pairs (the 100 TB scale path:
+    // bucket equi-join, never all-pairs; q35 below is the exact baseline)
+    Q("q38_embedding_dupes_lsh",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.nearDupPairsLsh(t.embeddings, "vec_id", "embedding",
+            threshold = 0.42, nPlanes = 24, dim = 64, bitsPerTable = 6)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bk AS (SELECT vec_id, v, unnest(${Similarity.lshBucketsSql(24, 64, 6)}) AS bucket FROM e),
+              |cand AS (SELECT DISTINCT a.vec_id AS id1, a.v AS v1, b.vec_id AS id2, b.v AS v2
+              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT id1, id2 FROM cand
+              |WHERE list_dot_product(v1, v2)
+              |  / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42
+              |ORDER BY id1, id2""".stripMargin)),
+
     // ---- embedding-cosine near-duplicate pairs (threshold chosen with a
     // >1e-3 margin to the nearest cosine so float noise can't flip a pair)
     Q("q35_embedding_dupes",

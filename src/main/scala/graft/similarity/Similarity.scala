@@ -136,6 +136,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** DuckDB SQL fragment replicating [[lshBuckets]] for a DOUBLE[] column
+    * named `v` — generated from the same deterministic hyperplanes so a SQL
+    * oracle can reproduce the bucketing bit-for-bit.
+    */
+  def lshBucketsSql(nPlanes: Int, dim: Int, bitsPerTable: Int): String = {
+    val bitExprs = planes(nPlanes, dim).map { p =>
+      val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END"
+    }
+    bitExprs.grouped(bitsPerTable).toSeq.zipWithIndex.map {
+      case (tb, t) => s"'$t:' || " + tb.mkString(" || ")
+    }.mkString("[", ",\n", "]")
+  }
+
+  /** Embedding near-duplicate pairs at scale: candidates come from shared
+    * LSH buckets (equi-join keyed by bucket — the corpus is never
+    * cross-joined), then exact cosine ≥ threshold verifies. Same frame as
+    * MinHash-LSH text dedup; recall follows the LSH table parameters (the
+    * all-pairs formulation stays available as the exact baseline).
+    */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 24, dim: Int = 64,
+      bitsPerTable: Int = 6): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        explode(lshBuckets(asDouble(col(vecCol)), nPlanes, dim, bitsPerTable))
+          .as("bk"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("a.v").as("v1"),
+        col("b.id").as("id2"), col("b.v").as("v2"))
+      .distinct()
+    cand.withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: candidates = corpus rows
     * sharing any bucket with the query, then exact cosine rank within
     * candidates. May return fewer than k per query (approximate recall) —
