@@ -164,7 +164,12 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
       dirty: Seq[String]): Unit = {
     catalog.overwritePartitions(table,
       df.withColumn("_bucket", bucketOf(col("clusterId")))
-        .filter(col("_bucket").isin(dirty: _*)),
+        .filter(col("_bucket").isin(dirty: _*))
+        // one file per bucket, rows sorted by clusterId: parquet min/max
+        // stats then row-group-skip the clusterId IN probes of the O(page)
+        // OAI export (and avoid small-file sprawl from many write tasks)
+        .repartition(col("_bucket"))
+        .sortWithinPartitions(col("_bucket"), col("clusterId")),
       "_bucket", dirty)
     ()
   }

@@ -74,16 +74,43 @@ object Dedup {
     }
   }
 
-  /** k min-hashes over a shingle set (identical to minhashSignature) */
-  def minhashOf(shingles: Seq[String], k: Int): Seq[String] =
+  /** k min-hashes over a shingle set (identical to minhashSignature).
+    * Byte-identical to min(md5Hex(s + ":" + w)) but allocation-lean: shingle
+    * UTF-8 bytes are encoded once, the digest consumes prefix and shingle
+    * separately (UTF-8 concatenation is byte concatenation), candidates
+    * compare as unsigned byte arrays (hex is order-preserving), and only
+    * each seed's winner is hex-encoded.
+    */
+  def minhashOf(shingles: Seq[String], k: Int): Seq[String] = {
+    val shingleBytes = shingles.map(_.getBytes("UTF-8")).toArray
+    val d = md5tl.get()
     (0 until k).map { s =>
-      var min: String = null
-      shingles.foreach { w =>
-        val h = md5Hex(s.toString + ":" + w)
-        if (min == null || h < min) min = h
+      val prefix = (s.toString + ":").getBytes("UTF-8")
+      var min: Array[Byte] = null
+      var i = 0
+      while (i < shingleBytes.length) {
+        d.reset()
+        d.update(prefix)
+        d.update(shingleBytes(i))
+        val h = d.digest()
+        if (min == null || java.util.Arrays.compareUnsigned(h, min) < 0) min = h
+        i += 1
       }
-      min
+      if (min == null) null else hexOf(min)
     }
+  }
+
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = hexChars(v >>> 4)
+      out(i * 2 + 1) = hexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** banded hashes of a signature (identical to lshBandHashes) */
   def bandHashesOf(sig: Seq[String], bands: Int, rows: Int): Seq[String] =
