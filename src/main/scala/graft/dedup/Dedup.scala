@@ -157,6 +157,14 @@ object Dedup {
   /** Full MinHash-LSH near-duplicate pipeline over (id, text):
     * shingle → sign → band → bucket-join → Jaccard-verify ≥ threshold.
     * Returns (id1, id2, jaccard) with id1 < id2.
+    *
+    * `maxBucketSize` guards the 100 TB skew case: a corpus with a large
+    * exact-duplicate group puts every member in the same band buckets, and
+    * the self-join then emits |group|² candidate pairs per band. Buckets
+    * above the cap are dropped before the join (standard practice in
+    * large-scale dedup; run exact dedup first so identical documents never
+    * reach this stage, then the cap only skips degenerate buckets). The
+    * default is uncapped — exact recall.
     */
   def nearDuplicatesMinhashLsh(
       df: DataFrame,
@@ -165,13 +173,23 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
         shingleUdf(shingleLen)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = docs.select(col("doc_id"),
       explode(bandUdf(numHashes, bands)(col("sh"))).as("bhash"))
-    val candidates = banded.as("x").join(banded.as("y"),
+    val gated =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        // per-bucket counts share the self-join's bhash partitioning, so
+        // this adds no extra exchange of the banded frame
+        val ok = banded.groupBy("bhash").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize).select("bhash")
+        banded.join(ok, "bhash")
+      }
+    val candidates = gated.as("x").join(gated.as("y"),
         col("x.bhash") === col("y.bhash")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))

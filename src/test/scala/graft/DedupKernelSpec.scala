@@ -70,6 +70,26 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap drops degenerate buckets but keeps normal pairs") {
+    import spark.implicits._
+    // 40 identical docs (a degenerate bucket) + one genuine near-dup pair
+    val clone = "the quick brown fox jumps over the lazy dog again and again"
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val rows = (0 until 40).map(i => (i.toLong, clone)) ++
+      Seq((100L, near1), (101L, near2))
+    val df = rows.toDF("id", "text")
+    val uncapped = Dedup.nearDuplicatesMinhashLsh(df, "id", "text",
+      3, 16, 4, 0.5)
+    assert(uncapped.count() >= 40 * 39 / 2, "clone group emits all its pairs")
+    val capped = Dedup.nearDuplicatesMinhashLsh(df, "id", "text",
+      3, 16, 4, 0.5, maxBucketSize = 10)
+    val got = capped.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      "cap drops the degenerate clone buckets, keeps the near-dup pair")
+  }
+
   test("banded simhashPairs == all-pairs formulation, with no cartesian join") {
     import spark.implicits._
     val texts = sample(80)
