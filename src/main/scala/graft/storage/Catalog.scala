@@ -76,8 +76,7 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   // complete data dirs; the previous manifest and its dirs are retained for
   // in-flight readers).
 
-  private def enc(part: String): String =
-    java.net.URLEncoder.encode(part, "UTF-8")
+  private def enc(part: String): String = Catalog.encodePart(part)
 
   private def manifestFile(name: String, v: Long) =
     new Path(tableDir(name), s"_MANIFEST.v=$v")
@@ -125,15 +124,19 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     val staging = new Path(tableDir(name),
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     // duplicate the partition column: partitionBy consumes `_p`, keeping
-    // partCol itself inside the data files
-    df.withColumn("_p", org.apache.spark.sql.functions.col(partCol))
+    // partCol itself inside the data files. The value is URL-encoded first
+    // so staging dir names stay ASCII regardless of the JVM's filesystem
+    // encoding (non-ASCII partition values are otherwise unwritable on a
+    // POSIX-locale driver).
+    val encUdf = org.apache.spark.sql.functions.udf(Catalog.encodePart _)
+    df.withColumn("_p", encUdf(org.apache.spark.sql.functions.col(partCol)))
       .write.partitionBy("_p").mode("overwrite").parquet(staging.toString)
 
     var next = mf
     touched.distinct.foreach { p =>
       val stagedDir = new Path(staging,
         "_p=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(p))
+          .escapePathName(enc(p)))
       if (fs.exists(stagedDir)) {
         val nv = mf.getOrElse(p, 0L) + 1
         val dest = partDataDir(name, p, nv)
@@ -181,4 +184,41 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     }
     v
   }
+
+  // (companion at end of file holds the serializable partition-value codec)
+
+  /** Remove partition data dirs no longer referenced by the current
+    * manifest (emptied partitions keep their last data dir on disk until
+    * vacuumed — in-flight readers of the previous snapshot may still need
+    * it, so run this only once those readers are done).
+    */
+  def vacuumPartitions(name: String): Int = {
+    val mf = partitionManifest(name)
+    val partsRoot = new Path(tableDir(name), "parts")
+    if (!fs.exists(partsRoot)) return 0
+    var removed = 0
+    fs.listStatus(partsRoot).foreach { pd =>
+      val part = java.net.URLDecoder.decode(pd.getPath.getName, "UTF-8")
+      mf.get(part) match {
+        case None =>
+          fs.delete(pd.getPath, true); removed += 1
+        case Some(ver) =>
+          fs.listStatus(pd.getPath).foreach { vd =>
+            val n = vd.getPath.getName
+            if (n.startsWith("v=") && n.stripPrefix("v=").toLong < ver - 1) {
+              fs.delete(vd.getPath, true); removed += 1
+            }
+          }
+      }
+    }
+    removed
+  }
+}
+
+object Catalog {
+  /** URL-encode a partition value for use as a directory name (kept in the
+    * companion so the staging write's UDF closure stays serializable).
+    */
+  private[storage] def encodePart(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
 }
