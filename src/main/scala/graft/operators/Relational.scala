@@ -133,16 +133,20 @@ object Relational {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
-    // ---- A2: DISTINCT ON first-row-per-group (Storage.java:1234)
+    // ---- A2: DISTINCT ON first-row-per-group (Storage.java:1234).
+    // min_by with a struct ordering key instead of a row_number window: the
+    // aggregate gets map-side partial aggregation, so each input partition
+    // contributes one candidate row per group to the exchange — a window
+    // would shuffle and sort every input row
     Q("q06_first_per_group",
       (s, d) => {
         val t = Tables(s, d)
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
         t.orders
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .groupBy(col("o_custkey"))
+          .agg(min_by(struct(col("o_orderkey"), col("o_orderdate")),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("first"))
+          .select(col("o_custkey"), col("first.o_orderkey"),
+            col("first.o_orderdate"))
           .orderBy(col("o_custkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
@@ -152,15 +156,16 @@ object Relational {
              |ORDER BY o_custkey""".stripMargin)),
 
     // ---- A7/W1: latest-version-per-source dedup (ClusterBuilder.java:72-96)
+    // — max_by aggregate for the same partial-aggregation reason as q06
     Q("q07_latest_per_key",
       (s, d) => {
         val t = Tables(s, d)
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
         t.events
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(max_by(struct(col("event_id"), col("event_type")),
+            struct(col("ts"), col("event_id"))).as("latest"))
+          .select(col("user_id"), col("latest.event_id"),
+            col("latest.event_type"))
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id, event_id, event_type FROM (

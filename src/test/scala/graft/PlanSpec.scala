@@ -75,6 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q06/q07 first/latest-per-key aggregate partially, with no window") {
+    for (q <- Seq("q06_first_per_group", "q07_latest_per_key")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not use a window:\n$p")
+      assert(p.contains("partial_"), s"$q should aggregate map-side:\n$p")
+    }
+  }
+
   test("q34 sessionize keeps whole-stage codegen around the windows") {
     // executedPlan.toString marks WholeStageCodegen stages with "*(n)"
     val p = plan("q34_sessionize")
