@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *     (MainVerticleTest.java:1679-1758).
   *
   * Scale design: batch work is proportional to (batch edges + touched
-  * clusters), not table size — the probe into `values` is an equi-join on
-  * `value` (bucket the values table by value for a co-located probe), and the
+  * clusters), not table size — the probe into `values` broadcasts the small
+  * batch side over a scan of the values table (no shuffle), and the
   * fixpoint loop runs on the batch's local graph only. Label propagation cuts
   * lineage each round — localCheckpoint by default, reliable checkpoint(dir)
   * when `spark.graft.checkpointDir` is set (required on a real cluster).

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** payload row of the q12 bounded top-k (price desc, okey, lnum tie-break) */
+final case class TopPricedLine(price: Double, okey: Long, lnum: Int)
+
 /** SURVEY.md §2 relational operator inventory (joins J1-J6, aggregations
   * A1-A7, windows W1-W3, sorts/limits O1-O4, set ops U1-U4, upsert S11)
   * expressed as Spark plans over the driver's synthetic tables, each with a
@@ -230,13 +233,19 @@ object Relational {
     Q("q12_topk_per_group",
       (s, d) => {
         val t = Tables(s, d)
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        // bounded top-k aggregate, not a window: a row_number window would
+        // shuffle the whole table into one partition per returnflag; the
+        // aggregate's partials cap the exchange at 3 rows/group/partition
+        val tk = udaf(new BoundedTopKAgg[TopPricedLine](3,
+          Ordering.by((r: TopPricedLine) => (-r.price, r.okey, r.lnum))))
         t.lineitem
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
-            col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents"))
+          .groupBy(col("l_returnflag"))
+          .agg(tk(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.okey").as("l_orderkey"), col("col.lnum").as("l_linenumber"),
+            cents(col("col.price")).as("price_cents"))
           .orderBy(col("l_returnflag"), col("rn"))
       },
       Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber, price_cents FROM (

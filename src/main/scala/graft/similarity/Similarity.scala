@@ -27,7 +27,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Rank a scored candidate frame (query_id, neighbor_id, cos) down to the
-    * top k per query with the bounded [[TopKAgg]] aggregate: map-side
+    * top k per query with the bounded [[graft.operators.BoundedTopKAgg]]: map-side
     * partials keep ≤ k rows per (partition, query), so the exchange carries
     * O(|Q| × k) partial buffers — never the full scored set, which a
     * row_number window would shuffle wholesale. Ids must be integral
@@ -35,7 +35,7 @@ object Similarity {
     * to `row_number() OVER (ORDER BY cos DESC, neighbor_id)`.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val tk = udaf(new TopKAgg(k))
+    val tk = udaf(new graft.operators.BoundedTopKAgg[Scored](k, Scored.ordering))
     scored
       .select(col("query_id"), col("cos"), col("neighbor_id").cast("long").as("nid"))
       .groupBy("query_id")

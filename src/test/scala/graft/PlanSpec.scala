@@ -75,8 +75,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("q06/q07 first/latest-per-key aggregate partially, with no window") {
-    for (q <- Seq("q06_first_per_group", "q07_latest_per_key")) {
+  test("q06/q07/q12 per-key rankings aggregate partially, with no window") {
+    for (q <- Seq("q06_first_per_group", "q07_latest_per_key",
+        "q12_topk_per_group")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q should not use a window:\n$p")
       assert(p.contains("partial_"), s"$q should aggregate map-side:\n$p")
