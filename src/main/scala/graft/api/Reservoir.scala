@@ -449,6 +449,17 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
 
   def stats(pool: String): DataFrame = Clusterize.stats(loadState(pool))
 
+  /** Reclaim partition data dirs superseded beyond the retained snapshot or
+    * left behind by emptied partitions, across the record store and every
+    * pool's tables. Run when no long-lived readers hold older snapshots.
+    */
+  def vacuum(): Int = {
+    val tables = "records" +: matchKeyConfigs().flatMap(c =>
+      Seq(s"pool_${c.id}_meta", s"pool_${c.id}_assignments",
+        s"pool_${c.id}_values"))
+    tables.map(catalog.vacuumPartitions).sum
+  }
+
   // ---------------- OAI export ----------------
 
   /** ListRecords/ListIdentifiers page (W3 keyset pagination,

@@ -205,6 +205,18 @@ class ReservoirSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum reclaims superseded partition versions; data stays readable") {
+    val r = freshReservoir()
+    r.ingest(batchDf(rec("S1", "SRC", 1, Seq("a"))))
+    r.ingest(batchDf(rec("S1", "SRC", 2, Seq("a"))))
+    r.ingest(batchDf(rec("S1", "SRC", 3, Seq("a"))))
+    r.vacuum()
+    assert(r.records().count() == 3)
+    assert(r.clusters("issn").count() == 1)
+    // idempotent once clean
+    assert(r.vacuum() == 0)
+  }
+
   test("goldrush matcher pools cluster by the computed key") {
     val r = freshReservoir()
     r.putMatchKeyConfig(MatchKeyConfig("gr", "goldrush"))
