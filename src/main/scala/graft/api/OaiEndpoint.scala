@@ -43,9 +43,18 @@ object OaiEndpoint {
             .getOrElse(throw OaiException("badArgument", "missing set"))
           if (!res.matchKeyConfigs().exists(_.id == set))
             throw OaiException("badArgument", s"set \"$set\" not found")
-          val page = res.listRecords(set, from = params.get("from"),
-            until = params.get("until"), resumptionToken = token,
-            withMetadata = verb == "ListRecords")
+          val page =
+            try res.listRecords(set, from = params.get("from"),
+              until = params.get("until"), resumptionToken = token,
+              withMetadata = verb == "ListRecords")
+            catch {
+              // malformed from/until datestamps (Util.parseFrom →
+              // OaiException.badArgument in the reference)
+              case e: java.time.format.DateTimeParseException =>
+                throw OaiException("badArgument", e.getMessage)
+              case e: IllegalArgumentException =>
+                throw OaiException("badArgument", e.getMessage)
+            }
           Render.oaiList(page, verb, baseUrl, set, out)
 
         case "GetRecord" =>

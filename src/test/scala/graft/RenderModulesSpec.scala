@@ -193,6 +193,10 @@ class RenderModulesSpec extends AnyFunSuite {
     val badTok = call("verb" -> "ListRecords", "resumptionToken" -> "%%%")
     validate(badTok)
     assert(badTok.contains("""<error code="badResumptionToken">"""))
+    val badDate = call("verb" -> "ListRecords", "set" -> "issn",
+      "from" -> "not-a-date")
+    validate(badDate)
+    assert(badDate.contains("""<error code="badArgument">"""))
   }
 
   test("deleted clusters serialize with status=deleted and no metadata") {
