@@ -77,24 +77,42 @@ object Clusterize {
       val idMin = e.join(keyMin, "key")
         .groupBy("id").agg(min("klabel").as("nlabel"))
       val hop = labels.join(idMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // hop 2: pointer doubling — follow the label chain (labels are node
       // ids, so label(label(x)) halves the distance to the component min
-      // each round → O(log diameter) convergence on chain-shaped components
+      // each round → O(log diameter) convergence on chain-shaped components.
+      // The pre-round label rides along as `prev`, so the convergence check
+      // below is a scan over the checkpointed frame — no join, no shuffle.
       val parents = hop.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = cut(hop.as("a")
+      val withPrev = cut(hop.as("a")
         .join(parents, col("a.label") === col("lid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a.prev").as("prev"),
           least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label")))
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = next
+      val changed = withPrev
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels = withPrev.select(col("id"), col("label"))
       converged = changed == 0
       if (debug) println(f"[cc] round=$round changed=$changed " +
         f"elapsed=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** The value probe, shaped so the big `values` table is never shuffled: a
+    * LEFT join against `values` directly could only broadcast the values side
+    * (LeftOuter builds right), so the planner would sort-merge BOTH sides at
+    * scale. Instead: (1) inner-join values with the broadcast batch value set
+    * — values is streamed once, build side is the batch; (2) left-join the
+    * batch edges with the broadcast matched subset (≤ batch values rows).
+    * Batch-proportional exchange, one O(values) scan, no values shuffle.
+    */
+  def probeValues(values: DataFrame, batchEdges: DataFrame): DataFrame = {
+    val batchValues = batchEdges.select(col("value")).distinct()
+    val matched = values.join(broadcast(batchValues), Seq("value"))
+      .select(col("value"), col("clusterId"))
+    batchEdges.join(broadcast(matched), Seq("value"), "left")
+      .select(col("recordId"), col("value"), col("clusterId"))
   }
 
   /** normalize a key array: truncate to 600 chars, dedup (Storage.java:353-361) */
@@ -123,9 +141,7 @@ object Clusterize {
     // the J5 probe (Storage.java:363-401): which batch values already have an
     // owning cluster
     val batchEdges = keyed.select(col("recordId"), explode(col("keys")).as("value"))
-    val probed = batchEdges.join(state.values, Seq("value"), "left")
-      .select(col("recordId"), col("value"), col("clusterId"))
-      .localCheckpoint(true)
+    val probed = probeValues(state.values, batchEdges).localCheckpoint(true)
 
     // bipartite CC where a matched value contributes its owning cluster as
     // the key (so records sharing a value OR a cluster land in one component)

@@ -84,6 +84,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterize value probe broadcasts the batch side, never shuffles values") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force-disable stats-based broadcast so only the explicit hints count:
+    // at 100 TB the values side is far beyond any autoBroadcast threshold
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val values = spark.range(1000).select(
+        concat(lit("v"), col("id")).as("value"),
+        concat(lit("c"), col("id")).as("clusterId"))
+      val batch = spark.range(10).select(
+        concat(lit("r"), col("id")).as("recordId"),
+        concat(lit("v"), col("id") * 7).as("value"))
+      val p = graft.cluster.Clusterize.probeValues(values, batch)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), "values side must not shuffle:\n" + p)
+      assert(!p.contains("ShuffledHashJoin"), "values side must not shuffle:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("q34 sessionize keeps whole-stage codegen around the windows") {
     // executedPlan.toString marks WholeStageCodegen stages with "*(n)"
     val p = plan("q34_sessionize")
