@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ClusterQueries, CqlQueries, FunctionQueries, PipelineQueries, Q, Relational, TextDedupQueries}
+import graft.operators.{ClusterQueries, CqlQueries, FunctionQueries, PipelineQueries, Q, Relational, SamplingQueries, TextDedupQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** All operator queries, grouped by module. */
   def allQ: Seq[Q] =
     Relational.all ++ TextDedupQueries.all ++ ClusterQueries.all ++
-      CqlQueries.all ++ FunctionQueries.all ++ PipelineQueries.all
+      CqlQueries.all ++ FunctionQueries.all ++ PipelineQueries.all ++
+      SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -81,8 +81,13 @@ object Dedup {
     * compare as unsigned byte arrays (hex is order-preserving), and only
     * each seed's winner is hex-encoded.
     */
-  def minhashOf(shingles: Seq[String], k: Int): Seq[String] = {
-    val shingleBytes = shingles.map(_.getBytes("UTF-8")).toArray
+  def minhashOf(shingles: Seq[String], k: Int): Seq[String] =
+    minhashOfBytes(shingles.map(_.getBytes("UTF-8")).toArray, k)
+
+  /** the same kernel over pre-encoded shingles — the native expression path
+    * hands in UTF8String bytes directly, skipping String round-trips
+    */
+  def minhashOfBytes(shingleBytes: Array[Array[Byte]], k: Int): Seq[String] = {
     val d = md5tl.get()
     (0 until k).map { s =>
       val prefix = (s.toString + ":").getBytes("UTF-8")
@@ -117,15 +122,30 @@ object Dedup {
     (0 until bands).map(j =>
       j.toString + ":" + md5Hex(sig.slice(j * rows, j * rows + rows).mkString(",")))
 
-  /** udf: text → distinct shingle array (single pass) */
+  // ---- column forms: native expressions over UTF8String bytes (no UDF
+  // converter round-trip); see graft.expressions.DedupExpressions
+
+  /** text → distinct shingle array (single pass) */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.DedupExpressions.shingles(text, n)
+
+  /** shingles → minhash signature (single pass) */
+  def minhashSig(sh: Column, k: Int): Column =
+    graft.expressions.DedupExpressions.minhashSig(sh, k)
+
+  /** shingles → band-qualified LSH bucket hashes (single pass) */
+  def minhashBands(sh: Column, k: Int, bands: Int): Column =
+    graft.expressions.DedupExpressions.minhashBands(sh, k, bands)
+
+  /** legacy udf forms (same kernels behind a ScalaUDF — each row pays the
+    * CatalystTypeConverters round-trip; prefer the column forms above)
+    */
   def shingleUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => shinglesOf(text, n))
 
-  /** udf: shingles → minhash signature (single pass) */
   def minhashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((sh: Seq[String]) => minhashOf(sh, k))
 
-  /** udf: shingles → band-qualified LSH bucket hashes (single pass) */
   def bandUdf(k: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((sh: Seq[String]) => bandHashesOf(minhashOf(sh, k), bands, k / bands))
 
@@ -176,10 +196,10 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
-        shingleUdf(shingleLen)(col(textCol)).as("sh"))
+        shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = docs.select(col("doc_id"),
-      explode(bandUdf(numHashes, bands)(col("sh"))).as("bhash"))
+      explode(minhashBands(col("sh"), numHashes, bands)).as("bhash"))
     val gated =
       if (maxBucketSize == Int.MaxValue) banded
       else {
@@ -215,7 +235,7 @@ object Dedup {
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
-        shingleUdf(shingleLen)(col(textCol)).as("sh"))
+        shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val words = docs.select(col("doc_id"), explode(col("sh")).as("w"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))

@@ -23,10 +23,10 @@ object ClusterQueries {
       (s, d) => {
         val t = Tables(s, d)
         val docs = t.documents.select(col("doc_id"),
-            Dedup.shingleUdf(3)(col("text")).as("sh"))
+            Dedup.shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val banded = docs.select(col("doc_id").as("id"),
-          explode(Dedup.bandUdf(16, 4)(col("sh"))).as("key"))
+          explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
         Clusterize.connectedComponents(banded)
           .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
           .orderBy(col("doc_id"))

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sampling.Sampling
+
+/** Corpus-curation gate queries (training-data pipeline): deterministic hash
+  * sampling, stratified sampling, bounded per-key sampling, and
+  * concat-and-chunk sequence packing — all content-addressed (md5 draws),
+  * so DuckDB reproduces every kept row exactly.
+  */
+object SamplingQueries {
+
+  private def thr(f: Double): String = Sampling.fractionThreshold(f)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deterministic Bernoulli sample (10%): per-row filter, no shuffle
+    Q("q39_sample_hash",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.hashSample(t.documents, "doc_id", 0.1, "s1")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.1)}'
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified sample: downsample dominant strata, keep the tail
+    Q("q40_stratified_sample",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.stratifiedSample(t.documents, "doc_id", "lang",
+            Map("en" -> 0.05, "de" -> 0.5), defaultFraction = 0.25, salt = "s2")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE substr(md5('s2:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              |  CASE WHEN lang = 'en' THEN '${thr(0.05)}'
+              |       WHEN lang = 'de' THEN '${thr(0.5)}'
+              |       ELSE '${thr(0.25)}' END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- bounded per-key sample: ≤20 docs per language, exchanged via the
+    // bounded top-k aggregate (partial per partition — no per-key sort)
+    Q("q42_per_key_sample",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.perKeySample(t.documents, "lang", "doc_id", 20, "s3")
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY substr(md5('s3:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- concat-and-chunk sequence packing into 512-token chunks,
+    // parallel per 256 md5 buckets (no global sort at scale)
+    Q("q41_pack_chunks",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.packChunks(t.documents, "doc_id",
+            size(split(col("text"), "\\s+")), capacity = 512)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, bucket, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS chunk_seq
+             |FROM (
+             |  SELECT doc_id, bucket, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM (
+             |    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+             |    FROM documents))
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

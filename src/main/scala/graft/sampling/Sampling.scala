@@ -1,0 +1,104 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.BoundedTopKAgg
+
+/** Deterministic corpus-curation operators for training-data pipelines:
+  * hash sampling, stratified sampling, bounded per-key sampling, and
+  * concat-and-chunk sequence packing.
+  *
+  * All sampling here is content-addressed (md5 over a salted id), never
+  * `rand()`: the same row set yields the same sample on every run, engine,
+  * and partitioning — reproducible pipelines and SQL-oracle-checkable
+  * results. Every operator is a per-row filter or a bounded aggregate, so
+  * nothing shuffles more than the sample itself at 100 TB.
+  */
+object Sampling {
+
+  /** md5-prefix of a salted id — the uniform [0,1) draw behind all sampling
+    * here, as an 8-hex-digit string compared lexicographically
+    */
+  def hashDraw(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
+
+  /** the 8-hex-digit threshold under which a draw passes for `fraction` */
+  def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val ticks = math.min((fraction * 4294967296.0).toLong, 4294967295L)
+    f"$ticks%08x"
+  }
+
+  /** Bernoulli-style deterministic sample: keeps a row iff
+    * md5(salt:id) < threshold(fraction). Pure per-row filter — pushes to the
+    * scan, no shuffle, and the kept set is stable under any re-partitioning
+    * or re-run (unlike `TABLESAMPLE`/`rand()`).
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String): DataFrame =
+    df.filter(hashDraw(col(idCol), salt) < lit(fractionThreshold(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g. downsample
+    * the dominant language, keep the tail), same content-addressed draw.
+    * Strata absent from `fractions` use `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double,
+      salt: String): DataFrame = {
+    val threshold = fractions.foldLeft(
+        when(lit(false), lit(""))) { case (acc, (stratum, f)) =>
+      acc.when(col(stratumCol) === stratum, lit(fractionThreshold(f)))
+    }.otherwise(lit(fractionThreshold(defaultFraction)))
+    df.filter(hashDraw(col(idCol), salt) < threshold)
+  }
+
+  /** At most `n` rows per key, picked by the content-addressed draw (an
+    * unbiased fixed-size subsample per key — the batch analogue of reservoir
+    * sampling). Ranked with the bounded top-k aggregate: each upstream
+    * partition contributes ≤ n rows per key to the exchange, so a 100 TB
+    * skewed key costs O(partitions × n), never a single-partition sort the
+    * way `row_number() OVER (PARTITION BY key)` would.
+    */
+  def perKeySample(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      salt: String): DataFrame = {
+    val tk = udaf(new BoundedTopKAgg[Drawn](n, Drawn.ordering))
+    df.select(col(keyCol).as("key"),
+        hashDraw(col(idCol), salt).as("draw"), col(idCol).cast("long").as("id"))
+      .groupBy("key")
+      .agg(tk(col("draw"), col("id")).as("top"))
+      .select(col("key"), explode(col("top")).as("s"))
+      .select(col("key").as(keyCol), col("s.id").as(idCol))
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LLM-pretraining
+    * batching shape): documents are laid out in a deterministic order and
+    * cut into chunks of `capacity` tokens; a document's chunk is
+    * floor(tokens-before-it / capacity). Packing runs independently inside
+    * each of 256 md5 buckets, so at scale the windows parallelize per bucket
+    * and no global sort exists; chunk identity is (bucket, chunk_seq).
+    */
+  def packChunks(df: DataFrame, idCol: String, tokenCountCol: Column,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 2)
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), bucket.as("bucket"),
+        tokenCountCol.cast("long").as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_seq",
+        floor((col("cum_after") - col("n_tokens")) / capacity).cast("long"))
+      .drop("cum_after")
+  }
+}
+
+/** (draw, id) sample candidate: ordered by the hash draw, tie-broken by id */
+final case class Drawn(draw: String, id: Long)
+
+object Drawn {
+  val ordering: Ordering[Drawn] =
+    Ordering.by((d: Drawn) => (d.draw, d.id))
+}

@@ -70,6 +70,29 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("native expression columns == scalar kernels (shingles/sig/bands)") {
+    import spark.implicits._
+    val texts = sample(60)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val colSide = df.select(col("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSig(col("sh"), 8))
+      .withColumn("bands", Dedup.minhashBands(col("sh"), 8, 4))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (shC, sigC, bandsC) = colSide(i.toLong)
+      val sh = Dedup.shinglesOf(t, 3)
+      assert(sh == shC, s"shingles for '$t'")
+      assert(Dedup.minhashOf(sh, 8) == sigC, s"sig for '$t'")
+      assert(Dedup.bandHashesOf(Dedup.minhashOf(sh, 8), 4, 2) == bandsC,
+        s"bands for '$t'")
+    }
+  }
+
   test("LSH bucket cap drops degenerate buckets but keeps normal pairs") {
     import spark.implicits._
     // 40 identical docs (a degenerate bucket) + one genuine near-dup pair

@@ -54,4 +54,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("goldrush_matchkey"),
       s"expression folded to a literal at plan time:\n$plan")
   }
+
+  test("dot_product and cosine_sim resolve through SQL") {
+    val r = spark.sql(
+      """SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                   CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d,
+        |       cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
+        |                  CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sampling.Sampling
+
+/** Sampling/packing invariants: content-addressed determinism (same rows in,
+  * same sample out — under any partitioning), the per-key bound, packing's
+  * capacity contract, and the plan shapes that make them scale.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(parts: Int) = {
+    import spark.implicits._
+    (0 until 1000).map { i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        Seq.fill(1 + i % 40)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(parts)
+  }
+
+  test("hashSample is deterministic and partition-invariant") {
+    val a = Sampling.hashSample(docs(4), "doc_id", 0.2, "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs(13), "doc_id", 0.2, "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a 20% draw over 1000 uniform hashes lands well inside (10%, 30%)
+    assert(a.size > 100 && a.size < 300, s"got ${a.size}")
+    // different salt → different (similarly-sized) sample
+    val c = Sampling.hashSample(docs(4), "doc_id", 0.2, "u")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val s = Sampling.stratifiedSample(docs(4), "doc_id", "lang",
+        Map("en" -> 0.9, "de" -> 0.05), defaultFraction = 0.3, salt = "t")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~334 docs per stratum: en ≈ 300, de ≈ 17, fr ≈ 100
+    assert(s("en") > 250, s.toString)
+    assert(s.getOrElse("de", 0L) < 60, s.toString)
+    assert(s("fr") > 50 && s("fr") < 170, s.toString)
+  }
+
+  test("perKeySample keeps at most n per key, deterministically, sans window") {
+    val got = Sampling.perKeySample(docs(4), "lang", "doc_id", 25, "t")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = got.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), "bounded aggregate, not row_number:\n" + p)
+      assert(p.contains("partial_"), "map-side partials expected:\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 25))
+    val again = Sampling.perKeySample(docs(9), "lang", "doc_id", 25, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("packChunks fills chunks to capacity in bucket order") {
+    val capacity = 100
+    val packed = Sampling.packChunks(docs(4), "doc_id",
+        size(split(col("text"), "\\s+")), capacity)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // within a (bucket, chunk): total tokens stay under capacity + one doc's
+    // overflow (a doc never splits; the chunk it starts in owns it)
+    packed.groupBy(p => (p._2, p._4)).foreach { case ((b, c), rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < capacity + maxDoc, s"bucket $b chunk $c total=$total")
+    }
+    // chunk_seq is dense from 0 within each bucket
+    packed.groupBy(_._2).foreach { case (b, rows) =>
+      val seqs = rows.map(_._4).distinct.sorted
+      assert(seqs.sameElements(0L until seqs.length),
+        s"bucket $b: ${seqs.mkString(",")}")
+    }
+    // deterministic under re-partitioning
+    val again = Sampling.packChunks(docs(17), "doc_id",
+        size(split(col("text"), "\\s+")), capacity)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(packed.toSet == again.toSet)
+  }
+}
