@@ -74,15 +74,23 @@ trait MinhashInput { self: UnaryExpression =>
         s"$prettyName expects array<string> shingles, got ${dt.catalogString}")
     }
 
+  /** null elements are skipped (arrays from joins/HOFs are often typed
+    * containsNull=true even when no null ever occurs)
+    */
   protected def shingleBytes(input: Any): Array[Array[Byte]] = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = new Array[Array[Byte]](arr.numElements())
+    val n = arr.numElements()
+    val out = new Array[Array[Byte]](n)
     var i = 0
-    while (i < out.length) {
-      out(i) = arr.getUTF8String(i).getBytes
+    var j = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(j) = arr.getUTF8String(i).getBytes
+        j += 1
+      }
       i += 1
     }
-    out
+    if (j == n) out else java.util.Arrays.copyOf(out, j)
   }
 }
 

@@ -54,7 +54,8 @@ object SamplingQueries {
       },
       Some("""SELECT lang, doc_id FROM (
              |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-             |    ORDER BY substr(md5('s3:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+             |    ORDER BY substr(md5('s3:' || CAST(doc_id AS VARCHAR)), 1, 8),
+             |      CAST(doc_id AS VARCHAR)) AS rn
              |  FROM documents)
              |WHERE rn <= 20
              |ORDER BY lang, doc_id""".stripMargin)),
@@ -65,7 +66,7 @@ object SamplingQueries {
       (s, d) => {
         val t = Tables(s, d)
         Sampling.packChunks(t.documents, "doc_id",
-            size(split(col("text"), "\\s+")), capacity = 512)
+            size(graft.text.TextFunctions.tokens(col("text"))), capacity = 512)
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, bucket, n_tokens,

@@ -24,12 +24,17 @@ object Sampling {
   def hashDraw(id: Column, salt: String): Column =
     substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
 
-  /** the 8-hex-digit threshold under which a draw passes for `fraction` */
+  /** the threshold under which a draw passes for `fraction`: an 8-hex-digit
+    * string for fractional rates; `fraction >= 1.0` short-circuits to "g"
+    * (sorts after every hex digit, so every row passes — a strict `<` against
+    * "ffffffff" would drop the ~2^-32 of rows whose draw is exactly that),
+    * and `fraction <= 0.0` to "00000000" (nothing passes under strict `<`)
+    */
   def fractionThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
-    val ticks = math.min((fraction * 4294967296.0).toLong, 4294967295L)
-    f"$ticks%08x"
+    if (fraction >= 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong}%08x"
   }
 
   /** Bernoulli-style deterministic sample: keeps a row iff
@@ -61,16 +66,21 @@ object Sampling {
     * partition contributes ≤ n rows per key to the exchange, so a 100 TB
     * skewed key costs O(partitions × n), never a single-partition sort the
     * way `row_number() OVER (PARTITION BY key)` would.
+    *
+    * Ids ride through the aggregate as strings (so UUID/string ids from
+    * record tables round-trip losslessly) and are cast back to the input
+    * column's type on output; draw ties break on the id's STRING ordering.
     */
   def perKeySample(df: DataFrame, keyCol: String, idCol: String, n: Int,
       salt: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
     val tk = udaf(new BoundedTopKAgg[Drawn](n, Drawn.ordering))
     df.select(col(keyCol).as("key"),
-        hashDraw(col(idCol), salt).as("draw"), col(idCol).cast("long").as("id"))
+        hashDraw(col(idCol), salt).as("draw"), col(idCol).cast("string").as("id"))
       .groupBy("key")
       .agg(tk(col("draw"), col("id")).as("top"))
       .select(col("key"), explode(col("top")).as("s"))
-      .select(col("key").as(keyCol), col("s.id").as(idCol))
+      .select(col("key").as(keyCol), col("s.id").cast(idType).as(idCol))
   }
 
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining
@@ -95,8 +105,10 @@ object Sampling {
   }
 }
 
-/** (draw, id) sample candidate: ordered by the hash draw, tie-broken by id */
-final case class Drawn(draw: String, id: Long)
+/** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the
+  * id's string form (any id type round-trips; cast back at the edge)
+  */
+final case class Drawn(draw: String, id: String)
 
 object Drawn {
   val ordering: Ordering[Drawn] =

@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Whitespace class shared with the DuckDB oracles: explicit characters,
+    * because Java's `\s` includes vertical tab (\x0B) where RE2's does not —
+    * an implicit `\s+` on both sides diverges on exotic whitespace.
+    */
+  val WhitespaceRegex: String = "[ \\t\\n\\r\\f]+"
+
   /** whitespace tokenization */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column = split(text, WhitespaceRegex)
 
   /** distinct word n-gram shingles, the dedup unit (empty if < n tokens) */
   def shingles(toks: Column, n: Int): Column =

@@ -93,6 +93,21 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash expressions skip null array elements instead of NPEing") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a b", null, "b c")), (2L, Seq("a b", "b c")))
+      .toDF("id", "sh")
+    val got = df.select(col("id"),
+        Dedup.minhashSig(col("sh"), 8).as("sig"),
+        Dedup.minhashBands(col("sh"), 8, 4).as("bands"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getSeq[String](2))))
+      .toMap
+    // nulls contribute nothing: row 1 equals row 2
+    assert(got(1L) == got(2L))
+    assert(got(1L)._1 == Dedup.minhashOf(Seq("a b", "b c"), 8))
+  }
+
   test("LSH bucket cap drops degenerate buckets but keeps normal pairs") {
     import spark.implicits._
     // 40 identical docs (a degenerate bucket) + one genuine near-dup pair

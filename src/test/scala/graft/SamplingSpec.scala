@@ -40,6 +40,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("fraction 1.0 keeps every row; 0.0 keeps none") {
+    assert(Sampling.hashSample(docs(4), "doc_id", 1.0, "t").count() == 1000)
+    assert(Sampling.hashSample(docs(4), "doc_id", 0.0, "t").count() == 0)
+    val s = Sampling.stratifiedSample(docs(4), "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 1.0, salt = "t")
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 334 && byLang("fr") == 333 && !byLang.contains("de"),
+      byLang.toString)
+  }
+
+  test("perKeySample round-trips non-numeric ids") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (f"id-$i%03d-${"abcdef".charAt(i % 6)}", if (i % 2 == 0) "x" else "y"))
+      .toDF("uid", "key")
+    val got = Sampling.perKeySample(df, "key", "uid", 10, "t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 20)
+    assert(got.forall { case (_, uid) => uid.startsWith("id-") },
+      "string ids must survive unchanged, not become null")
+    assert(got.groupBy(_._1).forall(_._2.length == 10))
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val s = Sampling.stratifiedSample(docs(4), "doc_id", "lang",
         Map("en" -> 0.9, "de" -> 0.05), defaultFraction = 0.3, salt = "t")
