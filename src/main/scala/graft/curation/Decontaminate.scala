@@ -1,0 +1,58 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * word n-grams with a held-out benchmark set — the standard guard against
+  * test-set leakage in pretraining corpora.
+  *
+  * Scale shape: the benchmark side is small by construction (an eval suite,
+  * not the corpus), so its distinct gram set is broadcast and the corpus side
+  * streams through a broadcast hash join — the 100 TB corpus is never
+  * shuffled. Corpus grams explode ~`tokens` rows per document but are
+  * filtered by the join before any exchange; the only shuffle is the final
+  * per-document hit count, keyed by the document id.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams per document, exploded to (id, gram) rows.
+    * Token array is bound to an attribute before the gram HOF (outer
+    * expressions re-evaluate inside lambdas otherwise).
+    */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col(idCol),
+        explode(array_distinct(QualitySignals.ngrams(col("t"), n))).as("gram"))
+
+  /** Corpus documents (excluding the benchmark itself) that share at least
+    * one n-gram with any benchmark document, with their distinct-gram hit
+    * count. `bench` needs only `idCol` + `textCol`.
+    */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchIds = bench.select(col(idCol)).distinct()
+    val benchGrams = docGrams(bench, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    docGrams(corpus, idCol, textCol, n)
+      .join(broadcast(benchIds), Seq(idCol), "left_anti")
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** The clean corpus: documents with zero benchmark n-gram overlap (and not
+    * benchmark members themselves). Anti-join against the flagged set — the
+    * corpus passes through with its full schema intact.
+    */
+  def decontaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dirty = contaminationHits(corpus, bench, idCol, textCol, n)
+      .select(col(idCol))
+    corpus
+      .join(broadcast(bench.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+      .join(dirty, Seq(idCol), "left_anti")
+  }
+}

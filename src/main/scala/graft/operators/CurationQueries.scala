@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.curation.{Bm25, Decontaminate, QualitySignals, Redact}
+import graft.sampling.Sampling
+
+/** Corpus-curation gate queries beyond dedup/sampling: within-document
+  * repetition signals (Gopher-style quality rules), benchmark
+  * decontamination, PII pseudonymization, BM25 keyword relevance, and
+  * corpus boilerplate mining.
+  *
+  * Oracle parity notes: repetition fractions are exact integer ratios in
+  * double (bit-stable); BM25 goes through `ln`, whose last ulp is
+  * library-dependent, so the gate compares `round(score * 1e4)` as BIGINT
+  * with float op order mirrored exactly; every query ends in a total ORDER
+  * BY.
+  */
+object CurationQueries {
+
+  private def thr(f: Double): String = Sampling.fractionThreshold(f)
+
+  /** one BM25 term contribution in DuckDB SQL, float op order mirroring
+    * Bm25.score exactly (left-associative, same literal folds)
+    */
+  private def bm25Contrib(t: String): String =
+    s"""CASE WHEN tf_$t > 0 THEN
+       |    ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+       |    * (CAST(tf_$t AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tf_$t AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |    ELSE 0.0 END""".stripMargin
+
+  /** DuckDB 3-gram list per document (ordered, with duplicates) */
+  private val grams3 =
+    """list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- within-doc repetition profile over 2-grams (Gopher-style rules):
+    // per-row scalar fold, no shuffle
+    Q("q43_repetition",
+      (s, d) => {
+        val t = Tables(s, d)
+        QualitySignals.repetitionStats(t.documents, "doc_id", "text", n = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+             |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             |        ELSE []::VARCHAR[] END AS grams FROM tok),
+             |cnt AS (SELECT doc_id, gram, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+             |        GROUP BY doc_id, gram),
+             |top AS (SELECT doc_id, max(c) AS topc, count(*) AS n_distinct
+             |        FROM cnt GROUP BY doc_id)
+             |SELECT g.doc_id,
+             |  CAST(len(grams) AS INTEGER) AS n_grams,
+             |  coalesce(topc, 0) AS top_gram_count,
+             |  CASE WHEN len(grams) > 0
+             |    THEN CAST(len(grams) - n_distinct AS DOUBLE) / len(grams)
+             |    ELSE 0.0 END AS dup_gram_frac,
+             |  CASE WHEN len(grams) > 0
+             |    THEN CAST(topc AS DOUBLE) / len(grams)
+             |    ELSE 0.0 END AS top_gram_frac
+             |FROM g LEFT JOIN top USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark decontamination: 3-gram overlap hits vs a deterministic
+    // 5% held-out set; benchmark gram set broadcast, corpus never shuffled
+    Q("q44_decontaminate",
+      (s, d) => {
+        val t = Tables(s, d)
+        val bench = Sampling.hashSample(t.documents, "doc_id", 0.05, "dc")
+        Decontaminate.contaminationHits(t.documents, bench,
+            "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bench AS (SELECT doc_id FROM documents
+              |  WHERE substr(md5('dc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.05)}'),
+              |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+              |grams AS (SELECT doc_id, unnest(list_distinct($grams3)) AS gram
+              |          FROM tok WHERE len(t) >= 3),
+              |bg AS (SELECT DISTINCT gram FROM grams
+              |       WHERE doc_id IN (SELECT doc_id FROM bench))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+              |FROM grams
+              |WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+              |  AND gram IN (SELECT gram FROM bg)
+              |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII pseudonymization: salted-hash identity tokens + banded
+    // quantitative columns; pure per-row scalar work
+    Q("q45_pii_redact",
+      (s, d) => {
+        val t = Tables(s, d)
+        Redact.pseudonymize(t.customer, Seq("c_name"), "pii",
+            Map("c_acctbal" -> 1000L))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  substr(md5('pii:' || c_name), 1, 16) AS c_name,
+             |  CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS c_acctbal,
+             |  c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- BM25 keyword relevance for a fixed seed-term set: scalar tf
+    // columns + ONE 1-row corpus aggregate broadcast back — no corpus shuffle
+    Q("q46_bm25",
+      (s, d) => {
+        val t = Tables(s, d)
+        Bm25.score(t.documents, "doc_id", "text",
+            Seq("spark", "join", "merge", "window"))
+          .select(col("doc_id"), col("dl"),
+            round(col("score") * 10000).cast("long").as("score_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+             |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+             |  CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
+             |  CAST(len(list_filter(t, w -> w = 'merge')) AS BIGINT) AS tf_merge,
+             |  CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
+             |  FROM tok),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+             |  CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             |  CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+             |  CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+             |  FROM tf)
+             |SELECT doc_id, dl, CAST(round((
+             |${Seq("spark", "join", "merge", "window").map(bm25Contrib).mkString("\n    + ")}
+             |  ) * 10000) AS BIGINT) AS score_q
+             |FROM tf, stats
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus boilerplate mining: top-20 3-grams by document frequency
+    // (C4-style common-content sweep); partial agg + bounded TakeOrdered
+    Q("q47_boilerplate",
+      (s, d) => {
+        val t = Tables(s, d)
+        QualitySignals.boilerplateGrams(t.documents, "doc_id", "text",
+          n = 3, k = 20)
+      },
+      Some(s"""SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM (
+              |  SELECT doc_id, unnest(list_distinct($grams3)) AS gram
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+              |  WHERE len(t) >= 3)
+              |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin))
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curation.{Bm25, Decontaminate, QualitySignals, Redact}
+
+/** Curation-operator semantics not covered by the oracle gate: the clean
+  * decontaminated corpus, repetition edge cases, banding of negatives, and
+  * the plan shapes that keep these linear at scale.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("repetitionStats counts duplicate and top n-grams") {
+    val df = Seq(
+      (1L, "a b a b a b"),        // 2-grams: ab ba ab ba ab → top "a b"=3, n=5
+      (2L, "x y z w"),            // all distinct: 3 grams, top 1
+      (3L, "solo")                // < 2 tokens: zeros
+    ).toDF("doc_id", "text")
+    val got = QualitySignals.repetitionStats(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((5, 3L, 3.0 / 5, 3.0 / 5)))
+    assert(got(2L) == ((3, 1L, 0.0, 1.0 / 3)))
+    assert(got(3L) == ((0, 0L, 0.0, 0.0)))
+  }
+
+  test("maxElementCount handles empties, singletons, and all-equal") {
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("q")),
+      (3L, Seq("q", "q", "q")),
+      (4L, Seq("b", "a", "b", "c", "a", "b"))
+    ).toDF("id", "arr")
+    val got = df.select(col("id"),
+        QualitySignals.maxElementCount(col("arr")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("decontaminated drops benchmark members and overlapping docs only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // bench member
+      (2L, "alpha beta gamma epsilon"), // shares 3-gram "alpha beta gamma"
+      (3L, "one two three four"),       // clean
+      (4L, "five six seven eight")      // clean
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 1L)
+    val clean = Decontaminate.decontaminated(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L))
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(2L -> 1L), "bench member itself is never flagged")
+  }
+
+  test("band floors negatives toward -inf and pseudonyms are salted") {
+    val df = Seq((1L, "alice", -250.5), (2L, "bob", 1999.99))
+      .toDF("k", "name", "bal")
+    val got = Redact.pseudonymize(df, Seq("name"), "s",
+        Map("bal" -> 1000L)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L)._2 == -1000L)
+    assert(got(2L)._2 == 1000L)
+    assert(got(1L)._1.length == 16 && got(1L)._1 != "alice")
+    // different salt → different pseudonym (not just an unsalted hash)
+    val other = Redact.pseudonymize(df, Seq("name"), "t", Map.empty)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other(1L) != got(1L)._1)
+  }
+
+  test("bm25 ranks term-dense short docs highest; no corpus shuffle join") {
+    val df = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark and a lot of other words besides the one that matters here"),
+      (3L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val scored = Bm25.score(df, "doc_id", "text", Seq("spark"))
+    val got = scored.collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(got(1L) > got(2L) && got(2L) > 0.0 && got(3L) == 0.0)
+    // scale shape: corpus side joins the 1-row stats via broadcast — no
+    // SortMergeJoin and no Exchange keyed on the corpus
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = scored.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("boilerplateGrams finds the common gram with a deterministic cut") {
+    val df = Seq(
+      (1L, "the end of file marker here"),
+      (2L, "the end of file marker again"),
+      (3L, "the end of file stuff"),
+      (4L, "unrelated words entirely different")
+    ).toDF("doc_id", "text")
+    val top = QualitySignals.boilerplateGrams(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // both 3-doc grams tie; the (count desc, gram asc) cut is deterministic
+    assert(top.toSeq == Seq(("end of file", 3L), ("the end of", 3L)))
+  }
+}
