@@ -58,11 +58,90 @@ object Clusterize {
     * instead of O(diameter) (a chain of 1000 pairwise-linked records needs
     * ~10 rounds, not 1000). Each round is two shuffles keyed the same way
     * (AQE coalesces partitions). Returns (id, component = min id).
+    *
+    * Degree-1 keys are dropped before the loop: a key held by a single id
+    * connects nothing, and in the LSH/match-value workloads that feed this
+    * operator the vast majority of keys are unshared — on a mostly-unique
+    * 100 TB corpus the iterated frames shrink from O(ids × keys) to O(ids
+    * that actually collide). Ids left with no shared key are their own
+    * component and rejoin at the end (one broadcast-sized left join).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     require(edges.columns.toSeq == Seq("id", "key"),
       s"expected (id, key) edges, got ${edges.columns.mkString(",")}")
-    val e = cut(edges.distinct())
+    val e0 = cut(edges.distinct())
+    val allIds = e0.select(col("id")).distinct()
+    val sharedKeys = e0.groupBy("key").agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= 2).select(col("key"))
+    val e = cut(e0.join(sharedKeys, "key").select(col("id"), col("key")))
+
+    // Size-gated hybrid: after the degree-1 cut the active subgraph of a
+    // mostly-unique corpus is a small fraction of the input; when its edge
+    // count fits the driver comfortably, a local union-find replaces the
+    // whole fixpoint loop (each distributed round costs several jobs of
+    // fixed overhead). Past the threshold — the genuinely large-component
+    // case — the iterative O(log d) loop below is the scale path.
+    val localMax = e.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    val activeEdges = e.count()
+    val comps =
+      if (activeEdges <= localMax) localComponents(e)
+      else iterativeComponents(e)
+    // ids whose every key was unshared never entered the loop: solo components
+    allIds.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** driver-side union-find over a collected (id, key) edge list; min id per
+    * component by the id column's own ordering (matches the distributed path)
+    */
+  private def localComponents(e: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val rows = e.collect()
+    val idIdx = mutable.HashMap.empty[Any, Int]
+    val ids = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    val keyFirst = mutable.HashMap.empty[Any, Int]
+    rows.foreach { r =>
+      val i = idIdx.getOrElseUpdate(r.get(0), {
+        ids += r.get(0); parent += ids.length - 1; ids.length - 1
+      })
+      keyFirst.get(r.get(1)) match {
+        case Some(j) =>
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) parent(ri) = rj
+        case None => keyFirst.update(r.get(1), i)
+      }
+    }
+    val minOf = mutable.HashMap.empty[Int, Any]
+    ids.indices.foreach { i =>
+      val root = find(i)
+      val v = ids(i)
+      minOf.get(root) match {
+        case Some(m) if m.asInstanceOf[Comparable[Any]].compareTo(v) <= 0 => ()
+        case _ => minOf.update(root, v)
+      }
+    }
+    val idField = e.schema("id")
+    val out = ids.indices.map(i =>
+      org.apache.spark.sql.Row(ids(i), minOf(find(i))))
+    e.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "id"),
+        idField.copy(name = "component"))))
+  }
+
+  /** the distributed fixpoint loop (min-label propagation + pointer jumping) */
+  private def iterativeComponents(e: DataFrame): DataFrame = {
     var labels = cut(e.select(col("id")).distinct()
       .withColumn("label", col("id")))
     var converged = false

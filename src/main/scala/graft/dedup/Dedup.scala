@@ -195,8 +195,9 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleLen).as("sh"))
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = docs.select(col("doc_id"),
       explode(minhashBands(col("sh"), numHashes, bands)).as("bhash"))
@@ -234,8 +235,9 @@ object Dedup {
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleLen).as("sh"))
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val words = docs.select(col("doc_id"), explode(col("sh")).as("w"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
@@ -284,8 +286,10 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming must be in [0,15], got $maxHamming")
-    val sh = df.select(col(idCol).as("doc_id"),
-      simhash16(TextFunctions.tokens(col(textCol))).as("simhash"))
+    val sh = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        simhash16(TextFunctions.tokens(col(textCol))).as("simhash"))
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(i => i * 16 / nBands)
     val bandKeys = (0 until nBands).map { b =>

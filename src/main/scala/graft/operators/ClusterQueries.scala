@@ -22,8 +22,8 @@ object ClusterQueries {
     Q("q30_cluster_near_dups",
       (s, d) => {
         val t = Tables(s, d)
-        val docs = t.documents.select(col("doc_id"),
-            Dedup.shingles(col("text"), 3).as("sh"))
+        val docs = Parallelism.ensure(t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val banded = docs.select(col("doc_id").as("id"),
           explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))

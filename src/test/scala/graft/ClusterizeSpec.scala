@@ -135,20 +135,26 @@ class ClusterizeSpec extends AnyFunSuite {
 
   test("long chains converge fast (pointer jumping)") {
     // 400 records pairwise linked into one chain — naive propagation would
-    // need ~400 rounds; pointer jumping needs ~log2(400)
-    val rows = (0 until 400).map(i =>
-      f"r$i%04d" -> Seq(s"k$i", s"k${i + 1}"))
-    val t0 = System.nanoTime()
-    val s = Clusterize.initialize(batch(rows: _*), "k", t("2024-01-01 00:00:00"))
-    val a = assignMap(s)
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    assert(a.values.toSet.size == 1, "one component")
-    assert(elapsed < 120, f"chain clustering took $elapsed%.1f s")
+    // need ~400 rounds; pointer jumping needs ~log2(400). Force the
+    // distributed loop (a chain this small would otherwise take the
+    // driver-local union-find fast path).
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val rows = (0 until 400).map(i =>
+        f"r$i%04d" -> Seq(s"k$i", s"k${i + 1}"))
+      val t0 = System.nanoTime()
+      val s = Clusterize.initialize(batch(rows: _*), "k", t("2024-01-01 00:00:00"))
+      val a = assignMap(s)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(a.values.toSet.size == 1, "one component")
+      assert(elapsed < 120, f"chain clustering took $elapsed%.1f s")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   test("CC converges with reliable checkpointing enabled") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0") // exercise the loop
     try {
       val rows = (0 until 50).map(i => f"r$i%03d" -> Seq(s"k$i", s"k${i + 1}"))
       val s = Clusterize.initialize(batch(rows: _*), "k", t("2024-01-01 00:00:00"))
@@ -156,7 +162,10 @@ class ClusterizeSpec extends AnyFunSuite {
       // reliable checkpoint files actually got written
       val fs = new java.io.File(dir)
       assert(fs.listFiles != null && fs.listFiles.nonEmpty, "checkpoint dir used")
-    } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localMaxEdges")
+    }
   }
 
   test("stats histogram reflects cluster sizes with samples") {

@@ -29,19 +29,27 @@ class UnionFindSpec extends AnyFunSuite {
 
   test("agrees with iterative connected components on random graphs") {
     import spark.implicits._
-    for (seed <- Seq(1, 2, 3)) {
-      val nodes = randomNodes(seed, 300, 40)
-      val uf = UnionFind.connectedComponents(nodes.toDS())
-      val edges = nodes.flatMap(n => n.keys.map(k => (n.id, k)))
-        .toDF("id", "key")
-      val iter = Clusterize.connectedComponents(edges).collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      // iterative CC only sees ids with ≥1 key; compare on those
-      iter.foreach { case (id, comp) =>
-        assert(uf(id) == comp, s"seed=$seed id=$id")
-      }
-      // zero-key nodes are their own component in the aggregate
-      nodes.filter(_.keys.isEmpty).foreach(n => assert(uf(n.id) == n.id))
+    // both Clusterize paths: the driver-local union-find (default here,
+    // small graphs) and the distributed fixpoint loop (forced via the
+    // threshold conf) must agree with the single-pass aggregate
+    for (localMax <- Seq("1000000", "0")) {
+      spark.conf.set("spark.graft.cc.localMaxEdges", localMax)
+      try {
+        for (seed <- Seq(1, 2, 3)) {
+          val nodes = randomNodes(seed, 300, 40)
+          val uf = UnionFind.connectedComponents(nodes.toDS())
+          val edges = nodes.flatMap(n => n.keys.map(k => (n.id, k)))
+            .toDF("id", "key")
+          val iter = Clusterize.connectedComponents(edges).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          // iterative CC only sees ids with ≥1 key; compare on those
+          iter.foreach { case (id, comp) =>
+            assert(uf(id) == comp, s"seed=$seed id=$id localMax=$localMax")
+          }
+          // zero-key nodes are their own component in the aggregate
+          nodes.filter(_.keys.isEmpty).foreach(n => assert(uf(n.id) == n.id))
+        }
+      } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
     }
   }
 
