@@ -103,6 +103,82 @@ object StreamingIngest {
       }
   }
 
+  final case class BandedDoc(docId: Long, bucket: String, sig: Seq[String])
+
+  final case class CandidatePair(id1: Long, id2: Long, estJaccard: Double)
+
+  /** Streaming MinHash-LSH near-duplicate detection — the stateful twin of
+    * `Dedup.nearDuplicatesMinhashLsh`: each arriving document is shingled,
+    * signed, and banded with the SAME batch kernels (so streaming and batch
+    * agree on candidates), then each band bucket keeps its members' (docId,
+    * signature) in Spark's state store. A new member is compared against the
+    * bucket's existing members only — the streaming analogue of the
+    * bucket-join, so work per document is O(bucket size), never O(corpus).
+    * Jaccard is estimated as minhash-signature agreement (the standard
+    * streaming approximation; batch re-verification is exact).
+    *
+    * State is sharded by bucket hash, so throughput scales with executors;
+    * `maxBucketSize` caps degenerate buckets (identical-document floods)
+    * exactly like the batch path. A pair sharing several bands is emitted
+    * once per matching band (at-least-once); run `firstOccurrenceOnly` as a
+    * second stage (its own streaming query) or a downstream batch distinct
+    * for exactly-once pairs.
+    */
+  def streamingNearDupLsh(docs: Dataset[DocEvent], shingleLen: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.Dedup
+    val banded = docs.flatMap { e =>
+      val sh = Dedup.shinglesOf(e.text, shingleLen)
+      if (sh.isEmpty) Nil
+      else {
+        val sig = Dedup.minhashOf(sh, numHashes)
+        Dedup.bandHashesOf(sig, bands, numHashes / bands)
+          .map(b => BandedDoc(e.docId, b, sig))
+      }
+    }
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[(Long, Seq[String])], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Seq[(Long, Seq[String])]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandidatePair]
+          batch.toSeq.sortBy(_.docId).foreach { d =>
+            if (!members.exists(_._1 == d.docId) && members.size < maxBucketSize) {
+              members.foreach { case (oid, osig) =>
+                val agree = d.sig.zip(osig).count { case (a, b) => a == b }
+                val est = agree.toDouble / d.sig.length
+                if (est >= threshold)
+                  out += CandidatePair(math.min(d.docId, oid),
+                    math.max(d.docId, oid), est)
+              }
+              members = members :+ ((d.docId, d.sig))
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
+  /** exactly-once pair stream: keeps a seen-flag per (id1, id2) and passes
+    * only the first occurrence (collapses the per-band duplicates of
+    * `streamingNearDupLsh` when chained stateful operators are enabled, or
+    * run it as its own query stage)
+    */
+  def firstOccurrenceOnly(pairs: Dataset[CandidatePair]): Dataset[CandidatePair] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(p => (p.id1, p.id2))
+      .flatMapGroupsWithState[Boolean, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); batch.take(1) }
+      }
+  }
+
   final case class UserEvent(userId: Long, eventId: Long, ts: Timestamp)
 
   final case class SessionAssign(userId: Long, eventId: Long, sessionId: Long)

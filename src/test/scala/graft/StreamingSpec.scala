@@ -100,6 +100,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup finds cross-batch pairs, O(bucket) per doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{CandidatePair, DocEvent}
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val other = "one two three four five six seven eight nine ten"
+    val input = MemoryStream[DocEvent](spark)
+    val out = StreamingIngest.streamingNearDupLsh(input.toDS(), threshold = 0.5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_out").start()
+    try {
+      input.addData(DocEvent(1, near1), DocEvent(2, near2), DocEvent(3, other))
+      q.processAllAvailable()
+      val firstPairs = spark.table("lsh_out").as[CandidatePair].collect()
+        .map(p => (p.id1, p.id2)).toSet
+      assert(firstPairs == Set((1L, 2L)), firstPairs.toString)
+      // a later micro-batch matches against state, not just its own batch
+      input.addData(DocEvent(9, near1))
+      q.processAllAvailable()
+      val all = spark.table("lsh_out").as[CandidatePair].collect()
+      val pairs = all.map(p => (p.id1, p.id2)).toSet
+      assert(pairs == Set((1L, 2L), (1L, 9L), (2L, 9L)), pairs.toString)
+      assert(all.forall(_.estJaccard >= 0.5))
+      // the exact-duplicate pair (1,9) agrees on every minhash position
+      assert(all.filter(p => (p.id1, p.id2) == ((1L, 9L)))
+        .forall(_.estJaccard == 1.0))
+    } finally q.stop()
+  }
+
+  test("firstOccurrenceOnly collapses repeated pair emissions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.CandidatePair
+    val input = MemoryStream[CandidatePair](spark)
+    val out = StreamingIngest.firstOccurrenceOnly(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pairs_once").start()
+    try {
+      input.addData(CandidatePair(1, 2, 0.9), CandidatePair(1, 2, 0.9),
+        CandidatePair(3, 4, 0.8))
+      q.processAllAvailable()
+      input.addData(CandidatePair(1, 2, 0.9)) // re-emitted in a later batch
+      q.processAllAvailable()
+      val rows = spark.table("pairs_once").as[CandidatePair].collect()
+        .map(p => (p.id1, p.id2)).sorted.toSeq
+      assert(rows == Seq((1L, 2L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
