@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curation.{Bm25, Decontaminate, QualitySignals, Redact}
+import graft.curation.{Bm25, Decontaminate, Pipeline, QualitySignals, Redact}
 import graft.sampling.Sampling
+import graft.text.TextFunctions
 
 /** Corpus-curation gate queries beyond dedup/sampling: within-document
   * repetition signals (Gopher-style quality rules), benchmark
@@ -31,9 +32,25 @@ object CurationQueries {
        |    / (CAST(tf_$t AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))
        |    ELSE 0.0 END""".stripMargin
 
-  /** DuckDB 3-gram list per document (ordered, with duplicates) */
-  private val grams3 =
-    """list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"""
+  /** DuckDB n-gram list per document (ordered, with duplicates) */
+  private def gramsN(n: Int): String = {
+    val cat = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+      .mkString(" || ' ' || ")
+    s"list_transform(range(1, len(t)-${n - 2}), i -> $cat)"
+  }
+
+  private val grams3 = gramsN(3)
+
+  private val stopsSql = TextFunctions.DefaultStopwords
+    .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** the q21 quality formula (float op order mirrors
+    * TextFunctions.qualityScore exactly)
+    */
+  private val qualitySql =
+    s"""((least(CAST(len(t) AS DOUBLE)/100.0, 1.0) * 0.4)
+       |   + ((CAST(len(list_distinct(t)) AS DOUBLE)/len(t)) * 0.4))
+       |   + (least((CAST(len(list_filter(t, x -> list_contains($stopsSql, x))) AS DOUBLE)/len(t)) * 5.0, 1.0) * 0.2)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -149,6 +166,75 @@ object CurationQueries {
               |  SELECT doc_id, unnest(list_distinct($grams3)) AS gram
               |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
               |  WHERE len(t) >= 3)
-              |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin))
+              |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin)),
+
+    // ---- the composed curation chain: quality-filter → exact-dedup →
+    // decontaminate → hash-sample, all already-verified operators fused into
+    // one lazy plan
+    Q("q48_curation_pipeline",
+      (s, d) => {
+        val t = Tables(s, d)
+        Pipeline.curate(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("lang"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, text,
+              |         regexp_split_to_array(text, '\\s+') AS t FROM documents),
+              |q AS (SELECT doc_id, lang, text, $qualitySql AS quality FROM tok),
+              |qual AS (SELECT * FROM q WHERE quality >= 0.5),
+              |keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+              |dd AS (SELECT qual.* FROM qual JOIN keep USING (doc_id)),
+              |bench AS (SELECT doc_id FROM documents
+              |  WHERE substr(md5('dc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.05)}'),
+              |ddg AS (SELECT doc_id, unnest(list_distinct(${gramsN(4)})) AS gram
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM dd)
+              |  WHERE len(t) >= 4),
+              |bg AS (SELECT DISTINCT gram FROM (
+              |  SELECT doc_id, unnest(list_distinct(${gramsN(4)})) AS gram
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              |        FROM documents WHERE doc_id IN (SELECT doc_id FROM bench))
+              |  WHERE len(t) >= 4)),
+              |dirty AS (SELECT DISTINCT doc_id FROM ddg
+              |  WHERE gram IN (SELECT gram FROM bg)),
+              |clean AS (SELECT * FROM dd
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+              |    AND doc_id NOT IN (SELECT doc_id FROM dirty))
+              |SELECT doc_id, lang, quality FROM clean
+              |WHERE substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.5)}'
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dataset profiling (data-card stats): everything in integer
+    // cents so floats can't wobble; percentiles interpolate integers at
+    // dyadic fractions — bit-exact in IEEE double on both engines
+    Q("q49_profile",
+      (s, d) => {
+        val t = Tables(s, d)
+        def prof(c: String) = {
+          val cents = round(col(c) * 100).cast("long")
+          t.lineitem.select(cents.as("c"))
+            .agg(count(lit(1)).as("n"),
+              count_distinct(col("c")).as("n_distinct"),
+              min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
+              sum(col("c")).as("sum_cents"),
+              percentile(col("c").cast("double"), lit(0.25)).as("p25"),
+              percentile(col("c").cast("double"), lit(0.5)).as("p50"),
+              percentile(col("c").cast("double"), lit(0.75)).as("p75"))
+            .select(lit(c).as("column"), col("*"))
+        }
+        prof("l_quantity")
+          .unionByName(prof("l_extendedprice"))
+          .unionByName(prof("l_discount"))
+          .orderBy(col("column"))
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
+           |  min(c) AS min_cents, max(c) AS max_cents,
+           |  CAST(sum(c) AS BIGINT) AS sum_cents,
+           |  quantile_cont(CAST(c AS DOUBLE), 0.25) AS p25,
+           |  quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
+           |  quantile_cont(CAST(c AS DOUBLE), 0.75) AS p75
+           |FROM (SELECT CAST(round($c * 100) AS BIGINT) AS c FROM lineitem)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.curation.{Bm25, Decontaminate, QualitySignals, Redact}
+import graft.curation.{Bm25, Decontaminate, Pipeline, QualitySignals, Redact}
 
 /** Curation-operator semantics not covered by the oracle gate: the clean
   * decontaminated corpus, repetition edge cases, banding of negatives, and
@@ -96,6 +96,24 @@ class CurationSpec extends AnyFunSuite {
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
       assert(!p.contains("SortMergeJoin"), p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("curation pipeline composes: dedup keeps min id, output is stable") {
+    val longText = (1 to 60).map(i => s"w$i").mkString(" ") // quality ≥ 0.5
+    val df = Seq(
+      (5L, longText, "en"),
+      (2L, longText, "en"),              // exact dup — min id 2 survives
+      (7L, "tiny", "en"),                // fails the quality floor
+      (9L, (1 to 60).map(i => s"v$i").mkString(" "), "de")
+    ).toDF("doc_id", "text", "lang")
+    val cfg = Pipeline.CurationConfig(benchFraction = 0.0, sampleFraction = 1.0)
+    val got = Pipeline.curate(df, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 9L), got.toString)
+    // deterministic under re-partitioning
+    val again = Pipeline.curate(df.repartition(7), "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
   }
 
   test("boilerplateGrams finds the common gram with a deterministic cut") {
