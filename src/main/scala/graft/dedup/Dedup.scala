@@ -74,13 +74,38 @@ object Dedup {
     }
   }
 
-  /** k min-hashes over a shingle set (identical to minhashSignature).
-    * Byte-identical to min(md5Hex(s + ":" + w)) but allocation-lean: shingle
-    * UTF-8 bytes are encoded once, the digest consumes prefix and shingle
-    * separately (UTF-8 concatenation is byte concatenation), candidates
-    * compare as unsigned byte arrays (hex is order-preserving), and only
-    * each seed's winner is hex-encoded.
+  // ---- multiply-add minhash mixing ------------------------------------
+  // ONE md5 per shingle (its first 8 bytes are the 64-bit base), then the k
+  // signature elements come from multiply-add universal hashing
+  // v_s = (a_s * base + b_s) mod 2^64 — k times fewer digests than the
+  // md5-per-seed formulation, which dominates CPU at corpus scale. The
+  // constants derive from md5 too, so the DuckDB oracle inlines them as
+  // literals and reproduces every element bit-exactly (HUGEINT product,
+  // mod 2^64, unsigned min). Elements are unsigned-decimal strings (equal
+  // to DuckDB's CAST(ubigint AS VARCHAR)).
+
+  /** per-seed multiply-add constants: a odd and < 2^62 (so the oracle's
+    * HUGEINT product a*h cannot overflow 127 bits), b full 64 bits
     */
+  def mixConst(seed: Int): (Long, Long) =
+    mixCache.getOrElseUpdate(seed, {
+      val a = (longOfMd5(s"a:$seed") & ((1L << 62) - 1)) | 1L
+      val b = longOfMd5(s"b:$seed")
+      (a, b)
+    })
+
+  private val mixCache = scala.collection.concurrent.TrieMap.empty[Int, (Long, Long)]
+
+  /** first 8 digest bytes big-endian — the same value as parsing md5's
+    * first 16 hex chars as an unsigned 64-bit integer
+    */
+  private def longOfMd5(s: String): Long = {
+    val d = md5tl.get()
+    d.reset()
+    java.nio.ByteBuffer.wrap(d.digest(s.getBytes("UTF-8"))).getLong
+  }
+
+  /** k min-hashes over a shingle set (identical to minhashSignature) */
   def minhashOf(shingles: Seq[String], k: Int): Seq[String] =
     minhashOfBytes(shingles.map(_.getBytes("UTF-8")).toArray, k)
 
@@ -88,33 +113,48 @@ object Dedup {
     * hands in UTF8String bytes directly, skipping String round-trips
     */
   def minhashOfBytes(shingleBytes: Array[Array[Byte]], k: Int): Seq[String] = {
+    if (shingleBytes.isEmpty) return Seq.fill(k)(null)
     val d = md5tl.get()
+    val bases = new Array[Long](shingleBytes.length)
+    var i = 0
+    while (i < bases.length) {
+      d.reset()
+      bases(i) = java.nio.ByteBuffer.wrap(d.digest(shingleBytes(i))).getLong
+      i += 1
+    }
     (0 until k).map { s =>
-      val prefix = (s.toString + ":").getBytes("UTF-8")
-      var min: Array[Byte] = null
-      var i = 0
-      while (i < shingleBytes.length) {
-        d.reset()
-        d.update(prefix)
-        d.update(shingleBytes(i))
-        val h = d.digest()
-        if (min == null || java.util.Arrays.compareUnsigned(h, min) < 0) min = h
-        i += 1
+      val (a, b) = mixConst(s)
+      var min = 0L
+      var first = true
+      var j = 0
+      while (j < bases.length) {
+        val v = a * bases(j) + b // wraps mod 2^64, matching the oracle's %
+        if (first || java.lang.Long.compareUnsigned(v, min) < 0) {
+          min = v; first = false
+        }
+        j += 1
       }
-      if (min == null) null else hexOf(min)
+      java.lang.Long.toUnsignedString(min)
     }
   }
 
-  private def hexOf(bytes: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      val v = bytes(i) & 0xff
-      out(i * 2) = hexChars(v >>> 4)
-      out(i * 2 + 1) = hexChars(v & 0xf)
-      i += 1
-    }
-    new String(out)
+  /** DuckDB replica of the signature ([k VARCHAR elements] list expression
+    * over shingle list column `shCol`): nibble-parse md5's first 16 hex
+    * chars to UBIGINT, apply the same inlined (a, b) constants via HUGEINT
+    * product mod 2^64, take the unsigned min
+    */
+  def minhashSigSql(shCol: String, k: Int): String = {
+    val parse =
+      s"""CAST(list_sum(list_transform(range(1,17), i ->
+         |      CAST(strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT), 1)) - 1 AS UBIGINT)
+         |      << CAST((16-i)*4 AS INT))) AS UBIGINT)""".stripMargin
+    (0 until k).map { s =>
+      val (a, b) = mixConst(s)
+      val (aU, bU) = (java.lang.Long.toUnsignedString(a),
+        java.lang.Long.toUnsignedString(b))
+      s"""CAST(list_min(list_transform($shCol, w ->
+         |    CAST((CAST($aU AS HUGEINT) * $parse + $bU) % 18446744073709551616 AS UBIGINT))) AS VARCHAR)""".stripMargin
+    }.mkString("[", ",\n  ", "]")
   }
 
   /** banded hashes of a signature (identical to lshBandHashes) */
@@ -158,12 +198,26 @@ object Dedup {
       .withColumn("keep", row_number().over(w.orderBy(id)) === 1)
   }
 
-  /** MinHash signature of a shingle array: k independent permutations
-    * simulated as min over md5("seed:shingle"). Pure per-row computation.
+  /** MinHash signature of a shingle array — the declarative twin of the
+    * scalar kernel (DedupKernelSpec pins equivalence): md5's first 16 hex
+    * chars parsed to an unsigned 64-bit base (`conv`), multiply-add mixed
+    * per seed in decimal(38,0) arithmetic (the product fits: a < 2^62,
+    * base < 2^64), reduced with a numeric min, emitted as the unsigned
+    * decimal string. Pure per-row computation.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, w => md5(concat(i.cast("string"), lit(":"), w)))))
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+    val elems = (0 until k).map { s =>
+      val (a, b) = mixConst(s)
+      val aDec = lit(new java.math.BigDecimal(java.lang.Long.toUnsignedString(a)))
+      val bDec = lit(new java.math.BigDecimal(java.lang.Long.toUnsignedString(b)))
+      array_min(transform(sh, w => {
+        val base = conv(substring(md5(w), 1, 16), 16, 10).cast("decimal(20,0)")
+        (aDec.cast("decimal(38,0)") * base + bDec) % lit(two64)
+      })).cast("decimal(20,0)").cast("string")
+    }
+    array(elems: _*)
+  }
 
   /** LSH band hashes: the signature is cut into `bands` bands of `rows`
     * minhashes; each band is hashed. Docs sharing any band hash become

@@ -31,15 +31,14 @@ object ClusterQueries {
           .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |docs AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
              |  WHERE len(t) >= 3),
              |signed AS (
-             |  SELECT doc_id, list_transform(range(0, 16), s ->
-             |    list_min(list_transform(sh, w -> md5(CAST(s AS VARCHAR) || ':' || w)))) AS sig
+             |  SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig
              |  FROM docs),
              |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
              |bh AS (

@@ -194,8 +194,7 @@ object TextDedupQueries {
       },
       Some(s"""WITH $shinglesCte,
               |signed AS (
-              |  SELECT doc_id, sh, list_transform(range(0, 16), s ->
-              |    list_min(list_transform(sh, w -> md5(CAST(s AS VARCHAR) || ':' || w)))) AS sig
+              |  SELECT doc_id, sh, ${Dedup.minhashSigSql("sh", 16)} AS sig
               |  FROM docs),
               |banded AS (
               |  SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
