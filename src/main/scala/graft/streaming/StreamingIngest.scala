@@ -162,6 +162,23 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming decontamination: drop stream documents sharing any word
+    * n-gram with the static benchmark set. The benchmark's distinct grams
+    * (an eval suite — small by construction) are collected once and
+    * broadcast; each micro-batch then filters per-row against the shared
+    * in-memory set, so the stream side never shuffles and needs no state.
+    */
+  def streamingDecontaminate(docs: Dataset[DocEvent],
+      bench: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int = 3): Dataset[DocEvent] = {
+    import graft.dedup.Dedup
+    val grams = bench.select(org.apache.spark.sql.functions.col(textCol))
+      .na.drop().collect()
+      .iterator.flatMap(r => Dedup.shinglesOf(r.getString(0), n)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(grams)
+    docs.filter(e => !Dedup.shinglesOf(e.text, n).exists(bc.value.contains))
+  }
+
   /** exactly-once pair stream: keeps a seen-flag per (id1, id2) and passes
     * only the first occurrence (collapses the per-band duplicates of
     * `streamingNearDupLsh` when chained stateful operators are enabled, or

@@ -130,6 +130,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.DocEvent
+    val bench = Seq("held out eval question one", "held out eval question two")
+      .toDF("text")
+    val input = MemoryStream[DocEvent](spark)
+    val out = StreamingIngest.streamingDecontaminate(input.toDS(), bench, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      input.addData(
+        DocEvent(1, "contains held out eval inside it"), // shares a 3-gram
+        DocEvent(2, "completely unrelated clean content"))
+      q.processAllAvailable()
+      input.addData(DocEvent(3, "another eval question one leak"), // overlaps
+        DocEvent(4, "also clean and fine"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").as[DocEvent]
+        .collect().map(_.docId).sorted.toSeq
+      assert(kept == Seq(2L, 4L), kept.toString)
+    } finally q.stop()
+  }
+
   test("firstOccurrenceOnly collapses repeated pair emissions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
