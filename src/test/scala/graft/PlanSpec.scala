@@ -115,4 +115,41 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q34_sessionize")
     assert(p.contains("*("), p)
   }
+
+  test("q44 decontamination broadcasts the benchmark gram set") {
+    val p = plan("q44_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus gram side must not sort-merge against the benchmark
+    assert(!p.contains("SortMergeJoin"), "corpus must stream past a broadcast:\n" + p)
+  }
+
+  test("q46 bm25 never shuffles the corpus: one broadcast of the 1-row stats") {
+    val p = plan("q46_bm25")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row stats frame must broadcast:\n" + p)
+  }
+
+  test("q39/q43 sampling and repetition are pure per-row scans (no exchange before filter/project)") {
+    val p39 = plan("q39_sample_hash")
+    // deterministic hash sampling is a scan + filter + sort for output order:
+    // exactly one exchange (the final global sort), nothing for the filter
+    assert("Exchange".r.findAllIn(p39).size <= 1, p39)
+    val p43 = plan("q43_repetition")
+    assert(!p43.contains("Join"), "repetition stats must not self-join:\n" + p43)
+  }
+
+  test("q47 boilerplate mining takes a bounded top-k, not a global sort") {
+    val p = plan("q47_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), "doc-frequency count must partial-aggregate:\n" + p)
+  }
+
+  test("q49 profile aggregates partially before the exchange") {
+    val p = plan("q49_profile")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
