@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.functions.udaf
+
 import graft.Tables
 import graft.similarity.Similarity
 
@@ -118,6 +120,36 @@ object PipelineQueries {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.v, b.v)
              |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42
-             |ORDER BY id1, id2""".stripMargin))
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- per-window heavy hitters: daily top-3 users by event count via
+    // the bounded top-k aggregate (each upstream partition contributes <=3
+    // rows per day to the exchange; a row_number window would sort every
+    // (day, user) count into one partition per day)
+    Q("q50_window_heavy_hitters",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tk = udaf(new BoundedTopKAgg[HeavyHitter](3,
+          Ordering.by((h: HeavyHitter) => (-h.n, h.userId))))
+        t.events
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("day"))
+          .agg(tk(col("n"), col("user_id")).as("top"))
+          .select(col("day"), posexplode(col("top")))
+          .select(col("day"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.n").as("n"), col("col.userId").as("user_id"))
+          .orderBy(col("day"), col("rn"))
+      },
+      Some("""SELECT day, CAST(rn AS INTEGER) AS rn, n, user_id FROM (
+             |  SELECT day, user_id, n, row_number() OVER (PARTITION BY day
+             |    ORDER BY n DESC, user_id) AS rn
+             |  FROM (SELECT date_trunc('day', ts) AS day, user_id,
+             |        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2))
+             |WHERE rn <= 3
+             |ORDER BY day, rn""".stripMargin))
   )
 }
+
+/** (count, user) heavy-hitter candidate: count desc, user asc */
+final case class HeavyHitter(n: Long, userId: Long)
