@@ -81,9 +81,12 @@ object Clusterize {
     // whole fixpoint loop (each distributed round costs several jobs of
     // fixed overhead). Past the threshold — the genuinely large-component
     // case — the iterative O(log d) loop below is the scale path.
+    // The default is sized for match-value keys up to 600 chars on a 1 GiB
+    // driver (~100k edges ≈ tens of MB of collected Rows); raise
+    // spark.graft.cc.localMaxEdges only alongside driver memory.
     val localMax = e.sparkSession.conf
       .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
-      .getOrElse(1000000L)
+      .getOrElse(100000L)
     val activeEdges = e.count()
     val comps =
       if (activeEdges <= localMax) localComponents(e)
@@ -91,6 +94,19 @@ object Clusterize {
     // ids whose every key was unshared never entered the loop: solo components
     allIds.join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** the SAME order Spark's min()/least() would use: strings compare as
+    * UTF-8 bytes (UTF8String binary order = code-point order, NOT Java
+    * String's UTF-16 code-unit order, which flips supplementary chars vs
+    * U+E000..U+FFFF), everything else by natural Comparable order
+    */
+  private def sparkOrderCompare(x: Any, y: Any): Int = (x, y) match {
+    case (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
   }
 
   /** driver-side union-find over a collected (id, key) edge list; min id per
@@ -126,7 +142,7 @@ object Clusterize {
       val root = find(i)
       val v = ids(i)
       minOf.get(root) match {
-        case Some(m) if m.asInstanceOf[Comparable[Any]].compareTo(v) <= 0 => ()
+        case Some(m) if sparkOrderCompare(m, v) <= 0 => ()
         case _ => minOf.update(root, v)
       }
     }

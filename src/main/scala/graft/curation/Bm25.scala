@@ -13,8 +13,10 @@ import graft.text.TextFunctions
   * count over the bound token array per term — no explode, no join, no
   * shuffle of the corpus). The corpus-level inputs (N, avgdl, per-term
   * document frequencies) are ONE global aggregate producing a single row,
-  * broadcast back via crossJoin. So the whole operator is: one scan with
-  * scalar work, one 1-row aggregate, one broadcast — linear at 100 TB.
+  * broadcast back via crossJoin. The corpus is never shuffled, but it IS
+  * scanned and tokenized twice (once under the stats aggregate, once for
+  * scoring) — persist the tokenized projection upstream if the double scan
+  * matters for your storage tier.
   *
   * Determinism: per-term contributions are summed as one fixed-order column
   * expression, not a float groupBy reduction, so scores are bit-stable under

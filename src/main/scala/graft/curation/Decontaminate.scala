@@ -49,10 +49,13 @@ object Decontaminate {
     */
   def decontaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // dirty is bounded by the benchmark-overlap count (same scale class as
+    // the other broadcast sides) — without the hint a large overlap would
+    // tip the anti-join into a full-corpus sort-merge shuffle
     val dirty = contaminationHits(corpus, bench, idCol, textCol, n)
       .select(col(idCol))
     corpus
       .join(broadcast(bench.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-      .join(dirty, Seq(idCol), "left_anti")
+      .join(broadcast(dirty), Seq(idCol), "left_anti")
   }
 }

@@ -49,7 +49,10 @@ object Dedup {
     new String(out)
   }
 
-  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+  // the SAME whitespace class as TextFunctions.WhitespaceRegex — Java's \s
+  // includes \x0B where RE2's (and the DuckDB oracles') does not
+  private val wsSplit =
+    java.util.regex.Pattern.compile(graft.text.TextFunctions.WhitespaceRegex)
 
   /** distinct n-word shingles, first-occurrence order (same set as
     * TextFunctions.shingles)

@@ -117,9 +117,13 @@ object StreamingIngest {
     * Jaccard is estimated as minhash-signature agreement (the standard
     * streaming approximation; batch re-verification is exact).
     *
-    * State is sharded by bucket hash, so throughput scales with executors;
-    * `maxBucketSize` caps degenerate buckets (identical-document floods)
-    * exactly like the batch path. A pair sharing several bands is emitted
+    * State is sharded by bucket hash, so throughput scales with executors.
+    * `maxBucketSize` bounds degenerate buckets (identical-document floods)
+    * with PREFIX semantics — the first N members pair normally, later
+    * arrivals are neither compared nor stored (a stream cannot retract
+    * already-emitted pairs, so the batch path's drop-the-whole-bucket rule
+    * is unreachable online; re-run batch dedup where exact agreement on
+    * degenerate buckets matters). A pair sharing several bands is emitted
     * once per matching band (at-least-once); run `firstOccurrenceOnly` as a
     * second stage (its own streaming query) or a downstream batch distinct
     * for exactly-once pairs.
