@@ -147,7 +147,37 @@ object PipelineQueries {
              |  FROM (SELECT date_trunc('day', ts) AS day, user_id,
              |        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2))
              |WHERE rn <= 3
-             |ORDER BY day, rn""".stripMargin))
+             |ORDER BY day, rn""".stripMargin)),
+
+    // ---- as-of join: each click joined to the user's latest prior-or-equal
+    // purchase. One shuffle by user + in-partition sort (the window); the
+    // oracle is DuckDB's native ASOF LEFT JOIN, compared at the same µs
+    // precision Spark's timestamps carry
+    Q("q51_asof_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val ev = t.events
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        AsOfJoin.asOf(clicks, purchases, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof.p_event_id").as("p_event_id"),
+            col("asof.ts").as("p_ts"),
+            round(col("asof.p_value") * 100).cast("long").as("p_value_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+             |             event_id AS p_event_id, value AS p_value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts,
+             |  CAST(round(p.p_value * 100) AS BIGINT) AS p_value_cents
+             |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY c.event_id""".stripMargin))
   )
 }
 

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: latest right row with time <= left time, inclusive
+  * boundary, per-key isolation, null when nothing precedes.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("matches latest prior-or-equal right row per key, null before any") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 105.0),
+      (2L, ts("2024-01-01 10:01:00"), 200.0)
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 09:59:59")), // before any quote → null
+      (11L, 1L, ts("2024-01-01 10:00:00")), // equal boundary → 100
+      (12L, 1L, ts("2024-01-01 10:04:59")), // between → 100
+      (13L, 1L, ts("2024-01-01 11:00:00")), // after both → 105
+      (14L, 2L, ts("2024-01-01 10:30:00"))  // other key → 200, never key 1's
+    ).toDF("trade_id", "user_id", "ts")
+    val got = AsOfJoin.asOf(trades, quotes, "user_id", "ts")
+      .select(col("trade_id"), col("asof.px"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      10L -> None, 11L -> Some(100.0), 12L -> Some(100.0),
+      13L -> Some(105.0), 14L -> Some(200.0)))
+  }
+
+  test("single shuffle shape: no join operator in the plan, one window") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "ts", "x")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 9.0)).toDF("k", "ts", "v")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = AsOfJoin.asOf(l, r, "k", "ts").queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), "composed via union+window, not a range join:\n" + p)
+      assert(p.contains("Window"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
