@@ -177,7 +177,51 @@ object PipelineQueries {
              |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts,
              |  CAST(round(p.p_value * 100) AS BIGINT) AS p_value_cents
              |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-             |ORDER BY c.event_id""".stripMargin))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // ---- range join: which error-burst sessions overlap in wall-clock time
+    // across users. Binned candidates (30-min bins, equi-join) + exact
+    // overlap verify — never the quadratic nested-loop a raw inequality
+    // join would plan
+    Q("q52_range_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = t.events.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"))
+          .withColumn("prev", lag(col("ts"), 1).over(byU))
+          .withColumn("new_sess",
+            when(col("prev").isNull
+              || unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000, 1)
+              .otherwise(0))
+          .withColumn("sess", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+          .select((col("user_id") * 100000 + col("sess")).as("sid"),
+            col("start_ts"), col("end_ts"))
+        RangeJoin.intervalOverlaps(sessions, "sid", "start_ts", "end_ts",
+            binMicros = 1800L * 1000000)
+          .select(col("id1"), col("id2"), col("overlap_us"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+             |           FROM events WHERE event_type = 'error'),
+             |sess AS (SELECT user_id, ts,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sess
+             |  FROM (SELECT user_id, ts,
+             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |    FROM e)),
+             |iv AS (SELECT user_id * 100000 + sess AS sid,
+             |         min(ts) AS start_ts, max(ts) AS end_ts
+             |       FROM sess GROUP BY user_id, sess)
+             |SELECT a.sid AS id1, b.sid AS id2,
+             |  epoch_us(least(a.end_ts, b.end_ts)) - epoch_us(greatest(a.start_ts, b.start_ts)) AS overlap_us
+             |FROM iv a JOIN iv b
+             |  ON a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts AND a.sid < b.sid
+             |ORDER BY id1, id2""".stripMargin))
   )
 }
 

@@ -46,6 +46,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       13L -> Some(105.0), 14L -> Some(200.0)))
   }
 
+  test("range join finds overlaps across bins without a nested loop") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 14:00:00")), // long: 4h
+      (2L, ts("2024-01-01 13:30:00"), ts("2024-01-01 13:45:00")), // inside 1
+      (3L, ts("2024-01-01 14:00:00"), ts("2024-01-01 15:00:00")), // touches 1's end
+      (4L, ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00"))  // disjoint
+    ).toDF("sid", "start_ts", "end_ts")
+    val got = RangeJoin.intervalOverlaps(iv, "sid", "start_ts", "end_ts",
+        binMicros = 1800L * 1000000)
+      .select("id1", "id2", "overlap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L)), got.toString)
+    assert(got((1L, 2L)) == 15L * 60 * 1000000, "full containment: 15 min")
+    assert(got((1L, 3L)) == 0L, "boundary touch counts with zero length")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = RangeJoin.intervalOverlaps(iv, "sid", "start_ts", "end_ts",
+          1800L * 1000000).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "binned equi-join expected, not a nested loop:\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("single shuffle shape: no join operator in the plan, one window") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "ts", "x")
