@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages shaped for executor-parallel batch processing.
   *
-  * The actual codec calls are STUBBED behind `MediaCodecs` (this container
-  * ships no image/audio libraries): `decode` parses a deterministic fake
-  * header instead of invoking a real decoder. Everything around the stub —
-  * the schema, the per-partition batching, the column signatures, the
-  * partition-parallel execution — is real: swapping in a JNI/javacpp decoder
-  * is a one-function change.
+  * PIXEL work is STUBBED behind `MediaCodecs` (this container ships no
+  * image/audio libraries): `decode` parses a deterministic fake header
+  * instead of invoking a real decoder. Container-level metadata is NOT
+  * stubbed — [[ImageHeaders]] reads real PNG/JPEG/GIF dimensions straight
+  * from header bytes. Everything around the stub — the schema, the
+  * per-partition batching, the column signatures, the partition-parallel
+  * execution — is real: swapping in a JNI/javacpp decoder is a
+  * one-function change.
   *
   * Scale notes: media rows are large; keep `spark.sql.files.maxPartitionBytes`
   * at the default 128 MB so tasks stay memory-bounded, and store binaries in

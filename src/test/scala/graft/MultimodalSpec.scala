@@ -69,4 +69,45 @@ class MultimodalSpec extends AnyFunSuite {
     val topk = Similarity.cosineTopK(withEmb, withEmb, "vec_id", "embedding", 2)
     assert(topk.count() == 6, "3 queries × 2 neighbors")
   }
+
+  test("image header parsing reads real PNG/JPEG/GIF dimensions from bytes") {
+    import spark.implicits._
+    import graft.multimodal.ImageHeaders
+
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 10)
+      bb.put(Array(0xff, 0xd8).map(_.toByte))
+      bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)
+        .put(new Array[Byte](14)) // APP0 segment to skip over
+      bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(8)
+        .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+
+    val df = Seq(
+      (1L, png(640, 480)), (2L, jpeg(800, 600)), (3L, gif(320, 200)),
+      (4L, "not an image".getBytes("UTF-8")), (5L, png(1, 1).take(12))
+    ).toDF("id", "content")
+    val got = ImageHeaders.withImageDims(df, "content")
+      .select("id", "img_format", "img_width", "img_height").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(got(1L) == Some(("png", 640, 480)))
+    assert(got(2L) == Some(("jpeg", 800, 600)))
+    assert(got(3L) == Some(("gif", 320, 200)))
+    assert(got(4L).isEmpty, "garbage bytes parse to null, never throw")
+    assert(got(5L).isEmpty, "truncated header parses to null")
+  }
 }
