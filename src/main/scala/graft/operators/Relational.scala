@@ -358,6 +358,51 @@ object Relational {
              |  count(DISTINCT l_suppkey) AS n_suppliers
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY date_trunc('month', o_orderdate) ORDER BY month""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- hopping (sliding) windows: 1-hour windows every 15 minutes — the
+    // batch twin of the streaming windowed aggregation; each event lands in
+    // exactly len/slide windows, assigned per-row (no join)
+    Q("q53_hopping_window",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.events
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n"), col("value_cents"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""SELECT make_timestamp(start_us) AS window_start,
+             |  make_timestamp(start_us + 3600000000) AS window_end,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM (
+             |  SELECT event_type, value,
+             |    (epoch_us(ts) // 900000000 - k) * 900000000 AS start_us
+             |  FROM events, unnest(range(0, 4)) AS t(k))
+             |GROUP BY start_us, event_type
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- pivot: per-user event-type count matrix (dynamic column family
+    // with an explicit value list, so the schema is plan-time-stable)
+    Q("q54_pivot",
+      (s, d) => {
+        val t = Tables(s, d)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = t.events.groupBy(col("user_id"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        pivoted.select(col("user_id") +: types.map(ty =>
+            coalesce(col(ty), lit(0L)).as(ty)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
