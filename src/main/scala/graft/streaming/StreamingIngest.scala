@@ -128,9 +128,20 @@ object StreamingIngest {
     * second stage (its own streaming query) or a downstream batch distinct
     * for exactly-once pairs.
     */
+  /** @param memberTtlMs when > 0, members older than this are lazily
+    *   evicted from a bucket the next time the bucket receives data —
+    *   windowed near-dup semantics with bounded per-bucket history. 0
+    *   keeps members forever (full-history dedup, the default). Eviction
+    *   is lazy by design: an untouched bucket holds at most
+    *   `maxBucketSize` members, and avoiding Spark's timer machinery
+    *   keeps the operator deterministic and replayable.
+    * @param clock injectable time source for the TTL (tests pin it;
+    *   production uses the default wall clock)
+    */
   def streamingNearDupLsh(docs: Dataset[DocEvent], shingleLen: Int = 3,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): Dataset[CandidatePair] = {
+      maxBucketSize: Int = 1000, memberTtlMs: Long = 0L,
+      clock: () => Long = () => System.currentTimeMillis()): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     import graft.dedup.Dedup
     val banded = docs.flatMap { e =>
@@ -144,21 +155,23 @@ object StreamingIngest {
     }
     banded
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState[Seq[(Long, Seq[String])], CandidatePair](
+      .flatMapGroupsWithState[Seq[(Long, Seq[String], Long)], CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, batch, state: GroupState[Seq[(Long, Seq[String])]]) =>
+        case (_, batch, state: GroupState[Seq[(Long, Seq[String], Long)]]) =>
+          val now = clock()
           var members = state.getOption.getOrElse(Seq.empty)
+          if (memberTtlMs > 0) members = members.filter(now - _._3 <= memberTtlMs)
           val out = Seq.newBuilder[CandidatePair]
           batch.toSeq.sortBy(_.docId).foreach { d =>
             if (!members.exists(_._1 == d.docId) && members.size < maxBucketSize) {
-              members.foreach { case (oid, osig) =>
+              members.foreach { case (oid, osig, _) =>
                 val agree = d.sig.zip(osig).count { case (a, b) => a == b }
                 val est = agree.toDouble / d.sig.length
                 if (est >= threshold)
                   out += CandidatePair(math.min(d.docId, oid),
                     math.max(d.docId, oid), est)
               }
-              members = members :+ ((d.docId, d.sig))
+              members = members :+ ((d.docId, d.sig, now))
             }
           }
           state.update(members)

@@ -130,6 +130,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH member TTL evicts stale bucket members (windowed mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{CandidatePair, DocEvent}
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[DocEvent](spark)
+    StreamingSpec.clockNow = 1000L
+    val out = StreamingIngest.streamingNearDupLsh(input.toDS(),
+      threshold = 0.5, memberTtlMs = 1000L, clock = () => StreamingSpec.clockNow)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_ttl_out").start()
+    try {
+      input.addData(DocEvent(1, near1))
+      q.processAllAvailable()
+      StreamingSpec.clockNow = 1500L // within TTL of doc 1
+      input.addData(DocEvent(2, near1))
+      q.processAllAvailable()
+      StreamingSpec.clockNow = 5000L // both members now stale
+      input.addData(DocEvent(9, near1))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_ttl_out").as[CandidatePair].collect()
+        .map(p => (p.id1, p.id2)).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"only the in-window pair survives the TTL: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops benchmark-overlapping docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -188,4 +215,11 @@ class StreamingSpec extends AnyFunSuite {
       "latest version wins regardless of arrival order")
     assert(out.find(_.localId == "b").get.sourceVersion == 1)
   }
+}
+
+/** shared clock for the TTL test: statics cross Spark's closure
+  * serialization inside a single local JVM
+  */
+object StreamingSpec {
+  @volatile var clockNow: Long = 0L
 }
