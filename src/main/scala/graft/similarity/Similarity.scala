@@ -123,38 +123,112 @@ object Similarity {
     * one equi-join keyed by cent_id: a query touches ~nProbe/nCentroids of
     * the corpus instead of all of it.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 32,
-      nProbe: Int = 2): DataFrame = {
-    val cents = corpus
+  /** the deterministic md5-sampled seed centroid set (size independent of
+    * |corpus|, reproducible in the SQL oracle)
+    */
+  private def sampledCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int): Seq[(Any, Seq[Double])] =
+    corpus
       .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cv"))
       .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
       .limit(nCentroids)
       .collect()
-      .map(r => (r.get(0), r.getSeq[Double](1)))
+      .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
 
-    // nearest `n` centroid ids of a vector, ordered (cos desc, cent_id asc):
-    // score every centroid literal, sort the (−cos, cent_id) structs, slice
-    def nearest(v: Column, n: Int): Column = {
-      val scoredCents = array(cents.map { case (cid, cv) =>
-        struct((-cosine(v, array(cv.map(lit): _*))).as("neg"),
-          lit(cid).as("cent_id"))
-      }.toSeq: _*)
-      transform(slice(array_sort(scoredCents), 1, n), s => s.getField("cent_id"))
-    }
+  /** nearest `n` centroid ids of a vector, ordered (cos desc, cent_id asc):
+    * score every centroid literal, sort the (−cos, cent_id) structs, slice —
+    * pure per-row column work, no join, no shuffle
+    */
+  private def nearestOf(cents: Seq[(Any, Seq[Double])], v: Column,
+      n: Int): Column = {
+    val scoredCents = array(cents.map { case (cid, cv) =>
+      struct((-cosine(v, array(cv.map(lit): _*))).as("neg"),
+        lit(cid).as("cent_id"))
+    }: _*)
+    transform(slice(array_sort(scoredCents), 1, n), s => s.getField("cent_id"))
+  }
 
+  private def ivfWithCentroids(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, cents: Seq[(Any, Seq[Double])],
+      nProbe: Int): DataFrame = {
     val lists = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv2"))
-      .withColumn("cent_id", element_at(nearest(col("cv2"), 1), 1))
+      .withColumn("cent_id", element_at(nearestOf(cents, col("cv2"), 1), 1))
     val probes = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("cent_id", explode(nearest(col("qv"), nProbe)))
+      .withColumn("cent_id", explode(nearestOf(cents, col("qv"), nProbe)))
     val scored = probes.join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv2"))
       .distinct()
       .withColumn("cos", cosine(col("qv"), col("cv2")))
     rankTopK(scored, k)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 32,
+      nProbe: Int = 2): DataFrame =
+    ivfWithCentroids(queries, corpus, idCol, vecCol, k,
+      sampledCentroids(corpus, idCol, vecCol, nCentroids), nProbe)
+
+  final case class KMeansModel(centroids: Seq[(Any, Seq[Double])],
+      inertia: Seq[Double])
+
+  /** Spherical k-means (Lloyd) refinement of the sampled seed centroids:
+    * each iteration assigns every corpus vector to its nearest centroid by
+    * cosine (per-row against the centroid literals — no join) and replaces
+    * each centroid with its cluster mean (per-dimension distributed sums via
+    * posexplode; k × dim cells come back to the driver). Empty clusters keep
+    * their previous centroid. `inertia` records sum(1 − cos) per iteration —
+    * non-increasing up to float wobble, the convergence signal.
+    *
+    * Cost: `iters` scans of the corpus with O(k × dim) flops per row — the
+    * textbook k-means cost model; train on a sample at 100 TB.
+    */
+  def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): KMeansModel = {
+    var cents: Seq[(Any, Seq[Double])] =
+      sampledCentroids(corpus, idCol, vecCol, nCentroids)
+        .zipWithIndex.map { case ((_, cv), i) => (i: Any, cv) }
+    val vecs = corpus.select(asDouble(col(vecCol)).as("v"))
+    val inertias = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val best = element_at(slice(array_sort(array(cents.map { case (cid, cv) =>
+        struct((-cosine(col("v"), array(cv.map(lit): _*))).as("neg"),
+          lit(cid).as("cent_id"))
+      }: _*)), 1, 1), 1)
+      val assigned = vecs.select(col("v"),
+        best.getField("cent_id").as("cid"),
+        (lit(1.0) + best.getField("neg")).as("dist")) // 1 - cos
+      inertias += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
+      val cells = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        cells.get(cid.asInstanceOf[Int]) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1))
+              .map(r => r.getDouble(2) / r.getLong(3)).toSeq
+            (cid, mean)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    KMeansModel(cents, inertias.result())
+  }
+
+  /** IVF ANN over Lloyd-trained centroids — the quality step beyond the
+    * deterministic sampled quantizer (which remains the oracle-checked
+    * default, q36)
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 32, nProbe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val model = trainCentroidsKMeans(corpus, idCol, vecCol, nCentroids, iters)
+    ivfWithCentroids(queries, corpus, idCol, vecCol, k, model.centroids, nProbe)
   }
 
   /** DuckDB SQL fragment replicating [[lshBuckets]] for a DOUBLE[] column

@@ -74,4 +74,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.length == 6)
     assert(rows.map(_.getInt(1)).toSet == Set(1, 2, 3))
   }
+
+  /** three well-separated clusters around orthogonal directions with small
+    * deterministic jitter
+    */
+  private def clustered(nPer: Int): DataFrame = {
+    import spark.implicits._
+    (0 until 3 * nPer).map { i =>
+      val c = i % 3
+      val v = (0 until 8).map { j =>
+        val base = if (j == c * 2) 1.0f else 0.0f
+        base + 0.05f * math.sin(i * 13 + j * 5).toFloat
+      }.toArray
+      (i.toLong, c, v)
+    }.toDF("vec_id", "truth", "embedding")
+  }
+
+  test("k-means training converges and recovers separated clusters") {
+    val df = clustered(40)
+    val model = Similarity.trainCentroidsKMeans(df, "vec_id", "embedding",
+      nCentroids = 3, iters = 4)
+    // inertia never increases (spherical k-means objective, float slack)
+    model.inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: ${model.inertia}")
+    }
+    assert(model.inertia.last < model.inertia.head,
+      s"training made no progress: ${model.inertia}")
+    // trained centroids separate the true clusters: nearest-centroid
+    // assignment maps each truth label to exactly one centroid
+    val assign = Similarity.ivfTopKTrained(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding",
+      k = 5, nCentroids = 3, nProbe = 1, iters = 4)
+    // each query's neighbors all share its own truth cluster (queries 0,1,2
+    // are one per cluster; clusters are orthogonal so cross-cluster cos ~ 0)
+    val truthOf = df.select("vec_id", "truth").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assign.collect().foreach { r =>
+      val q = r.getLong(0)
+      val n = r.getLong(2)
+      assert(truthOf(n) == truthOf(q),
+        s"query $q (cluster ${truthOf(q)}) got neighbor $n from cluster ${truthOf(n)}")
+    }
+  }
 }
