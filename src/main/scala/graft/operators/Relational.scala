@@ -403,6 +403,47 @@ object Relational {
              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
              |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- rollup grouping sets: subtotals per (returnflag, linestatus),
+    // per returnflag, and grand total in one aggregation pass
+    Q("q55_rollup",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- moving-window aggregate: 7-row rolling sum of event value per
+    // user, integer cents so accumulation strategy differences (running
+    // subtract vs segment tree) cannot flip float bits
+    Q("q56_moving_sum",
+      (s, d) => {
+        val t = Tables(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        t.events
+          .select(col("user_id"), col("event_id"), col("ts"),
+            cents(col("value")).as("value_cents"))
+          .withColumn("moving_cents", sum(col("value_cents")).over(w))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  CAST(round(value*100) AS BIGINT) AS value_cents,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
+             |FROM events
+             |ORDER BY user_id, ts, event_id""".stripMargin))
   )
 }
