@@ -72,6 +72,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("as-of join agrees with a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // unique (key, time) per side so the match is unambiguous
+    val leftRows = Seq.tabulate(300)(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L + i)))
+    val rightRows = Seq.tabulate(200)(i =>
+      ((rnd.nextInt(5) + 1).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L + 500000L + i),
+        i.toDouble))
+    val l = leftRows.toDF("lid", "k", "ts")
+    val r = rightRows.toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.asOf(l, r, "k", "ts")
+      .select(col("lid"), col("asof.v"))
+      .collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    leftRows.foreach { case (lid, k, lts) =>
+      val want = rightRows.filter(rr => rr._1 == k && !rr._2.after(lts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got(lid) == want, s"lid=$lid k=$k ts=$lts")
+    }
+  }
+
+  test("range join result is invariant to bin width and matches brute force") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val ivRows = Seq.tabulate(200) { i =>
+      val s = 1700000000000L + rnd.nextInt(500000) * 1000L
+      // lengths up to 60s: the 1s-bin case still spans ~60 bins per interval
+      (i.toLong, new Timestamp(s), new Timestamp(s + rnd.nextInt(60000) * 1000L))
+    }
+    val iv = ivRows.toDF("sid", "start_ts", "end_ts")
+    val want = (for {
+      a <- ivRows; b <- ivRows
+      if a._1 < b._1 && !a._2.after(b._3) && !b._2.after(a._3)
+    } yield (a._1, b._1)).toSet
+    for (binMs <- Seq(1000L, 60000L, 3600000L)) {
+      val got = RangeJoin.intervalOverlaps(iv, "sid", "start_ts", "end_ts",
+          binMicros = binMs * 1000)
+        .select("id1", "id2").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"binMs=$binMs: ${got.diff(want)} extra, ${want.diff(got)} missing")
+    }
+  }
+
   test("single shuffle shape: no join operator in the plan, one window") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "ts", "x")
