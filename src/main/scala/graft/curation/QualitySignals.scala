@@ -74,6 +74,36 @@ object QualitySignals {
         .otherwise(lit(0.0)).as("top_gram_frac"))
   }
 
+  /** Shannon entropy of the token distribution (nats): H = ln(n) − (Σ c·ln c)/n
+    * over per-token counts c — low entropy flags repetitive/templated text
+    * (a Gopher-family quality signal). Computed per-row on the SORTED token
+    * array with one run-length fold accumulating Σ c·ln c as each equal-run
+    * closes — no per-row explode, no shuffle. Empty arrays → 0.0.
+    *
+    * Goes through `ln`, so cross-engine comparison should quantize
+    * (`round(H * 1e4)`), like BM25.
+    */
+  def tokenEntropy(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s"),
+        lit(0L).as("n")),
+      (acc, x) => {
+        val closes = x =!= acc("prev") && acc("run") > 0
+        val closedS = when(closes,
+          acc("s") + acc("run").cast("double") * log(acc("run").cast("double")))
+          .otherwise(acc("s"))
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), closedS.as("s"),
+          (acc("n") + lit(1L)).as("n"))
+      },
+      acc => when(acc("n") === 0, lit(0.0)).otherwise(
+        log(acc("n").cast("double"))
+          - (acc("s") + acc("run").cast("double") * log(acc("run").cast("double")))
+            / acc("n").cast("double")))
+    folded
+  }
+
   /** Corpus-level boilerplate candidates: the k word n-grams appearing in the
     * most documents (each document votes once per distinct gram). The groupBy
     * partial-aggregates map-side; the final top-k is a TakeOrdered over

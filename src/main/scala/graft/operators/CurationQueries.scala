@@ -168,6 +168,30 @@ object CurationQueries {
               |  WHERE len(t) >= 3)
               |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin)),
 
+    // ---- token-distribution Shannon entropy (low = repetitive/templated
+    // text): one per-row run-length fold over the sorted token array — no
+    // explode, no shuffle; quantized because ln's last ulp is libm-dependent
+    Q("q57_token_entropy",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            round(QualitySignals.tokenEntropy(col("t")) * 10000)
+              .cast("long").as("entropy_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(round((ln(n) - s / n) * 10000) AS BIGINT) AS entropy_q
+             |FROM (
+             |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+             |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+             |  FROM (SELECT doc_id, tok, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             |              FROM documents)
+             |        GROUP BY doc_id, tok)
+             |  GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- the composed curation chain: quality-filter → exact-dedup →
     // decontaminate → hash-sample, all already-verified operators fused into
     // one lazy plan

@@ -98,6 +98,23 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("tokenEntropy matches hand-computed values") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "a")),          // uniform single token → 0
+      (2L, Seq("a", "b", "c", "d")),          // uniform distinct → ln 4
+      (3L, Seq("a", "a", "b")),               // ln 3 − (2 ln 2)/3
+      (4L, Seq.empty[String])                 // empty → 0
+    ).toDF("id", "toks")
+    val got = df.select(col("id"),
+        QualitySignals.tokenEntropy(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(4)) < 1e-12, got(2L).toString)
+    assert(math.abs(got(3L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12,
+      got(3L).toString)
+    assert(got(4L) == 0.0)
+  }
+
   test("curation pipeline composes: dedup keeps min id, output is stable") {
     val longText = (1 to 60).map(i => s"w$i").mkString(" ") // quality ≥ 0.5
     val df = Seq(

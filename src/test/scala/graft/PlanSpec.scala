@@ -152,4 +152,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q51 as-of join is union + window, never a range join") {
+    val p = plan("q51_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "no join operator — union + running last:\n" + p)
+  }
+
+  test("q52 range join is a binned equi-join, never a nested loop") {
+    val p = plan("q52_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q55 rollup expands grouping sets with partial aggregation") {
+    val p = plan("q55_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q57 token entropy is a pure per-row scan, no explode-aggregate") {
+    val p = plan("q57_token_entropy")
+    assert(!p.contains("Generate"), "no explode — per-row fold:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
 }
