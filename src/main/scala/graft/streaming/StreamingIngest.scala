@@ -246,6 +246,25 @@ object StreamingIngest {
       }
   }
 
+  /** Stream record batches into a Reservoir: each micro-batch runs the SAME
+    * idempotent ingest the batch path uses (MERGE by natural key +
+    * incremental clusterize), so an at-least-once replay after restart
+    * converges to the same store — the streaming twin of the reference's
+    * ingest pipeline, wired through foreachBatch. Expects the batch-ingest
+    * schema (localId, sourceId, sourceVersion, payloadJson, delete).
+    * Set `checkpointDir` on a real cluster so offsets survive restarts.
+    */
+  def streamIntoReservoir(records: DataFrame, reservoir: graft.api.Reservoir,
+      localIdPath: Option[String] = None,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = records.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { reservoir.ingest(batch, localIdPath); () }
+      }
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()
+  }
+
   /** run a streaming frame to a named in-memory sink until drained (local
     * verification path; on a cluster this would be writeStream to the
     * catalog with checkpointLocation)

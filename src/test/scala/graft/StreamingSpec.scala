@@ -201,6 +201,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming records flow into the Reservoir and cluster across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.{MatchKeyConfig, Reservoir}
+    val dir = Files.createTempDirectory("graft-stream-res").toString
+    val r = new Reservoir(spark, dir, "t1")
+    r.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
+    def payload(localId: String, issn: String) =
+      s"""{"marc":{"leader":"x","fields":[{"001":"$localId"}]},"inventory":{"issn":["$issn"]}}"""
+    val input = MemoryStream[(String, String, Int, String, Boolean)](spark)
+    val stream = input.toDS()
+      .toDF("localId", "sourceId", "sourceVersion", "payloadJson", "delete")
+    val q = StreamingIngest.streamIntoReservoir(stream, r)
+    try {
+      input.addData(("A", "S1", 1, payload("A", "01"), false),
+        ("B", "S1", 1, payload("B", "02"), false))
+      q.processAllAvailable()
+      assert(r.records(null).count() == 2)
+      assert(r.clusters("issn").count() == 2, "disjoint issns → two clusters")
+      // a later micro-batch bridges the two clusters via a shared issn
+      input.addData(("C", "S1", 1,
+        s"""{"marc":{"leader":"x","fields":[{"001":"C"}]},"inventory":{"issn":["01","02"]}}""",
+        false))
+      q.processAllAvailable()
+      assert(r.records(null).count() == 3)
+      val docs = r.clusters("issn").collect()
+      assert(docs.length == 1, s"merge leaves one live cluster, got ${docs.length}")
+      val localIds = docs(0).getSeq[org.apache.spark.sql.Row](
+        docs(0).fieldIndex("records")).map(_.getString(2)).toSet
+      assert(localIds == Set("A", "B", "C"),
+        s"the merged cluster holds all three records: $localIds")
+    } finally q.stop()
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
