@@ -81,11 +81,13 @@ object QualitySignals {
     * closes — no per-row explode, no shuffle. Empty arrays → 0.0.
     *
     * Goes through `ln`, so cross-engine comparison should quantize
-    * (`round(H * 1e4)`), like BM25.
+    * (`round(H * 1e4)`), like BM25. Null elements are dropped first — a
+    * null inside the fold would void the run-close comparison and corrupt
+    * the accumulated sum.
     */
   def tokenEntropy(arr: Column): Column = {
     val folded = aggregate(
-      array_sort(arr),
+      array_sort(filter(arr, x => x.isNotNull)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s"),
         lit(0L).as("n")),
       (acc, x) => {

@@ -55,7 +55,9 @@ object ImageHeaders {
     while (i + 3 < b.length) {
       if (u8(b(i)) != 0xff) return None // not a marker boundary: corrupt
       val marker = u8(b(i + 1))
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+      if (marker == 0xff) {
+        i += 1 // optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
         i += 2 // standalone marker, no length field
       } else if (marker >= 0xc0 && marker <= 0xcf
           && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

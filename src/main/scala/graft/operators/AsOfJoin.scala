@@ -24,27 +24,36 @@ import org.apache.spark.sql.types.StructType
 object AsOfJoin {
 
   /** left.* plus an `asof` struct holding the matched right row (null when
-    * no right row precedes the left row for its key)
+    * no right row precedes the left row for its key). SQL ASOF equi-key
+    * semantics for NULLs: a NULL key or NULL time never matches — such left
+    * rows pass through with a null `asof` (the LEFT side is preserved),
+    * such right rows match nothing.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
-    val l = left.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-      lit(1).as("_side"),
-      struct(left.columns.map(col).toSeq: _*).as("_lrow"),
-      lit(null).cast(rType).as("_rrow"))
-    val r = right.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-      lit(0).as("_side"),
-      lit(null).cast(lType).as("_lrow"),
-      struct(right.columns.map(col).toSeq: _*).as("_rrow"))
+    val matchable = col(keyCol).isNotNull && col(timeCol).isNotNull
+    val l = left.filter(matchable)
+      .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+        lit(1).as("_side"),
+        struct(left.columns.map(col).toSeq: _*).as("_lrow"),
+        lit(null).cast(rType).as("_rrow"))
+    val r = right.filter(matchable)
+      .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(lType).as("_lrow"),
+        struct(right.columns.map(col).toSeq: _*).as("_rrow"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("asof", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(left.columns.map(c => col(s"_lrow.$c").as(c)).toSeq
         :+ col("asof"): _*)
+    val unmatchable = left.filter(!matchable || matchable.isNull)
+      .withColumn("asof", lit(null).cast(rType))
+    matched.unionByName(unmatchable)
   }
 }

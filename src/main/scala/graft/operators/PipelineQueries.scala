@@ -159,9 +159,13 @@ object PipelineQueries {
         val ev = t.events
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
+        // ns→µs truncation can tie purchases at the same (user, µs); keep
+        // the max-event_id row so the as-of match is total-ordered on both
+        // engines (AsOfJoin requires unique (key, time) on the right)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"),
-            col("event_id").as("p_event_id"), col("value").as("p_value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"),
+            max_by(col("value"), col("event_id")).as("p_value"))
         AsOfJoin.asOf(clicks, purchases, "user_id", "ts")
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof.p_event_id").as("p_event_id"),
@@ -172,8 +176,10 @@ object PipelineQueries {
       Some("""WITH c AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
              |           FROM events WHERE event_type = 'click'),
              |p AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
-             |             event_id AS p_event_id, value AS p_value
-             |      FROM events WHERE event_type = 'purchase')
+             |             max(event_id) AS p_event_id,
+             |             max_by(value, event_id) AS p_value
+             |      FROM events WHERE event_type = 'purchase'
+             |      GROUP BY user_id, make_timestamp(epoch_us(ts)))
              |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts,
              |  CAST(round(p.p_value * 100) AS BIGINT) AS p_value_cents
              |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts

@@ -31,8 +31,11 @@ object RangeJoin {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.s").as("s1"), col("a.e").as("e1"),
         col("b.s").as("s2"), col("b.e").as("e2"))
-      .distinct()
+      // verify BEFORE distinct: non-overlapping bin cohabitants never
+      // reach the dedup exchange (the filter is deterministic per pair,
+      // so the surviving set is identical)
       .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .distinct()
       .withColumn("overlap_us",
         unix_micros(least(col("e1"), col("e2")))
           - unix_micros(greatest(col("s1"), col("s2"))))

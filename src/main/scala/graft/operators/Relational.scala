@@ -443,7 +443,8 @@ object Relational {
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
              |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
-             |FROM events
+             |FROM (SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
+             |      FROM events)
              |ORDER BY user_id, ts, event_id""".stripMargin))
   )
 }

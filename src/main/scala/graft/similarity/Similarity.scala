@@ -177,20 +177,31 @@ object Similarity {
   /** Spherical k-means (Lloyd) refinement of the sampled seed centroids:
     * each iteration assigns every corpus vector to its nearest centroid by
     * cosine (per-row against the centroid literals — no join) and replaces
-    * each centroid with its cluster mean (per-dimension distributed sums via
-    * posexplode; k × dim cells come back to the driver). Empty clusters keep
-    * their previous centroid. `inertia` records sum(1 − cos) per iteration —
-    * non-increasing up to float wobble, the convergence signal.
+    * each centroid with the mean of its cluster's L2-NORMALIZED members
+    * (per-dimension distributed sums via posexplode; k × dim cells come
+    * back to the driver). Normalizing before averaging is what makes the
+    * spherical objective sum(1 − cos) non-increasing for mixed-norm inputs
+    * — the raw mean is dominated by large-norm members and can move the
+    * centroid AWAY from the cosine-optimal direction. Zero-norm vectors are
+    * excluded from training (cosine is undefined for them); empty clusters
+    * keep their previous centroid. `inertia` records sum(1 − cos) per
+    * iteration — non-increasing up to float wobble, the convergence signal.
     *
     * Cost: `iters` scans of the corpus with O(k × dim) flops per row — the
-    * textbook k-means cost model; train on a sample at 100 TB.
+    * textbook k-means cost model; the per-iteration frame is persisted so
+    * the inertia and the mean aggregates share one scan. Train on a sample
+    * at 100 TB.
     */
   def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int): KMeansModel = {
     var cents: Seq[(Any, Seq[Double])] =
       sampledCentroids(corpus, idCol, vecCol, nCentroids)
         .zipWithIndex.map { case ((_, cv), i) => (i: Any, cv) }
-    val vecs = corpus.select(asDouble(col(vecCol)).as("v"))
+    val raw = corpus.select(asDouble(col(vecCol)).as("v0"))
+    val vecs = raw
+      .withColumn("_n", sqrt(dot(col("v0"), col("v0"))))
+      .filter(col("_n") > 0)
+      .select(transform(col("v0"), x => x / col("_n")).as("v"))
     val inertias = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
       val best = element_at(slice(array_sort(array(cents.map { case (cid, cv) =>
@@ -200,22 +211,25 @@ object Similarity {
       val assigned = vecs.select(col("v"),
         best.getField("cent_id").as("cid"),
         (lit(1.0) + best.getField("neg")).as("dist")) // 1 - cos
-      inertias += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
-      val cells = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect()
-        .groupBy(_.getInt(0))
-      cents = cents.map { case (cid, old) =>
-        cells.get(cid.asInstanceOf[Int]) match {
-          case Some(rows) =>
-            val mean = rows.sortBy(_.getInt(1))
-              .map(r => r.getDouble(2) / r.getLong(3)).toSeq
-            (cid, mean)
-          case None => (cid, old) // empty cluster keeps its centroid
+        .persist()
+      try {
+        inertias += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
+        val cells = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cents = cents.map { case (cid, old) =>
+          cells.get(cid.asInstanceOf[Int]) match {
+            case Some(rows) =>
+              val mean = rows.sortBy(_.getInt(1))
+                .map(r => r.getDouble(2) / r.getLong(3)).toSeq
+              (cid, mean)
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
         }
-      }
+      } finally assigned.unpersist()
     }
     KMeansModel(cents, inertias.result())
   }

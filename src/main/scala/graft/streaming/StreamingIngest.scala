@@ -135,13 +135,16 @@ object StreamingIngest {
     *   is lazy by design: an untouched bucket holds at most
     *   `maxBucketSize` members, and avoiding Spark's timer machinery
     *   keeps the operator deterministic and replayable.
-    * @param clock injectable time source for the TTL (tests pin it;
-    *   production uses the default wall clock)
+    * @param clock injectable time source for the TTL (tests pin it). The
+    *   default None uses `GroupState.getCurrentProcessingTimeMs`, which is
+    *   pinned per micro-batch in the offset log — so a replayed batch sees
+    *   the SAME time and evicts identically, keeping the operator
+    *   deterministic across restarts (a raw wall clock would not).
     */
   def streamingNearDupLsh(docs: Dataset[DocEvent], shingleLen: Int = 3,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucketSize: Int = 1000, memberTtlMs: Long = 0L,
-      clock: () => Long = () => System.currentTimeMillis()): Dataset[CandidatePair] = {
+      clock: Option[() => Long] = None): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     import graft.dedup.Dedup
     val banded = docs.flatMap { e =>
@@ -158,7 +161,8 @@ object StreamingIngest {
       .flatMapGroupsWithState[Seq[(Long, Seq[String], Long)], CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (_, batch, state: GroupState[Seq[(Long, Seq[String], Long)]]) =>
-          val now = clock()
+          val now = clock.map(_.apply())
+            .getOrElse(state.getCurrentProcessingTimeMs())
           var members = state.getOption.getOrElse(Seq.empty)
           if (memberTtlMs > 0) members = members.filter(now - _._3 <= memberTtlMs)
           val out = Seq.newBuilder[CandidatePair]

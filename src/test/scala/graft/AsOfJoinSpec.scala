@@ -72,6 +72,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("NULL keys and times never match, left rows are preserved") {
+    import spark.implicits._
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (None, Some(ts("2024-01-01 09:00:00")), 666.0), // null key: matches nothing
+      (Some(2L), None, 777.0)                          // null time: matches nothing
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, Some(1L), Some(ts("2024-01-01 11:00:00"))), // normal match → 100
+      (11L, None, Some(ts("2024-01-01 11:00:00"))),     // null key → null asof
+      (12L, Some(2L), Some(ts("2024-01-01 11:00:00"))), // only null-time quote → null
+      (13L, Some(1L), None)                             // null time → null asof
+    ).toDF("trade_id", "user_id", "ts")
+    val got = graft.operators.AsOfJoin.asOf(trades, quotes, "user_id", "ts")
+      .select(col("trade_id"), col("asof.px"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(10L -> Some(100.0), 11L -> None, 12L -> None, 13L -> None),
+      got.toString)
+  }
+
   test("as-of join agrees with a brute-force reference on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

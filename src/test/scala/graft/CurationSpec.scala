@@ -113,6 +113,12 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got(3L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12,
       got(3L).toString)
     assert(got(4L) == 0.0)
+    // null elements are dropped, not allowed to corrupt the fold
+    val withNulls = Seq((9L, Seq("a", null, "a", null)))
+      .toDF("id", "toks")
+      .select(QualitySignals.tokenEntropy(col("toks")).as("h"))
+      .collect()(0).getDouble(0)
+    assert(withNulls == 0.0, s"two 'a' tokens → H = 0, got $withNulls")
   }
 
   test("curation pipeline composes: dedup keeps min id, output is stable") {

@@ -96,9 +96,18 @@ class MultimodalSpec extends AnyFunSuite {
       bb.array()
     }
 
+    // JPEG with legal 0xFF fill padding before the SOF marker (T.81 B.1.1.2)
+    val jpegPadded = {
+      val base = jpeg(800, 600)
+      val out = java.nio.ByteBuffer.allocate(base.length + 2)
+      out.put(base, 0, 2).put(0xff.toByte).put(0xff.toByte)
+        .put(base, 2, base.length - 2)
+      out.array()
+    }
     val df = Seq(
       (1L, png(640, 480)), (2L, jpeg(800, 600)), (3L, gif(320, 200)),
-      (4L, "not an image".getBytes("UTF-8")), (5L, png(1, 1).take(12))
+      (4L, "not an image".getBytes("UTF-8")), (5L, png(1, 1).take(12)),
+      (6L, jpegPadded)
     ).toDF("id", "content")
     val got = ImageHeaders.withImageDims(df, "content")
       .select("id", "img_format", "img_width", "img_height").collect()
@@ -109,5 +118,6 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == Some(("gif", 320, 200)))
     assert(got(4L).isEmpty, "garbage bytes parse to null, never throw")
     assert(got(5L).isEmpty, "truncated header parses to null")
+    assert(got(6L) == Some(("jpeg", 800, 600)), "0xFF fill bytes are consumed")
   }
 }

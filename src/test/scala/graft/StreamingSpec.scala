@@ -138,7 +138,8 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[DocEvent](spark)
     StreamingSpec.clockNow = 1000L
     val out = StreamingIngest.streamingNearDupLsh(input.toDS(),
-      threshold = 0.5, memberTtlMs = 1000L, clock = () => StreamingSpec.clockNow)
+      threshold = 0.5, memberTtlMs = 1000L,
+      clock = Some(() => StreamingSpec.clockNow))
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("lsh_ttl_out").start()
     try {
