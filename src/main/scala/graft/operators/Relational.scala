@@ -445,6 +445,62 @@ object Relational {
              |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
              |FROM (SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, value
              |      FROM events)
-             |ORDER BY user_id, ts, event_id""".stripMargin))
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // ---- unpivot (melt): the per-user event-type count matrix back to tidy
+    // (user_id, event_type, n) rows — the inverse reshape of q54
+    Q("q58_unpivot",
+      (s, d) => {
+        val t = Tables(s, d)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = t.events.groupBy(col("user_id"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        val tidy = wide.select(col("user_id"), posexplode(array(types.map(ty =>
+          coalesce(col(ty), lit(0L))): _*)))
+          .select(col("user_id"),
+            element_at(typedLit(types), col("pos").cast("int") + 1).as("event_type"),
+            col("col").as("n"))
+        tidy.filter(col("n") > 0).orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- edit-distance scalar family: levenshtein agrees across engines
+    // (identical DP definition); banded per-row distance to a probe name
+    Q("q59_edit_distance",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.customer.select(col("c_custkey"), col("c_name"),
+            levenshtein(col("c_name"), lit("Customer#000000001")).as("dist"))
+          .filter(col("dist") <= 3)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS dist
+             |FROM customer
+             |WHERE levenshtein(c_name, 'Customer#000000001') <= 3
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- grouped exact quartiles: the q49 integer-cents profile per
+    // event_type (dyadic interpolation over integers is bit-exact)
+    Q("q60_grouped_percentiles",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.events
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("c").cast("double"), lit(0.25)).as("p25"),
+            percentile(col("c").cast("double"), lit(0.5)).as("p50"),
+            percentile(col("c").cast("double"), lit(0.75)).as("p75"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  quantile_cont(CAST(c AS DOUBLE), 0.25) AS p25,
+             |  quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
+             |  quantile_cont(CAST(c AS DOUBLE), 0.75) AS p75
+             |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
