@@ -25,21 +25,22 @@ object AsOfJoin {
 
   /** left.* plus an `asof` struct holding the matched right row (null when
     * no right row precedes the left row for its key). SQL ASOF equi-key
-    * semantics for NULLs: a NULL key or NULL time never matches — such left
-    * rows pass through with a null `asof` (the LEFT side is preserved),
-    * such right rows match nothing.
+    * semantics for NULLs come from filtering the RIGHT side only: a
+    * null-key/null-time right row never matches; a null-key left row lands
+    * in the nulls window partition that then holds no right rows, and a
+    * null-time left row sorts first (nulls first) ahead of every surviving
+    * right row — both get a null `asof` with the left side preserved, and
+    * the left table is still scanned exactly once.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
-    val matchable = col(keyCol).isNotNull && col(timeCol).isNotNull
-    val l = left.filter(matchable)
-      .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
-        lit(1).as("_side"),
-        struct(left.columns.map(col).toSeq: _*).as("_lrow"),
-        lit(null).cast(rType).as("_rrow"))
-    val r = right.filter(matchable)
+    val l = left.select(col(keyCol).as("_k"), col(timeCol).as("_t"),
+      lit(1).as("_side"),
+      struct(left.columns.map(col).toSeq: _*).as("_lrow"),
+      lit(null).cast(rType).as("_rrow"))
+    val r = right.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
       .select(col(keyCol).as("_k"), col(timeCol).as("_t"),
         lit(0).as("_side"),
         lit(null).cast(lType).as("_lrow"),
@@ -47,13 +48,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
+    l.unionByName(r)
       .withColumn("asof", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(left.columns.map(c => col(s"_lrow.$c").as(c)).toSeq
         :+ col("asof"): _*)
-    val unmatchable = left.filter(!matchable || matchable.isNull)
-      .withColumn("asof", lit(null).cast(rType))
-    matched.unionByName(unmatchable)
   }
 }

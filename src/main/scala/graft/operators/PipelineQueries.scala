@@ -150,9 +150,10 @@ object PipelineQueries {
              |ORDER BY day, rn""".stripMargin)),
 
     // ---- as-of join: each click joined to the user's latest prior-or-equal
-    // purchase. One shuffle by user + in-partition sort (the window); the
-    // oracle is DuckDB's native ASOF LEFT JOIN, compared at the same µs
-    // precision Spark's timestamps carry
+    // purchase. The purchase dedup aggregates by (user, µs) — one exchange —
+    // then the as-of window repartitions by user: two exchanges total on the
+    // events side. The oracle is DuckDB's native ASOF LEFT JOIN, compared at
+    // the same µs precision Spark's timestamps carry
     Q("q51_asof_join",
       (s, d) => {
         val t = Tables(s, d)

@@ -455,15 +455,18 @@ object Relational {
         val types = Seq("click", "error", "purchase", "signup", "view")
         val wide = t.events.groupBy(col("user_id"))
           .pivot("event_type", types).agg(count(lit(1)))
-        val tidy = wide.select(col("user_id"), posexplode(array(types.map(ty =>
-          coalesce(col(ty), lit(0L))): _*)))
-          .select(col("user_id"),
-            element_at(typedLit(types), col("pos").cast("int") + 1).as("event_type"),
-            col("col").as("n"))
-        tidy.filter(col("n") > 0).orderBy(col("user_id"), col("event_type"))
+        wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+            "event_type", "n")
+          .filter(col("n").isNotNull && col("n") > 0)
+          .orderBy(col("user_id"), col("event_type"))
       },
-      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-             |FROM events GROUP BY user_id, event_type
+      // the pivot's value list closes the domain on the Spark side, so the
+      // oracle restricts to the same set (an unexpected 6th type must fail
+      // loudly via the row count, not be silently dropped by one side)
+      Some(s"""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events
+             |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+             |GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin)),
 
     // ---- edit-distance scalar family: levenshtein agrees across engines

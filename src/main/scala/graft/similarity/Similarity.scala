@@ -194,10 +194,14 @@ object Similarity {
     */
   def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int): KMeansModel = {
+    // zero-norm vectors can't participate in cosine k-means: exclude them
+    // from seeding too (a zero seed would be a permanently-dead NaN centroid)
+    val trainable = corpus.filter(
+      sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))) > 0)
     var cents: Seq[(Any, Seq[Double])] =
-      sampledCentroids(corpus, idCol, vecCol, nCentroids)
+      sampledCentroids(trainable, idCol, vecCol, nCentroids)
         .zipWithIndex.map { case ((_, cv), i) => (i: Any, cv) }
-    val raw = corpus.select(asDouble(col(vecCol)).as("v0"))
+    val raw = trainable.select(asDouble(col(vecCol)).as("v0"))
     val vecs = raw
       .withColumn("_n", sqrt(dot(col("v0"), col("v0"))))
       .filter(col("_n") > 0)
