@@ -80,10 +80,13 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
 
   def putMatchKeyConfig(cfg: MatchKeyConfig): Unit = {
     import spark.implicits._
-    val existing = catalog.readOr("config_matchkeys", matchKeySchema)
-      .filter(col("id") =!= cfg.id)
-    catalog.write("config_matchkeys",
-      existing.unionByName(Seq(cfg).toDF("id", "matcher", "update")))
+    // read-modify-write: updateWith retries against the fresh snapshot if a
+    // concurrent config writer commits in between (no lost update)
+    catalog.updateWith("config_matchkeys", matchKeySchema) { cur =>
+      cur.filter(col("id") =!= cfg.id)
+        .unionByName(Seq(cfg).toDF("id", "matcher", "update"))
+    }
+    ()
   }
 
   def matchKeyConfigs(): Seq[MatchKeyConfig] =
@@ -91,8 +94,8 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
       .map(r => MatchKeyConfig(r.getString(0), r.getString(1), r.getString(2)))
 
   def deleteMatchKeyConfig(id: String): Unit = {
-    catalog.write("config_matchkeys",
-      catalog.readOr("config_matchkeys", matchKeySchema).filter(col("id") =!= id))
+    catalog.updateWith("config_matchkeys", matchKeySchema)(
+      _.filter(col("id") =!= id))
     saveState(id, ClusterState.empty(spark))
   }
 
@@ -161,8 +164,8 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     pmod(hash(clusterId), lit(PoolBuckets)).cast("string")
 
   private def writeBuckets(table: String, df: DataFrame,
-      dirty: Seq[String]): Unit = {
-    catalog.overwritePartitions(table,
+      dirty: Seq[String], expected: Long = -1L): Unit = {
+    catalog.overwritePartitionsIf(table,
       df.withColumn("_bucket", bucketOf(col("clusterId")))
         .filter(col("_bucket").isin(dirty: _*))
         // one file per bucket, rows sorted by clusterId: parquet min/max
@@ -170,7 +173,7 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
         // OAI export (and avoid small-file sprawl from many write tasks)
         .repartition(col("_bucket"))
         .sortWithinPartitions(col("_bucket"), col("clusterId")),
-      "_bucket", dirty)
+      "_bucket", dirty, expected)
     ()
   }
 
@@ -192,19 +195,28 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     writeBuckets(s"pool_${pool}_values", s.values, allBuckets)
   }
 
+  private def poolTables(pool: String): Seq[String] =
+    Seq("meta", "assignments", "values").map(s => s"pool_${pool}_$s")
+
+  /** snapshot versions of a pool's three tables, for optimistic commits */
+  private def poolSnapshot(pool: String): Map[String, Long] =
+    poolTables(pool).map(t => t -> catalog.version(t)).toMap
+
   /** Delta rewrite after an incremental step: dirty buckets are those of the
     * clusters the step touched (datestamp == ts in the next meta). Write I/O
-    * is O(dirty buckets), not O(pool).
+    * is O(dirty buckets), not O(pool). `snaps` (table → version the state was
+    * loaded against) makes the commits optimistic: a concurrent writer to the
+    * same pool raises CommitConflict instead of silently losing its update.
     */
-  private def saveStateDelta(pool: String, s: ClusterState,
-      ts: Timestamp): Unit = {
+  private def saveStateDelta(pool: String, s: ClusterState, ts: Timestamp,
+      snaps: Map[String, Long] = Map.empty): Unit = {
     val dirty = s.meta.filter(col("datestamp") === lit(ts))
       .select(bucketOf(col("clusterId")).as("b")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (dirty.nonEmpty) {
-      writeBuckets(s"pool_${pool}_meta", s.meta, dirty)
-      writeBuckets(s"pool_${pool}_assignments", s.assignments, dirty)
-      writeBuckets(s"pool_${pool}_values", s.values, dirty)
+      poolTables(pool).zip(Seq(s.meta, s.assignments, s.values)).foreach {
+        case (t, df) => writeBuckets(t, df, dirty, snaps.getOrElse(t, -1L))
+      }
     }
   }
 
