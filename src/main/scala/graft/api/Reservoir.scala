@@ -14,7 +14,7 @@ import graft.cql.Cql
 import graft.functions.{GoldRush, JsonPathLite}
 import graft.marc.{MarcJson, MarcUtil, MarcXml}
 import graft.oai.{OaiDates, ResumptionToken}
-import graft.storage.Catalog
+import graft.storage.{Catalog, GroupBatch}
 
 /** A match-key pool definition (FIXTURES.md §3): `matcher` is either
   * `goldrush`/`goldrush2024`, or `jsonpath:<expr>`; `update` ∈ ingest|manual.
@@ -148,13 +148,18 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
   }
 
   // ---------------- cluster state io ----------------
-  // Pool tables are partitioned copy-on-write tables bucketed by
-  // hash(clusterId) % PoolBuckets. An incremental batch only rewrites the
-  // buckets holding touched clusters: every row an ingest/delete/merge
-  // changes has both its old and its new clusterId in the batch's touched
-  // set (newly assigned, absorbed, survivor, or previous cluster of a moved
-  // record — all marked datestamp = ts in meta), so untouched buckets are
-  // byte-identical and never rewritten.
+  // A pool's meta/assignments/values live in ONE group table (`pool_<id>`,
+  // sub-tables committed atomically: one manifest, one _LATEST flip), each
+  // bucketed by hash(clusterId) % PoolBuckets. An incremental batch only
+  // rewrites the buckets holding touched clusters: every row an ingest/
+  // delete/merge changes has both its old and its new clusterId in the
+  // batch's touched set (newly assigned, absorbed, survivor, or previous
+  // cluster of a moved record — all marked datestamp = ts in meta), so
+  // untouched buckets are byte-identical and never rewritten. Because the
+  // three sub-tables share one commit point, a concurrent writer can never
+  // observe (or leave behind) a half-updated pool — the role the reference's
+  // PG transaction plays (Storage.java:251-264) — and loadState pins one
+  // manifest for a consistent cross-table snapshot.
 
   private val PoolBuckets = 64
 
@@ -163,61 +168,98 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
   private def bucketOf(clusterId: Column): Column =
     pmod(hash(clusterId), lit(PoolBuckets)).cast("string")
 
-  private def writeBuckets(table: String, df: DataFrame,
-      dirty: Seq[String], expected: Long = -1L): Unit = {
-    catalog.overwritePartitionsIf(table,
+  private def poolTable(pool: String): String = s"pool_$pool"
+
+  private val poolSchemas: Seq[(String, StructType)] = Seq(
+    "meta" -> StructType(Seq(StructField("clusterId", StringType),
+      StructField("datestamp", TimestampType))),
+    "assignments" -> StructType(Seq(StructField("recordId", StringType),
+      StructField("clusterId", StringType))),
+    "values" -> StructType(Seq(StructField("value", StringType),
+      StructField("clusterId", StringType))))
+
+  /** one sub-table's batch: one file per bucket, rows sorted by clusterId —
+    * parquet min/max stats then row-group-skip the clusterId IN probes of
+    * the O(page) OAI export (and avoid small-file sprawl from many write
+    * tasks)
+    */
+  private def bucketBatch(sub: String, df: DataFrame,
+      dirty: Seq[String]): GroupBatch =
+    GroupBatch(sub,
       df.withColumn("_bucket", bucketOf(col("clusterId")))
         .filter(col("_bucket").isin(dirty: _*))
-        // one file per bucket, rows sorted by clusterId: parquet min/max
-        // stats then row-group-skip the clusterId IN probes of the O(page)
-        // OAI export (and avoid small-file sprawl from many write tasks)
         .repartition(col("_bucket"))
         .sortWithinPartitions(col("_bucket"), col("clusterId")),
-      "_bucket", dirty, expected)
-    ()
+      "_bucket", dirty)
+
+  /** pool state plus the snapshot version it was pinned at (the `expected`
+    * for an optimistic save)
+    */
+  private def loadStateV(pool: String): (ClusterState, Long) = {
+    val t = poolTable(pool)
+    val (v, mf) = catalog.snapshot(t)
+    val Seq(meta, assignments, values) = poolSchemas.map { case (sub, schema) =>
+      catalog.readGroupOr(t, mf, sub, schema)
+    }
+    (ClusterState(meta, assignments, values), v)
   }
 
-  private def loadState(pool: String): ClusterState = ClusterState(
-    catalog.readPartitionedOr(s"pool_${pool}_meta",
-      StructType(Seq(StructField("clusterId", StringType),
-        StructField("datestamp", TimestampType)))),
-    catalog.readPartitionedOr(s"pool_${pool}_assignments",
-      StructType(Seq(StructField("recordId", StringType),
-        StructField("clusterId", StringType)))),
-    catalog.readPartitionedOr(s"pool_${pool}_values",
-      StructType(Seq(StructField("value", StringType),
-        StructField("clusterId", StringType)))))
+  private def loadState(pool: String): ClusterState = loadStateV(pool)._1
 
   /** full rewrite (initialize / pool reset): every bucket is touched */
   private def saveState(pool: String, s: ClusterState): Unit = {
-    writeBuckets(s"pool_${pool}_meta", s.meta, allBuckets)
-    writeBuckets(s"pool_${pool}_assignments", s.assignments, allBuckets)
-    writeBuckets(s"pool_${pool}_values", s.values, allBuckets)
+    catalog.overwriteGroupIf(poolTable(pool),
+      poolSchemas.map(_._1).zip(Seq(s.meta, s.assignments, s.values)).map {
+        case (sub, df) => bucketBatch(sub, df, allBuckets)
+      }, -1L)
+    ()
   }
-
-  private def poolTables(pool: String): Seq[String] =
-    Seq("meta", "assignments", "values").map(s => s"pool_${pool}_$s")
-
-  /** snapshot versions of a pool's three tables, for optimistic commits */
-  private def poolSnapshot(pool: String): Map[String, Long] =
-    poolTables(pool).map(t => t -> catalog.version(t)).toMap
 
   /** Delta rewrite after an incremental step: dirty buckets are those of the
     * clusters the step touched (datestamp == ts in the next meta). Write I/O
-    * is O(dirty buckets), not O(pool). `snaps` (table → version the state was
-    * loaded against) makes the commits optimistic: a concurrent writer to the
-    * same pool raises CommitConflict instead of silently losing its update.
+    * is O(dirty buckets), not O(pool). `expected` (the version the state was
+    * loaded against, from [[loadStateV]]) makes the commit optimistic: a
+    * concurrent writer to the same pool raises CommitConflict instead of
+    * silently losing its update — and since all three sub-tables commit
+    * atomically, a conflict can never leave the pool half-updated.
     */
   private def saveStateDelta(pool: String, s: ClusterState, ts: Timestamp,
-      snaps: Map[String, Long] = Map.empty): Unit = {
+      expected: Long): Unit = {
     val dirty = s.meta.filter(col("datestamp") === lit(ts))
       .select(bucketOf(col("clusterId")).as("b")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (dirty.nonEmpty) {
-      poolTables(pool).zip(Seq(s.meta, s.assignments, s.values)).foreach {
-        case (t, df) => writeBuckets(t, df, dirty, snaps.getOrElse(t, -1L))
+      catalog.overwriteGroupIf(poolTable(pool),
+        poolSchemas.map(_._1).zip(Seq(s.meta, s.assignments, s.values)).map {
+          case (sub, df) => bucketBatch(sub, df, dirty)
+        }, expected)
+      ()
+    }
+  }
+
+  /** Optimistic-retry loop for read-modify-write steps: on a concurrent
+    * commit (or a lost claim after a stall, or the base snapshot's files
+    * being GC'd mid-computation by two quick successive commits) the step is
+    * re-run against the fresh snapshot, so no writer's update is silently
+    * lost (the reference's retry-once around its PG transaction,
+    * Storage.java:251-264).
+    */
+  private def retrying[T](what: String, maxRetries: Int = 3)(step: () => T): T = {
+    def fileGone(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    var attempt = 0
+    while (true) {
+      try return step()
+      catch {
+        case e: Throwable
+            if (e.isInstanceOf[graft.storage.CommitConflict] ||
+              e.isInstanceOf[graft.storage.ClaimLost] || fileGone(e)) &&
+              attempt < maxRetries =>
+          attempt += 1
       }
     }
+    sys.error("unreachable")
   }
 
   // ---------------- ingest ----------------
@@ -228,7 +270,7 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
   private def globalIdCol: Column = {
     val u = udf((s: String) =>
       UUID.nameUUIDFromBytes(("graft-record:" + s).getBytes("UTF-8")).toString)
-    u(concat_ws(" ", lit(tenant), col("sourceId"), col("localId"),
+    u(concat_ws("\u0000", lit(tenant), col("sourceId"), col("localId"),
       col("sourceVersion")))
   }
 
@@ -260,7 +302,6 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     // globalId embeds sourceId, so upsert/delete matches cannot cross sources
     val touchedSources = b.filter(col("localId").isNotNull)
       .select(col("sourceId")).distinct().collect().map(_.getString(0)).toSeq
-    val base = readRecordsOf(touchedSources)
 
     val ignored = b.filter(col("localId").isNull)
     val deletes = b.filter(col("delete") === true && col("localId").isNotNull)
@@ -273,37 +314,51 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
         Window.partitionBy("globalId").orderBy(monotonically_increasing_id().desc)))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
+    val upsertCount = upserts.count()
 
-    // stats against the current store
-    val existingKeys = base.select(col("globalId")).distinct()
-    val inserted = upserts.join(existingKeys, Seq("globalId"), "left_anti").count()
-    val updated = upserts.count() - inserted
-    val deletedGlobalIds = base.join(deletes, Seq("localId", "sourceId"))
-      .select(col("globalId")).distinct().localCheckpoint(true)
-    val deletedCount = deletedGlobalIds.count()
+    // upsert + stats against the current store, optimistic on its version:
+    // a concurrent ingest landing between our read and commit re-runs this
+    // step against the fresh snapshot (no lost update, stats stay exact)
+    val (inserted, updated, deletedGlobalIds, deletedCount) =
+      retrying("records upsert") { () =>
+        val recVer = catalog.version("records")
+        val base = readRecordsOf(touchedSources)
+        val existingKeys = base.select(col("globalId")).distinct()
+        val ins = upserts.join(existingKeys, Seq("globalId"), "left_anti").count()
+        val delIds = base.join(deletes, Seq("localId", "sourceId"))
+          .select(col("globalId")).distinct().localCheckpoint(true)
+        val delCount = delIds.count()
 
-    val nextRecords = base
-      .join(upserts.select("globalId"), Seq("globalId"), "left_anti")
-      .join(deletes, Seq("localId", "sourceId"), "left_anti")
-      .unionByName(upserts)
-      // using-column joins move join keys to the front; restore schema order
-      .select(recordsSchema.fieldNames.map(col).toSeq: _*)
-      // cluster rows by source and localId so parquet min/max stats give
-      // file/row-group skipping on the hot predicates (the survey's
-      // index-replacement strategy, SURVEY.md §4)
-      .repartition(col("sourceId"))
-      .sortWithinPartitions(col("sourceId"), col("localId"), col("sourceVersion"))
-    catalog.overwritePartitions("records", nextRecords, "sourceId", touchedSources)
+        val nextRecords = base
+          .join(upserts.select("globalId"), Seq("globalId"), "left_anti")
+          .join(deletes, Seq("localId", "sourceId"), "left_anti")
+          .unionByName(upserts)
+          // using-column joins move join keys to the front; restore schema order
+          .select(recordsSchema.fieldNames.map(col).toSeq: _*)
+          // cluster rows by source and localId so parquet min/max stats give
+          // file/row-group skipping on the hot predicates (the survey's
+          // index-replacement strategy, SURVEY.md §4)
+          .repartition(col("sourceId"))
+          .sortWithinPartitions(col("sourceId"), col("localId"), col("sourceVersion"))
+        catalog.overwritePartitionsIf("records", nextRecords, "sourceId",
+          touchedSources, recVer)
+        (ins, upsertCount - ins, delIds, delCount)
+      }
 
-    // advance every ingest-mode pool
+    // advance every ingest-mode pool, each step optimistic on the pool's
+    // snapshot version (all three sub-tables commit atomically, so a
+    // conflicting step re-runs from a consistent state)
     matchKeyConfigs().filter(_.update == "ingest").foreach { cfg =>
       val keys = upserts.select(col("globalId").as("recordId"),
         matcherKeys(cfg.matcher).as("keys"))
-      var state = Clusterize.ingestBatch(loadState(cfg.id), keys, cfg.id, ts)
-      if (deletedCount > 0)
-        state = Clusterize.deleteRecords(state,
-          deletedGlobalIds.withColumnRenamed("globalId", "recordId"), ts)
-      saveStateDelta(cfg.id, state, ts)
+      retrying(s"pool ${cfg.id} advance") { () =>
+        val (st0, poolVer) = loadStateV(cfg.id)
+        var state = Clusterize.ingestBatch(st0, keys, cfg.id, ts)
+        if (deletedCount > 0)
+          state = Clusterize.deleteRecords(state,
+            deletedGlobalIds.withColumnRenamed("globalId", "recordId"), ts)
+        saveStateDelta(cfg.id, state, ts, poolVer)
+      }
     }
 
     IngestStats(b.count(), inserted, updated, deletedCount, ignored.count())
@@ -341,12 +396,18 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     if (n > 0) {
       val touched = victimRows.select(col("sourceId")).distinct()
         .collect().map(_.getString(0)).toSeq
-      catalog.overwritePartitions("records",
-        readRecordsOf(touched).join(victims, Seq("globalId"), "left_anti"),
-        "sourceId", touched)
+      retrying("records delete") { () =>
+        val recVer = catalog.version("records")
+        catalog.overwritePartitionsIf("records",
+          readRecordsOf(touched).join(victims, Seq("globalId"), "left_anti"),
+          "sourceId", touched, recVer)
+      }
       matchKeyConfigs().foreach { cfg =>
-        saveStateDelta(cfg.id, Clusterize.deleteRecords(loadState(cfg.id),
-          victims.withColumnRenamed("globalId", "recordId"), ts), ts)
+        retrying(s"pool ${cfg.id} delete") { () =>
+          val (st0, poolVer) = loadStateV(cfg.id)
+          saveStateDelta(cfg.id, Clusterize.deleteRecords(st0,
+            victims.withColumnRenamed("globalId", "recordId"), ts), ts, poolVer)
+        }
       }
     }
     n
@@ -443,18 +504,21 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
   /** POST /reservoir/clusters/touch — bump datestamps of matching clusters */
   def touch(pool: String, cqlQuery: String): Long = {
     val ts = now()
-    val state = loadState(pool)
     val hit = clusters(pool, cqlQuery).select(col("clusterId"))
       .localCheckpoint(true)
     val n = hit.count()
     if (n > 0) {
-      val nextMeta = state.meta
-        .join(hit.withColumn("t", lit(true)), Seq("clusterId"), "left")
-        .withColumn("datestamp", when(col("t"), lit(ts)).otherwise(col("datestamp")))
-        .select("clusterId", "datestamp")
       val dirty = hit.select(bucketOf(col("clusterId")).as("b")).distinct()
         .collect().map(_.getString(0)).toSeq
-      writeBuckets(s"pool_${pool}_meta", nextMeta, dirty)
+      retrying(s"pool $pool touch") { () =>
+        val (state, poolVer) = loadStateV(pool)
+        val nextMeta = state.meta
+          .join(hit.withColumn("t", lit(true)), Seq("clusterId"), "left")
+          .withColumn("datestamp", when(col("t"), lit(ts)).otherwise(col("datestamp")))
+          .select("clusterId", "datestamp")
+        catalog.overwriteGroupIf(poolTable(pool),
+          Seq(bucketBatch("meta", nextMeta, dirty)), poolVer)
+      }
     }
     n
   }
@@ -466,9 +530,7 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     * pool's tables. Run when no long-lived readers hold older snapshots.
     */
   def vacuum(): Int = {
-    val tables = "records" +: matchKeyConfigs().flatMap(c =>
-      Seq(s"pool_${c.id}_meta", s"pool_${c.id}_assignments",
-        s"pool_${c.id}_values"))
+    val tables = "records" +: matchKeyConfigs().map(c => poolTable(c.id))
     tables.map(catalog.vacuumPartitions).sum
   }
 

@@ -4,16 +4,33 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Thrown when an optimistic commit (`writeIf` / `overwritePartitionsIf`)
-  * finds the table no longer at the version the caller's batch was computed
-  * against. Callers re-read the fresh snapshot and retry the batch — the
-  * reference's retry-once loop around its PG transaction
+/** Thrown when an optimistic commit (`writeIf` / `overwritePartitionsIf` /
+  * `overwriteGroupIf`) finds the table no longer at the version the caller's
+  * batch was computed against. Callers re-read the fresh snapshot and retry
+  * the batch — the reference's retry-once loop around its PG transaction
   * (Storage.java:251-264).
   */
 final case class CommitConflict(table: String, expected: Long, found: Long)
   extends RuntimeException(
     s"concurrent write to '$table': batch computed at version $expected " +
       s"but the table is now at $found")
+
+/** Thrown when a committer discovers its version claim was taken over by
+  * another writer (it stalled past `claimTimeoutMs` and was presumed
+  * crashed). Nothing was committed; the caller retries like a
+  * [[CommitConflict]].
+  */
+final case class ClaimLost(table: String, version: Long)
+  extends RuntimeException(
+    s"commit claim for '$table' v=$version was taken over by another writer " +
+      "(this writer stalled past spark.graft.catalog.claimTimeoutMs)")
+
+/** One sub-table's batch inside an atomic multi-table group commit
+  * ([[Catalog.overwriteGroupIf]]): overwrite the `touched` partitions of
+  * sub-table `sub` with `df`'s rows (partitioned by `partCol`).
+  */
+final case class GroupBatch(sub: String, df: DataFrame, partCol: String,
+    touched: Seq[String])
 
 /** Tenant-namespaced table layout on parquet with a snapshot-commit protocol
   * (SURVEY.md §7.1 step 3): each table lives at
@@ -25,14 +42,26 @@ final case class CommitConflict(table: String, expected: Long, found: Long)
   *
   * Writer-writer safety: committers serialize on an exclusive versioned claim
   * marker (`_COMMIT.v=N`, created with overwrite=false — atomic on HDFS-like
-  * stores), so two writers can never both commit the same version; a claim
-  * left by a crashed writer is taken over after
-  * `spark.graft.catalog.claimTimeoutMs` (default 60s). Read-modify-write
-  * callers additionally pass the snapshot version their batch was computed
-  * against (`writeIf` / `overwritePartitionsIf` / `updateWith`); if the table
-  * moved, the commit fails with [[CommitConflict]] instead of silently losing
-  * the other writer's update, and the caller recomputes against the fresh
-  * snapshot.
+  * stores) carrying the claimant's UUID. Every destructive step of a commit
+  * (removing a crashed claimant's leftovers, flipping `_LATEST`, vacuuming)
+  * re-reads the claim and verifies the UUID still matches, so a stalled
+  * writer whose claim was taken over aborts with [[ClaimLost]] instead of
+  * clobbering the usurper's committed data. Takeover of a stale claim goes
+  * through an atomic rename-to-tombstone (never a bare delete), so two
+  * waiters can't both think they removed it and double-claim the version.
+  *
+  * Read-modify-write callers additionally pass the snapshot version their
+  * batch was computed against (`writeIf` / `overwritePartitionsIf` /
+  * `overwriteGroupIf` / `updateWith`); if the table moved, the commit fails
+  * with [[CommitConflict]] instead of silently losing the other writer's
+  * update, and the caller recomputes against the fresh snapshot.
+  *
+  * Multi-table atomicity: sub-tables committed together via
+  * [[overwriteGroupIf]] share ONE manifest and ONE `_LATEST` flip (partition
+  * keys are namespaced `sub/part`), so a group either commits entirely or
+  * not at all, and a reader pinning one manifest version sees a consistent
+  * snapshot across every sub-table — the role PG transactions play in the
+  * reference.
   */
 final class Catalog(val spark: SparkSession, root: String, tenant: String) {
 
@@ -48,8 +77,16 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   private def claimTimeoutMs: Long =
     confLong("spark.graft.catalog.claimTimeoutMs", 60000L)
 
+  /** age after which an orphaned `.staging-*` dir (writer crashed before it
+    * ever claimed a version) is reclaimed by the next committer's GC. Must
+    * comfortably exceed the longest staging write.
+    */
+  private def stagingTtlMs: Long =
+    confLong("spark.graft.catalog.stagingTtlMs", 3600000L)
+
   /** every N-th partitioned commit opportunistically vacuums data dirs no
-    * snapshot within the retention window references (0 disables)
+    * retained snapshot references (0 disables). Runs while still holding the
+    * commit claim, so no concurrent writer can be mid-rename.
     */
   private def autoVacuumEvery: Long =
     confLong("spark.graft.catalog.autoVacuumEvery", 64L)
@@ -89,44 +126,85 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   private def claimFile(name: String, v: Long) =
     new Path(tableDir(name), s"_COMMIT.v=$v")
 
-  /** exclusively claim version v (create with overwrite=false) */
-  private def tryClaim(name: String, v: Long): Boolean = {
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** exclusively claim version v (create with overwrite=false), stamping the
+    * claimant's fencing UUID
+    */
+  private def tryClaim(name: String, v: Long, uuid: String): Boolean = {
     fs.mkdirs(tableDir(name))
     try {
       val out = fs.create(claimFile(name, v), false)
-      try out.write(
-        s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
-          .getBytes("UTF-8"))
+      try out.write(s"$uuid ${System.currentTimeMillis()}".getBytes("UTF-8"))
       finally out.close()
       true
     } catch { case _: java.io.IOException => false }
   }
 
-  /** Claim the next version, serializing with concurrent committers. When
-    * `expected >= 0`, enforce optimistic concurrency: fail with
-    * [[CommitConflict]] the moment the committed version differs from what
-    * the caller's batch was computed against. A claim whose holder stopped
-    * making progress for `claimTimeoutMs` is treated as crashed and taken
-    * over.
+  /** true iff the claim file for v still carries this writer's UUID */
+  private def ownsClaim(name: String, v: Long, uuid: String): Boolean =
+    try readSmall(claimFile(name, v)).startsWith(uuid + " ")
+    catch { case _: java.io.IOException => false }
+
+  /** fencing check before every destructive commit step: a writer that
+    * stalled long enough to be usurped aborts instead of clobbering the
+    * usurper's work
     */
-  private def claimNext(name: String, expected: Long): Long = {
+  private def ensureOwned(name: String, v: Long, uuid: String): Unit =
+    if (!ownsClaim(name, v, uuid)) throw ClaimLost(name, v)
+
+  /** Take over a claim whose holder stopped making progress for
+    * `claimTimeoutMs` (presumed crashed). The takeover is an atomic rename to
+    * a tombstone — never a bare delete — so two waiters can't both "remove"
+    * it and later double-claim; if the rename accidentally grabs a claim that
+    * was freshly re-created in between, it is put back (and on any failure
+    * the displaced claimant's own `ensureOwned` aborts it safely — worst case
+    * is a spurious retry, never a double commit).
+    */
+  private def takeOverIfStale(name: String, v: Long): Unit = {
+    val cf = claimFile(name, v)
+    val (content, age) =
+      try (readSmall(cf),
+        System.currentTimeMillis() - fs.getFileStatus(cf).getModificationTime)
+      catch { case _: java.io.IOException => return } // claim already gone
+    if (age <= claimTimeoutMs) return
+    val tomb = new Path(tableDir(name),
+      s"_TOMB.${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(cf, tomb)) return // another waiter beat us to it
+    val got = try readSmall(tomb) catch { case _: java.io.IOException => "" }
+    if (got != content) { // grabbed a freshly re-created claim: put it back
+      if (!fs.rename(tomb, cf)) fs.delete(tomb, false)
+    } else fs.delete(tomb, false)
+  }
+
+  /** Claim the next version, serializing with concurrent committers. Returns
+    * (version, fencing uuid). When `expected >= 0`, enforce optimistic
+    * concurrency: fail with [[CommitConflict]] the moment the committed
+    * version differs from what the caller's batch was computed against.
+    */
+  private def claimNext(name: String, expected: Long): (Long, String) = {
+    val uuid = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 2 * claimTimeoutMs
     while (true) {
       val base = version(name)
       if (expected >= 0 && base != expected)
         throw CommitConflict(name, expected, base)
       val v = base + 1
-      if (tryClaim(name, v)) return v
-      // another writer holds the claim for v: wait for its _LATEST flip, or
-      // take over a stale claim (crashed writer)
-      val cf = claimFile(name, v)
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(cf).getModificationTime > claimTimeoutMs
-        catch { case _: java.io.IOException => false } // claim already gone
-      if (stale) fs.delete(cf, false)
-      else if (System.currentTimeMillis() > deadline)
-        sys.error(s"timed out waiting for a concurrent commit of '$name' v=$v")
-      else Thread.sleep(20)
+      if (tryClaim(name, v, uuid)) {
+        // claim files are GC'd two versions later, so in a burst of commits a
+        // claim for an already-committed version could be re-creatable:
+        // re-check the base under the claim and release if the table moved
+        if (version(name) == base) return (v, uuid)
+        fs.delete(claimFile(name, v), false)
+      } else {
+        takeOverIfStale(name, v)
+        if (System.currentTimeMillis() > deadline)
+          sys.error(s"timed out waiting for a concurrent commit of '$name' v=$v")
+        else Thread.sleep(20)
+      }
     }
     sys.error("unreachable")
   }
@@ -143,8 +221,9 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   }
 
   /** retain the two latest versions (data, manifests, claim markers) for
-    * in-flight readers; GC everything older. Other writers' live staging
-    * dirs are never touched.
+    * in-flight readers; GC everything older, plus aged-out orphan staging
+    * dirs (writer crashed before claiming) and takeover tombstones. Live
+    * staging dirs and fresh claims are never touched.
     */
   private def gcVersions(name: String, v: Long): Unit = {
     def olderThan(n: String, prefix: String): Boolean =
@@ -152,11 +231,15 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
         val suffix = n.stripPrefix(prefix)
         suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toLong < v - 1
       }
+    val now = System.currentTimeMillis()
     fs.listStatus(tableDir(name)).foreach { st =>
       val n = st.getPath.getName
+      val aged = (ttl: Long) => now - st.getModificationTime > ttl
       if (olderThan(n, "v=") || olderThan(n, "_COMMIT.v=") ||
           olderThan(n, "_MANIFEST.v=") || olderThan(n, "_LATEST.tmp.") ||
-          olderThan(n, "_MANIFEST.tmp."))
+          olderThan(n, "_MANIFEST.tmp.") ||
+          (n.startsWith(".staging-") && aged(stagingTtlMs)) ||
+          (n.startsWith("_TOMB.") && aged(claimTimeoutMs)))
         fs.delete(st.getPath, true)
     }
   }
@@ -178,13 +261,17 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     val staging = new Path(tableDir(name),
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(staging.toString)
-    val v =
+    val (v, uuid) =
       try claimNext(name, expected)
       catch { case e: Throwable => fs.delete(staging, true); throw e }
     val dest = new Path(tableDir(name), s"v=$v")
-    if (fs.exists(dest)) fs.delete(dest, true) // leftover of a crashed claimant
+    ensureOwned(name, v, uuid)
+    // under a fenced claim, an existing dest can only be a crashed claimant's
+    // leftover (a committed v would have advanced _LATEST past our base)
+    if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(staging, dest))
       sys.error(s"failed to commit $name v=$v")
+    ensureOwned(name, v, uuid)
     flipLatest(name, v)
     gcVersions(name, v)
     v
@@ -193,18 +280,25 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   /** Read-modify-write with optimistic retry: `f` maps the current snapshot
     * to the full next contents; a concurrent commit between read and commit
     * re-runs `f` against the fresh snapshot (up to `maxRetries` times) so no
-    * writer's update is silently lost.
+    * writer's update is silently lost. Also retries when a quick pair of
+    * concurrent commits GC'd the base version's files before the staging
+    * write evaluated the (lazy) read, and when this writer stalled and lost
+    * its claim.
     */
   def updateWith(name: String, schema: StructType, maxRetries: Int = 3)(
       f: DataFrame => DataFrame): Long = {
+    def fileGone(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
     var attempt = 0
     while (true) {
       val base = version(name)
       val next = f(readOr(name, schema))
       try return writeIf(name, next, base)
       catch {
-        case c: CommitConflict =>
-          if (attempt >= maxRetries) throw c
+        case e: Throwable
+            if (e.isInstanceOf[CommitConflict] || e.isInstanceOf[ClaimLost]
+              || fileGone(e)) && attempt < maxRetries =>
           attempt += 1
       }
     }
@@ -219,7 +313,8 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   // per-batch I/O is O(touched partitions), not O(table) — while readers
   // keep full snapshot isolation (the committed manifest only ever names
   // complete data dirs; the previous manifest and its dirs are retained for
-  // in-flight readers).
+  // in-flight readers). Group tables namespace the manifest key as
+  // `sub/part`, giving several sub-tables one atomic commit point.
 
   private def enc(part: String): String = Catalog.encodePart(part)
 
@@ -233,8 +328,7 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     val f = manifestFile(name, v)
     if (!fs.exists(f)) Map.empty
     else {
-      val in = fs.open(f)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val text = readSmall(f)
       text.split("\n").filter(_.nonEmpty).map { line =>
         val Array(ver, part) = line.split("\t", 2)
         java.net.URLDecoder.decode(part, "UTF-8") -> ver.toLong
@@ -249,20 +343,56 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       case Some(v) => manifestAt(name, v)
     }
 
-  /** read the given partitions of a partitioned table (missing parts skipped) */
-  def readPartitionsOr(name: String, schema: StructType,
-      parts: Seq[String]): DataFrame = {
-    val mf = partitionManifest(name)
+  /** Atomically pin (version, manifest) of a partitioned or group table: the
+    * consistent snapshot a reader resolves every partition dir against. A
+    * racing GC of the just-read manifest version (two commits land in
+    * between) is retried.
+    */
+  def snapshot(name: String): (Long, Map[String, Long]) = {
+    var i = 0
+    while (true) {
+      val v = version(name)
+      if (v == 0) return (0L, Map.empty)
+      val mf = manifestAt(name, v)
+      if (mf.nonEmpty || version(name) == v) return (v, mf)
+      i += 1
+      if (i > 100) sys.error(s"cannot pin a snapshot of '$name'")
+    }
+    sys.error("unreachable")
+  }
+
+  /** resolve partition dirs of `parts` against a pinned manifest and read
+    * them with `schema` (missing parts skipped; `sub` prefixes group keys)
+    */
+  def readManifestParts(name: String, manifest: Map[String, Long],
+      schema: StructType, parts: Seq[String], sub: String = ""): DataFrame = {
+    val key = (p: String) => if (sub.isEmpty) p else s"$sub/$p"
     val dirs = parts.distinct.sorted.flatMap(p =>
-      mf.get(p).map(v => partDataDir(name, p, v).toString))
+      manifest.get(key(p)).map(v => partDataDir(name, key(p), v).toString))
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  /** read the given partitions of a partitioned table (missing parts skipped) */
+  def readPartitionsOr(name: String, schema: StructType,
+      parts: Seq[String]): DataFrame =
+    readManifestParts(name, partitionManifest(name), schema, parts)
+
   /** read every partition of a partitioned table */
   def readPartitionedOr(name: String, schema: StructType): DataFrame =
     readPartitionsOr(name, schema, partitionManifest(name).keys.toSeq)
+
+  /** read every partition of one sub-table of a group against a pinned
+    * manifest (as returned by [[snapshot]])
+    */
+  def readGroupOr(name: String, manifest: Map[String, Long], sub: String,
+      schema: StructType): DataFrame = {
+    val prefix = s"$sub/"
+    val parts = manifest.keysIterator.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSeq
+    readManifestParts(name, manifest, schema, parts, sub)
+  }
 
   /** Overwrite exactly the `touched` partitions with `df`'s rows (df must
     * contain only rows whose `partCol` is in `touched`; a touched partition
@@ -283,7 +413,13 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     * and recomputes its batch — no update is silently lost.
     */
   def overwritePartitionsIf(name: String, df: DataFrame, partCol: String,
-      touched: Seq[String], expected: Long): Long = {
+      touched: Seq[String], expected: Long): Long =
+    overwriteGroupIf(name, Seq(GroupBatch("", df, partCol, touched)), expected)
+
+  /** stage one batch's rows partitioned by its partition column; returns the
+    * staging root
+    */
+  private def stageBatch(name: String, b: GroupBatch): Path = {
     val staging = new Path(tableDir(name),
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     // duplicate the partition column: partitionBy consumes `_p`, keeping
@@ -292,79 +428,130 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     // encoding (non-ASCII partition values are otherwise unwritable on a
     // POSIX-locale driver).
     val encUdf = org.apache.spark.sql.functions.udf(Catalog.encodePart _)
-    df.withColumn("_p", encUdf(org.apache.spark.sql.functions.col(partCol)))
+    b.df.withColumn("_p", encUdf(org.apache.spark.sql.functions.col(b.partCol)))
       .write.partitionBy("_p").mode("overwrite").parquet(staging.toString)
+    staging
+  }
 
-    val v =
+  private def stagedDir(staging: Path, part: String): Path =
+    new Path(staging, "_p=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(enc(part)))
+
+  /** Atomic multi-sub-table commit: stage every batch, claim one version,
+    * move every staged partition dir into place, write ONE manifest naming
+    * them all, flip `_LATEST` once. Either every batch commits or none does,
+    * and a reader pinning the manifest sees all sub-tables at the same
+    * snapshot. `expected` as in [[overwritePartitionsIf]]. Sub names must not
+    * be reused as whole-partition keys of the same table.
+    */
+  def overwriteGroupIf(name: String, batches: Seq[GroupBatch],
+      expected: Long): Long = {
+    val staged: Seq[(GroupBatch, Path)] =
+      batches.map(b => b -> stageBatch(name, b))
+    def cleanup(): Unit = staged.foreach(s => fs.delete(s._2, true))
+
+    val (v, uuid) =
       try claimNext(name, expected)
-      catch { case e: Throwable => fs.delete(staging, true); throw e }
-    // under the claim the base manifest is stable: no other writer can commit
-    val mf = partitionManifest(name)
-    var next = mf
-    touched.distinct.foreach { p =>
-      val stagedDir = new Path(staging,
-        "_p=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(enc(p)))
-      if (fs.exists(stagedDir)) {
-        val nv = mf.getOrElse(p, 0L) + 1
-        val dest = partDataDir(name, p, nv)
-        fs.mkdirs(dest.getParent)
-        if (fs.exists(dest)) fs.delete(dest, true) // leftover of a crashed claimant
-        if (!fs.rename(stagedDir, dest))
-          sys.error(s"failed to commit partition $p of $name")
-        next = next + (p -> nv)
-      } else next = next - p // partition emptied by this batch
-    }
-    fs.delete(staging, true)
-
-    val body = next.toSeq.sortBy(_._1)
-      .map { case (p, ver) => s"$ver\t${enc(p)}" }.mkString("\n")
-    val tmp = new Path(tableDir(name), s"_MANIFEST.tmp.$v")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(manifestFile(name, v))) // leftover of a crashed claimant
-      fs.delete(manifestFile(name, v), false)
-    if (!fs.rename(tmp, manifestFile(name, v)))
-      sys.error(s"failed to write manifest v=$v for $name")
-    flipLatest(name, v)
-
-    // GC: keep current + previous data version per touched partition and the
-    // two latest manifests/claims; everything older goes
-    touched.distinct.foreach { p =>
-      next.get(p).foreach { nv =>
-        val pd = partDataDir(name, p, nv).getParent
-        if (fs.exists(pd)) fs.listStatus(pd).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("v=") && n.stripPrefix("v=").toLong < nv - 1)
-            fs.delete(st.getPath, true)
+      catch { case e: Throwable => cleanup(); throw e }
+    try {
+      // under the claim the base manifest is stable: no other writer can
+      // commit, and the fencing checks abort us if we lose the claim
+      val mf = partitionManifest(name)
+      var next = mf
+      ensureOwned(name, v, uuid)
+      staged.foreach { case (b, staging) =>
+        val key = (p: String) => if (b.sub.isEmpty) p else s"${b.sub}/$p"
+        b.touched.distinct.foreach { p =>
+          val src = stagedDir(staging, p)
+          if (fs.exists(src)) {
+            val nv = mf.getOrElse(key(p), 0L) + 1
+            val dest = partDataDir(name, key(p), nv)
+            fs.mkdirs(dest.getParent)
+            // a leftover of a crashed claimant (fenced: cannot be committed)
+            if (fs.exists(dest)) fs.delete(dest, true)
+            if (!fs.rename(src, dest))
+              sys.error(s"failed to commit partition ${key(p)} of $name")
+            next = next + (key(p) -> nv)
+          } else next = next - key(p) // partition emptied by this batch
         }
       }
-    }
-    gcVersions(name, v)
-    if (autoVacuumEvery > 0 && v % autoVacuumEvery == 0)
-      vacuumPartitions(name, retainPrevious = true)
-    v
+      cleanup()
+
+      val body = next.toSeq.sortBy(_._1)
+        .map { case (p, ver) => s"$ver\t${enc(p)}" }.mkString("\n")
+      val tmp = new Path(tableDir(name), s"_MANIFEST.tmp.$v")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(manifestFile(name, v))) // leftover of a crashed claimant
+        fs.delete(manifestFile(name, v), false)
+      if (!fs.rename(tmp, manifestFile(name, v)))
+        sys.error(s"failed to write manifest v=$v for $name")
+
+      // GC per committed partition: keep current + previous data version
+      ensureOwned(name, v, uuid)
+      staged.foreach { case (b, _) =>
+        val key = (p: String) => if (b.sub.isEmpty) p else s"${b.sub}/$p"
+        b.touched.distinct.foreach { p =>
+          next.get(key(p)).foreach { nv =>
+            val pd = partDataDir(name, key(p), nv).getParent
+            if (fs.exists(pd)) fs.listStatus(pd).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("v=") && n.stripPrefix("v=").toLong < nv - 1)
+                fs.delete(st.getPath, true)
+            }
+          }
+        }
+      }
+      // auto-vacuum runs UNDER the claim (before the flip): no concurrent
+      // writer can be mid-rename, so dirs outside the retained manifests are
+      // provably dead (ADVICE r6: vacuuming after the flip could delete a
+      // successor's freshly renamed data)
+      if (autoVacuumEvery > 0 && v % autoVacuumEvery == 0) {
+        ensureOwned(name, v, uuid)
+        vacuumAgainst(name, next, mf, dropUnreferenced = true)
+      }
+      ensureOwned(name, v, uuid)
+      flipLatest(name, v)
+      gcVersions(name, v)
+      v
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   // (companion at end of file holds the serializable partition-value codec)
 
   /** Remove partition data dirs the current manifest no longer references
-    * (emptied partitions keep their last data dir on disk until vacuumed —
-    * in-flight readers of the previous snapshot may still need it, so run
-    * this only once those readers are done).
+    * (emptied partitions keep their last data dir on disk until vacuumed).
+    * Run only when no writer is mid-commit AND readers of older snapshots
+    * are done: a concurrent committer's freshly renamed dirs are not in any
+    * manifest yet. The auto-vacuum hook is the always-safe variant (it runs
+    * under the commit claim).
     */
   def vacuumPartitions(name: String): Int =
     vacuumPartitions(name, retainPrevious = false)
 
-  /** Vacuum variant safe to run while readers of the previous snapshot are
-    * still in flight: retains every data dir referenced by the current OR the
-    * previous manifest (the commit retention window). This is what the
-    * auto-vacuum hook (`spark.graft.catalog.autoVacuumEvery`) calls.
+  /** Vacuum variant that also retains every data dir referenced by the
+    * previous manifest (the commit retention window), for in-flight readers
+    * of the previous snapshot.
     */
   def vacuumPartitions(name: String, retainPrevious: Boolean): Int = {
     val v = version(name)
     val current = manifestAt(name, v)
-    val previous = if (retainPrevious && v > 1) manifestAt(name, v - 1) else Map.empty[String, Long]
+    val previous =
+      if (retainPrevious && v > 1) manifestAt(name, v - 1)
+      else Map.empty[String, Long]
+    vacuumAgainst(name, current, previous, dropUnreferenced = true)
+  }
+
+  /** Delete data dirs not referenced by either retained manifest. Never
+    * deletes a version NEWER than the newest retained one for a known
+    * partition (that can only be a concurrent or crashed claimant's rename —
+    * the next commit of that partition reclaims it); whole unreferenced
+    * partitions are dropped only with `dropUnreferenced` (safe under the
+    * commit claim, or with no writers active).
+    */
+  private def vacuumAgainst(name: String, current: Map[String, Long],
+      previous: Map[String, Long], dropUnreferenced: Boolean): Int = {
     val keep: Map[String, Set[Long]] = (current.toSeq ++ previous.toSeq)
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
     val partsRoot = new Path(tableDir(name), "parts")
@@ -374,12 +561,15 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       val part = java.net.URLDecoder.decode(pd.getPath.getName, "UTF-8")
       keep.get(part) match {
         case None =>
-          fs.delete(pd.getPath, true); removed += 1
+          if (dropUnreferenced) { fs.delete(pd.getPath, true); removed += 1 }
         case Some(vers) =>
           fs.listStatus(pd.getPath).foreach { vd =>
             val n = vd.getPath.getName
-            if (n.startsWith("v=") && !vers.contains(n.stripPrefix("v=").toLong)) {
-              fs.delete(vd.getPath, true); removed += 1
+            if (n.startsWith("v=")) {
+              val dv = n.stripPrefix("v=").toLong
+              if (!vers.contains(dv) && dv < vers.max) {
+                fs.delete(vd.getPath, true); removed += 1
+              }
             }
           }
       }

@@ -91,4 +91,177 @@ class CatalogSpec extends AnyFunSuite {
     // idempotent
     assert(c.vacuumPartitions("tbl") == 0)
   }
+
+  // ---------------- concurrency protocol (ADVICE r6) ----------------
+
+  private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("optimistic writeIf rejects a stale base version") {
+    val c = fresh()
+    val v1 = c.writeIf("tbl", df("a" -> 1), 0L)
+    assert(v1 == 1L)
+    intercept[graft.storage.CommitConflict] {
+      c.writeIf("tbl", df("a" -> 2), 0L) // computed against the pre-v1 state
+    }
+    assert(c.version("tbl") == 1L)
+  }
+
+  test("two interleaved updateWith writers lose no update") {
+    val c = fresh()
+    val perWriter = 4
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        for (i <- 1 to perWriter)
+          c.updateWith("tbl", schema, maxRetries = 20)(
+            cur => cur.unionByName(df(s"w$t-$i" -> i)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val keys = c.readOr("tbl", schema).collect().map(_.getString(0)).toSet
+    assert(keys == (for (t <- 1 to 2; i <- 1 to perWriter) yield s"w$t-$i").toSet)
+  }
+
+  test("concurrent partitioned writers with auto-vacuum on every commit lose nothing") {
+    val c = fresh()
+    spark.conf.set("spark.graft.catalog.autoVacuumEvery", "1")
+    try {
+      val perWriter = 4
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { t =>
+        new Thread(() => {
+          try {
+            for (i <- 1 to perWriter) {
+              var done = false
+              while (!done) {
+                try {
+                  c.overwritePartitionsIf("tbl", df(s"p$t" -> i), "k",
+                    Seq(s"p$t"), c.version("tbl"))
+                  done = true
+                } catch { case _: graft.storage.CommitConflict => () }
+              }
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      // every partition readable (no manifest pointing at vacuumed dirs)
+      assert(readAll(c) == Set("p1" -> perWriter, "p2" -> perWriter))
+    } finally spark.conf.unset("spark.graft.catalog.autoVacuumEvery")
+  }
+
+  test("vacuum never deletes a data version newer than the retained manifests") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val cat = new Catalog(spark, dir, "t")
+    cat.overwritePartitions("tbl", df("a" -> 1), "k", Seq("a"))
+    cat.overwritePartitions("tbl", df("a" -> 2), "k", Seq("a"))
+    // simulate a concurrent committer's freshly renamed (not yet manifested)
+    // data dir — the ADVICE r6 data-loss scenario
+    val fresh5 = new org.apache.hadoop.fs.Path(
+      s"$dir/t/tbl/parts/a/v=5")
+    hfs(dir).mkdirs(fresh5)
+    cat.vacuumPartitions("tbl", retainPrevious = true)
+    assert(hfs(dir).exists(fresh5), "vacuum deleted a newer (in-flight) version")
+    cat.vacuumPartitions("tbl") // manual full vacuum must keep it too
+    assert(hfs(dir).exists(fresh5))
+  }
+
+  test("a stale claim from a crashed writer is taken over") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val cat = new Catalog(spark, dir, "t")
+    cat.write("tbl", df("a" -> 1))
+    // a crashed writer left a claim for v=2, an hour old
+    val fs = hfs(dir)
+    val claim = new org.apache.hadoop.fs.Path(s"$dir/t/tbl/_COMMIT.v=2")
+    val out = fs.create(claim, false)
+    out.write("dead-uuid 0".getBytes("UTF-8")); out.close()
+    fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+    assert(cat.write("tbl", df("a" -> 2)) == 2L)
+    assert(cat.readOr("tbl", schema).collect().map(_.getInt(1)).toSeq == Seq(2))
+  }
+
+  test("orphaned staging dirs are aged out by the next commit's GC") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val cat = new Catalog(spark, dir, "t")
+    cat.write("tbl", df("a" -> 1))
+    val fs = hfs(dir)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/t/tbl/.staging-orphan")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, System.currentTimeMillis() - 7200000L, -1)
+    spark.conf.set("spark.graft.catalog.stagingTtlMs", "3600000")
+    try cat.write("tbl", df("a" -> 2))
+    finally spark.conf.unset("spark.graft.catalog.stagingTtlMs")
+    assert(!fs.exists(orphan))
+  }
+
+  test("updateWith retries when quick successive commits GC its base version") {
+    val c = fresh()
+    c.write("tbl", df("x" -> 1))
+    var sideEffectDone = false
+    c.updateWith("tbl", schema) { cur =>
+      if (!sideEffectDone) {
+        sideEffectDone = true
+        // two commits advance the table and GC the base version's files
+        // before the staged write below ever evaluates `cur`
+        c.write("tbl", df("y" -> 2))
+        c.write("tbl", df("y" -> 3))
+      }
+      cur.unionByName(df("z" -> 9))
+    }
+    val got = c.readOr("tbl", schema).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // the retried f ran against the fresh snapshot (y -> 3)
+    assert(got == Set("y" -> 3, "z" -> 9))
+  }
+
+  // ---------------- atomic group commits ----------------
+
+  private val schemaB = StructType(Seq(
+    StructField("k", StringType), StructField("s", StringType)))
+
+  private def dfB(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "s")
+  }
+
+  test("group commit lands all sub-tables atomically under one version") {
+    val c = fresh()
+    val v = c.overwriteGroupIf("grp", Seq(
+      graft.storage.GroupBatch("left", df("a" -> 1, "b" -> 2), "k", Seq("a", "b")),
+      graft.storage.GroupBatch("right", dfB("a" -> "x"), "k", Seq("a"))), -1L)
+    assert(v == 1L)
+    val (pv, mf) = c.snapshot("grp")
+    assert(pv == 1L)
+    assert(c.readGroupOr("grp", mf, "left", schema).count() == 2)
+    assert(c.readGroupOr("grp", mf, "right", schemaB).collect()
+      .map(_.getString(1)).toSeq == Seq("x"))
+
+    // updating only one sub leaves the other's data dirs untouched
+    c.overwriteGroupIf("grp", Seq(
+      graft.storage.GroupBatch("right", dfB("a" -> "y"), "k", Seq("a"))), 1L)
+    val (pv2, mf2) = c.snapshot("grp")
+    assert(pv2 == 2L)
+    assert(mf2("left/a") == 1L && mf2("right/a") == 2L)
+    assert(c.readGroupOr("grp", mf2, "right", schemaB).collect()
+      .map(_.getString(1)).toSeq == Seq("y"))
+  }
+
+  test("a conflicting group commit changes nothing — no half-updated group") {
+    val c = fresh()
+    c.overwriteGroupIf("grp", Seq(
+      graft.storage.GroupBatch("left", df("a" -> 1), "k", Seq("a")),
+      graft.storage.GroupBatch("right", dfB("a" -> "x"), "k", Seq("a"))), -1L)
+    intercept[graft.storage.CommitConflict] {
+      c.overwriteGroupIf("grp", Seq(
+        graft.storage.GroupBatch("left", df("a" -> 10), "k", Seq("a")),
+        graft.storage.GroupBatch("right", dfB("a" -> "z"), "k", Seq("a"))), 0L)
+    }
+    val (pv, mf) = c.snapshot("grp")
+    assert(pv == 1L)
+    assert(c.readGroupOr("grp", mf, "left", schema).collect()
+      .map(_.getInt(1)).toSeq == Seq(1))
+    assert(c.readGroupOr("grp", mf, "right", schemaB).collect()
+      .map(_.getString(1)).toSeq == Seq("x"))
+  }
 }

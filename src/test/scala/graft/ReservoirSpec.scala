@@ -233,4 +233,28 @@ class ReservoirSpec extends AnyFunSuite {
     r.ingest(b)
     assert(r.clusters("gr").count() == 1, "identical goldrush keys cluster")
   }
+
+  test("concurrent ingests to the same reservoir lose no records or clusters") {
+    // ADVICE r6: the records RMW and the pool's three-table commit must be
+    // optimistic — two drivers ingesting at once conflict and retry instead
+    // of silently losing an update (the pool sub-tables commit atomically)
+    val r = freshReservoir()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 1 to 3)
+            r.ingest(batchDf(rec(s"T$t-$i", s"CSRC-$t", 1, Seq(s"i$t-$i"))))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"ingest failed: ${Option(errs.peek())}")
+    assert(r.records().count() == 6)
+    // every record made it into the pool's cluster state
+    val assigned = r.clusters("issn")
+      .select(explode(col("records.localId")).as("l"))
+      .collect().map(_.getString(0)).toSet
+    assert(assigned == (for (t <- 1 to 2; i <- 1 to 3) yield s"T$t-$i").toSet)
+  }
 }
