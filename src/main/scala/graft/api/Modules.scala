@@ -18,15 +18,20 @@ object ModuleInvocation {
 
 /** A registered code module (CodeModuleEntity.java:9-28). Types:
   *   - `jsonpath`: script is the JSONPath expression (F28)
-  *   - `native`: script names a built-in Scala matcher (the shipped GoldRush
-  *     scripts are ported natively — required for codegen throughput at
-  *     100 TB; SURVEY.md §2.11)
+  *   - `native`: script names a Scala matcher — a shipped one (`goldrush`,
+  *     `goldrush2024`, `goldrush2021`) or one the embedding application
+  *     registered via [[ModuleRegistry.registerNative]]. This is THE
+  *     extension contract for custom matchers: a Scala lambda runs inside
+  *     the ingest UDF on executors at full codegen throughput, where the
+  *     reference pays a per-record JS-engine round trip
+  *     (ModuleJavaScript.java:29-150).
   *   - `javascript`: the reference's stock matchkey scripts (recognized by
   *     their `url`) resolve through an alias table to the golden-verified
-  *     native ports, so reference module configs load unmodified; arbitrary
+  *     native ports, so reference module configs load unmodified. Arbitrary
   *     user scripts would need an embedded JS engine (GraalVM polyglot)
-  *     that this build intentionally excludes (zero-egress, no extra deps)
-  *     and fail with a clear error
+  *     that this build intentionally excludes (zero-egress, no extra deps);
+  *     they fail with an error pointing at the `native` SPI — the permanent
+  *     contract, not a stopgap.
   */
 final case class CodeModule(id: String, mtype: String, script: String,
     function: Option[String] = None, url: Option[String] = None)
@@ -116,8 +121,10 @@ final class ModuleRegistry(catalog: Catalog) {
         case "goldrush2021" =>
           p => try Seq(GoldRush2021.matchkeyFromPayload(p))
                catch { case _: Exception => Nil }
-        case other =>
-          throw new IllegalArgumentException(s"unknown native matcher: $other")
+        case other => ModuleRegistry.nativeMatcher(other).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown native matcher: $other — register it first: " +
+              s"""ModuleRegistry.registerNative("$other", payloadJson => keys)"""))
       }
       case "javascript" =>
         // the two stock matchkey scripts resolve to their golden-verified
@@ -128,8 +135,11 @@ final class ModuleRegistry(catalog: Catalog) {
           case (marker, f) if src.contains(marker) => f
         }.getOrElse(throw new UnsupportedOperationException(
           s"javascript module '$src' is not a recognized stock script and " +
-            "needs an embedded JS engine this build excludes; port it and " +
-            "register type=native, or use type=jsonpath"))
+            "needs an embedded JS engine this build excludes by design. " +
+            "Port the matcher to a Scala lambda and register it: " +
+            "ModuleRegistry.registerNative(name, payloadJson => keys), then " +
+            "re-register this module with type=native, script=name " +
+            "(or use type=jsonpath for pure extractions)"))
       case other =>
         throw new IllegalArgumentException(s"unknown module type: $other")
     }
@@ -137,6 +147,27 @@ final class ModuleRegistry(catalog: Catalog) {
 }
 
 object ModuleRegistry {
+
+  private val userNatives =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Seq[String]]()
+
+  /** The custom-matcher SPI (the role user JavaScript plays in the
+    * reference): register a Scala matcher `payloadJson => keys` under
+    * `name`, then register a module `{type: "native", script: name}` and
+    * reference it from a matchkey config as `module:<id>`. The lambda must
+    * be serializable (it ships to executors inside the ingest UDF) and
+    * should return Nil — not throw — on records it cannot key.
+    *
+    * Process-wide (code, not tenant data): call it at application startup,
+    * on every driver that runs ingests.
+    */
+  def registerNative(name: String, fn: String => Seq[String]): Unit =
+    userNatives.put(name, fn)
+
+  /** look up a matcher registered via [[registerNative]] */
+  def nativeMatcher(name: String): Option[String => Seq[String]] =
+    Option(userNatives.get(name))
+
   /** javascript→native alias table for the reference's stock matchkey
     * scripts, keyed by the url path segment that identifies each script
     * (checked in order — goldrush2024 before the goldrush/2021 variant).

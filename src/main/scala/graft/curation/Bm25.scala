@@ -13,10 +13,11 @@ import graft.text.TextFunctions
   * count over the bound token array per term — no explode, no join, no
   * shuffle of the corpus). The corpus-level inputs (N, avgdl, per-term
   * document frequencies) are ONE global aggregate producing a single row,
-  * broadcast back via crossJoin. The corpus is never shuffled, but it IS
-  * scanned and tokenized twice (once under the stats aggregate, once for
-  * scoring) — persist the tokenized projection upstream if the double scan
-  * matters for your storage tier.
+  * broadcast back via crossJoin. The corpus is never shuffled, but
+  * [[score]] scans and tokenizes it twice (once under the stats aggregate,
+  * once for scoring) — at 100 TB hand [[scoreTokens]] a persisted tokenized
+  * projection instead, which eliminates the second raw-text scan and the
+  * re-tokenization.
   *
   * Determinism: per-term contributions are summed as one fixed-order column
   * expression, not a float groupBy reduction, so scores are bit-stable under
@@ -31,12 +32,24 @@ object Bm25 {
     * kept (callers filter or rank).
     */
   def score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreTokens(
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("t")),
+      idCol, "t", terms, k1, b)
+
+  /** [[score]] over an already-tokenized corpus (`tokensCol`: array of
+    * terms). The caller controls materialization: a persisted/written
+    * tokenized projection is scanned twice but the raw text only once, and
+    * tokenization runs once — the shape to use when the corpus is large or
+    * the same tokens feed several term sets.
+    */
+  def scoreTokens(tokenized: DataFrame, idCol: String, tokensCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val tfCols = terms.map(t =>
       size(filter(col("t"), w => w === t)).cast("long").as(s"tf_$t"))
-    val toks = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+    val toks = tokenized
+      .select(col(idCol), col(tokensCol).as("t"))
       .select(col(idCol) +: size(col("t")).cast("long").as("dl") +: tfCols: _*)
 
     // ONE corpus-level aggregate: N, avgdl, df per term — a single row

@@ -171,34 +171,116 @@ final class OaiPmhClient(reservoir: Reservoir,
     StructField("id", StringType), StructField("status", StringType),
     StructField("resumptionToken", StringType), StructField("from", StringType),
     StructField("totalRecords", LongType), StructField("totalRequests", LongType),
-    StructField("error", StringType), StructField("stop", BooleanType)))
+    StructField("error", StringType), StructField("stop", BooleanType),
+    StructField("owner", StringType)))
 
-  private def loadStatus(id: String): Option[(HarvestStatus, Boolean)] =
+  private def loadStatus(id: String): Option[(HarvestStatus, Boolean, Option[String])] =
     reservoir.catalog.readOr("oai_clients", stateSchema)
       .filter(org.apache.spark.sql.functions.col("id") === id)
       .collect().headOption.map { r =>
         (HarvestStatus(r.getString(0), r.getString(1),
           Option(r.getString(2)), Option(r.getString(3)),
           r.getLong(4), r.getLong(5), Option(r.getString(6))),
-          r.getBoolean(7))
+          r.getBoolean(7), Option(r.getString(8)))
       }
 
-  private def saveStatus(s: HarvestStatus, stop: Boolean): Unit = {
+  /** persist the job row; `expected` (a catalog version) makes the write
+    * optimistic — pass -1 to write blind
+    */
+  private def saveStatus(s: HarvestStatus, stop: Boolean,
+      owner: Option[String], expected: Long = -1L): Unit = {
     val others = reservoir.catalog.readOr("oai_clients", stateSchema)
       .filter(org.apache.spark.sql.functions.col("id") =!= s.id)
     val row = spark.createDataFrame(
       java.util.List.of(Row(s.id, s.status, s.resumptionToken.orNull,
         s.from.orNull, s.totalRecords, s.totalRequests, s.error.orNull,
-        java.lang.Boolean.valueOf(stop))),
+        java.lang.Boolean.valueOf(stop), owner.orNull)),
       stateSchema)
-    reservoir.catalog.write("oai_clients", others.unionByName(row))
+    reservoir.catalog.writeIf("oai_clients", others.unionByName(row), expected)
+    ()
+  }
+
+  /** Claim the job for this runner (the reference's owner fencing,
+    * oai_pmh_clients.owner / OaiPmhClientService.java:335-474): an optimistic
+    * CAS on the job row stamps this runner's UUID as owner. A second `run`
+    * against a live job (status running, no stop requested) fails fast
+    * instead of interleaving; a job whose runner crashed is reclaimed by
+    * requesting `stop(id)` first.
+    */
+  private def claimJob(cfg: HarvestConfig): (HarvestStatus, String) = {
+    val uuid = java.util.UUID.randomUUID().toString
+    var attempts = 0
+    while (true) {
+      val v = reservoir.catalog.version("oai_clients")
+      val cur = loadStatus(cfg.id)
+      cur match {
+        case Some((s, stopFlag, Some(other))) if s.status == "running" && !stopFlag =>
+          throw new IllegalStateException(
+            s"harvest job '${cfg.id}' is already running (owner $other); " +
+              "stop(id) it first if its runner crashed")
+        case _ =>
+          val st = cur.map(_._1)
+            .getOrElse(HarvestStatus(cfg.id, "idle", None, cfg.from, 0L, 0L, None))
+            .copy(status = "running", error = None)
+          try {
+            saveStatus(st, stop = false, Some(uuid), v)
+            return (st, uuid)
+          } catch {
+            // another runner claimed between read and write: re-examine
+            case _: graft.storage.CommitConflict if attempts < 5 => attempts += 1
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Fencing check + persist: a runner whose claim was taken over (stop +
+    * re-run while it stalled) aborts instead of clobbering the new owner's
+    * progress. A pending stop request is preserved across mid-run flushes
+    * (only a terminal save consumes it via `clearStop`); `release` drops the
+    * owner claim on terminal saves. The write is an optimistic CAS so a
+    * concurrent `stop(id)` can't be silently overwritten.
+    */
+  private def saveOwned(s: HarvestStatus, uuid: String,
+      release: Boolean = false, clearStop: Boolean = false): Unit = {
+    var attempts = 0
+    while (true) {
+      val v = reservoir.catalog.version("oai_clients")
+      val cur = loadStatus(s.id)
+      cur.foreach { case (_, _, owner) =>
+        if (!owner.contains(uuid))
+          throw new IllegalStateException(
+            s"harvest job '${s.id}' was taken over by another runner " +
+              s"(owner ${owner.getOrElse("<none>")}); aborting this one")
+      }
+      val stopFlag = !clearStop && cur.exists(_._2)
+      try {
+        saveStatus(s, stopFlag, if (release) None else Some(uuid), v)
+        return
+      } catch {
+        case _: graft.storage.CommitConflict if attempts < 5 => attempts += 1
+      }
+    }
   }
 
   def status(id: String): Option[HarvestStatus] = loadStatus(id).map(_._1)
 
-  /** request a running job to stop at the next page boundary (T3) */
-  def stop(id: String): Unit =
-    loadStatus(id).foreach { case (s, _) => saveStatus(s, stop = true) }
+  /** request a running job to stop at the next page boundary (T3); also the
+    * recovery path that lets a crashed runner's claim be taken over. CAS so
+    * a racing flush can't overwrite the request.
+    */
+  def stop(id: String): Unit = {
+    var attempts = 0
+    while (attempts <= 5) {
+      val v = reservoir.catalog.version("oai_clients")
+      loadStatus(id) match {
+        case None => return
+        case Some((s, _, owner)) =>
+          try { saveStatus(s, stop = true, owner, v); return }
+          catch { case _: graft.storage.CommitConflict => attempts += 1 }
+      }
+    }
+  }
 
   private def buildUrl(cfg: HarvestConfig, token: Option[String],
       from: Option[String]): String = {
@@ -239,10 +321,8 @@ final class OaiPmhClient(reservoir: Reservoir,
     */
   def run(cfg: HarvestConfig): HarvestStatus = {
     val start = System.currentTimeMillis()
-    var st = loadStatus(cfg.id).map(_._1).getOrElse(
-      HarvestStatus(cfg.id, "idle", None, cfg.from, 0L, 0L, None))
-    st = st.copy(status = "running", error = None)
-    saveStatus(st, stop = false)
+    val (claimed, uuid) = claimJob(cfg)
+    var st = claimed
     var maxDatestamp: Option[String] = st.from
     // pages are buffered and ingested pagesPerIngest at a time; the cursor
     // tracks the token AFTER the last buffered page and is only persisted at
@@ -259,7 +339,7 @@ final class OaiPmhClient(reservoir: Reservoir,
         resumptionToken = cursor)
       buffer = Vector.empty
       bufferedPages = 0
-      saveStatus(st, stop = false)
+      saveOwned(st, uuid)
     }
 
     var continue = true
@@ -298,7 +378,7 @@ final class OaiPmhClient(reservoir: Reservoir,
           }
         }
       }
-      saveStatus(st, stop = false)
+      saveOwned(st, uuid, release = true, clearStop = true)
       st
     } catch {
       case e: Exception =>
@@ -306,7 +386,8 @@ final class OaiPmhClient(reservoir: Reservoir,
         // token resumes after them
         try flush() catch { case _: Exception => () }
         st = st.copy(status = "error", error = Some(e.getMessage))
-        saveStatus(st, stop = false)
+        try saveOwned(st, uuid, release = true, clearStop = true)
+        catch { case _: IllegalStateException => () } // usurped: theirs now
         st
     }
   }

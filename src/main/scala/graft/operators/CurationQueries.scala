@@ -225,7 +225,11 @@ object CurationQueries {
               |    AND doc_id NOT IN (SELECT doc_id FROM dirty))
               |SELECT doc_id, lang, quality FROM clean
               |WHERE substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.5)}'
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      // headline: the composed LLM-curation pipeline is more representative
+      // of the engine's workload than the labeled-exact all-pairs baseline
+      // q24 it replaces (q24 stays as a gate query)
+      headline = true),
 
     // ---- exact dataset profiling (data-card stats): everything in integer
     // cents so floats can't wobble; percentiles interpolate integers at

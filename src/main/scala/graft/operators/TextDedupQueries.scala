@@ -181,8 +181,7 @@ object TextDedupQueries {
               |  CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
               |FROM i JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
               |WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.1
-              |ORDER BY id1, id2""".stripMargin),
-      headline = true),
+              |ORDER BY id1, id2""".stripMargin)),
 
     // ---- MinHash + LSH near-dup pipeline (shingle -> sign -> band -> verify)
     Q("q25_minhash_lsh",

@@ -87,13 +87,27 @@ object Sampling {
     * batching shape): documents are laid out in a deterministic order and
     * cut into chunks of `capacity` tokens; a document's chunk is
     * floor(tokens-before-it / capacity). Packing runs independently inside
-    * each of 256 md5 buckets, so at scale the windows parallelize per bucket
-    * and no global sort exists; chunk identity is (bucket, chunk_seq).
+    * each of `nBuckets` md5 buckets, so at scale the windows parallelize per
+    * bucket and no global sort exists; chunk identity is (bucket,
+    * chunk_seq). Size `nBuckets` so one bucket's rows sort comfortably in
+    * one task (corpus rows / nBuckets ≲ tens of millions of narrow rows);
+    * the default 256 is the canonical two-hex-char md5 prefix.
     */
   def packChunks(df: DataFrame, idCol: String, tokenCountCol: Column,
-      capacity: Int): DataFrame = {
+      capacity: Int, nBuckets: Int = 256): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val bucket = substring(md5(col(idCol).cast("string")), 1, 2)
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val draw = md5(col(idCol).cast("string"))
+    // powers of 16 keep the bucket as a bare md5 hex prefix (the default 256
+    // = width 2, byte-compatible with external reproductions); any other
+    // count takes the md5's leading 60 bits mod nBuckets
+    val hexWidth = Iterator.iterate(16L)(_ * 16).zipWithIndex.take(8)
+      .collectFirst { case (v, i) if v == nBuckets => i + 1 }
+    val bucket = hexWidth match {
+      case Some(w) => substring(draw, 1, w)
+      case None => pmod(conv(substring(draw, 1, 15), 16, 10).cast("long"),
+        lit(nBuckets.toLong)).cast("string")
+    }
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), bucket.as("bucket"),

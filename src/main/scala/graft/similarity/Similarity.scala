@@ -188,15 +188,21 @@ object Similarity {
     * iteration — non-increasing up to float wobble, the convergence signal.
     *
     * Cost: `iters` scans of the corpus with O(k × dim) flops per row — the
-    * textbook k-means cost model; the per-iteration frame is persisted so
-    * the inertia and the mean aggregates share one scan. Train on a sample
-    * at 100 TB.
+    * textbook k-means cost model; each Lloyd iteration is ONE Spark job
+    * (the inertia rides along in the per-(centroid, dimension) cell
+    * aggregate). At 100 TB set `sampleFraction` — training quality needs a
+    * sample, not the corpus; the deterministic hash sample keeps the
+    * trained model reproducible across runs.
     */
   def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int): KMeansModel = {
+      nCentroids: Int, iters: Int, sampleFraction: Double = 1.0): KMeansModel = {
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else graft.sampling.Sampling.hashSample(corpus, idCol, sampleFraction,
+        "kmeans-train")
     // zero-norm vectors can't participate in cosine k-means: exclude them
     // from seeding too (a zero seed would be a permanently-dead NaN centroid)
-    val trainable = corpus.filter(
+    val trainable = sampled.filter(
       sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))) > 0)
     var cents: Seq[(Any, Seq[Double])] =
       sampledCentroids(trainable, idCol, vecCol, nCentroids)
@@ -215,25 +221,26 @@ object Similarity {
       val assigned = vecs.select(col("v"),
         best.getField("cent_id").as("cid"),
         (lit(1.0) + best.getField("neg")).as("dist")) // 1 - cos
-        .persist()
-      try {
-        inertias += assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
-        val cells = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("cid"), col("d"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-          .collect()
-          .groupBy(_.getInt(0))
-        cents = cents.map { case (cid, old) =>
-          cells.get(cid.asInstanceOf[Int]) match {
-            case Some(rows) =>
-              val mean = rows.sortBy(_.getInt(1))
-                .map(r => r.getDouble(2) / r.getLong(3)).toSeq
-              (cid, mean)
-            case None => (cid, old) // empty cluster keeps its centroid
-          }
+      // ONE job per iteration: every (cid, d) cell aggregates the same set
+      // of member rows, so sum(dist) over the d=0 cells is the inertia —
+      // no separate inertia pass, no persist needed
+      val cellRows = assigned
+        .select(col("cid"), col("dist"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+          sum(col("dist")).as("sd"))
+        .collect()
+      inertias += cellRows.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
+      val cells = cellRows.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        cells.get(cid.asInstanceOf[Int]) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1))
+              .map(r => r.getDouble(2) / r.getLong(3)).toSeq
+            (cid, mean)
+          case None => (cid, old) // empty cluster keeps its centroid
         }
-      } finally assigned.unpersist()
+      }
     }
     KMeansModel(cents, inertias.result())
   }

@@ -131,15 +131,26 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
-  /** exclusively claim version v (create with overwrite=false), stamping the
-    * claimant's fencing UUID
+  /** exclusively claim version v, stamping the claimant's fencing UUID.
+    * Exclusive-create is the serialization primitive: atomic on HDFS-like
+    * stores via create(overwrite=false), but RawLocalFileSystem implements
+    * that as check-then-act — two racing claimants can both "create" and
+    * the second truncates the first (a spurious ClaimLost for the first).
+    * On file:// claim through NIO's CREATE_NEW (O_CREAT|O_EXCL) instead.
     */
   private def tryClaim(name: String, v: Long, uuid: String): Boolean = {
     fs.mkdirs(tableDir(name))
+    val payload = s"$uuid ${System.currentTimeMillis()}".getBytes("UTF-8")
     try {
-      val out = fs.create(claimFile(name, v), false)
-      try out.write(s"$uuid ${System.currentTimeMillis()}".getBytes("UTF-8"))
-      finally out.close()
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(claimFile(name, v).toUri.getPath), payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = fs.create(claimFile(name, v), false)
+        try out.write(payload) finally out.close()
+      }
       true
     } catch { case _: java.io.IOException => false }
   }

@@ -183,6 +183,75 @@ object StreamingIngest {
       }
   }
 
+  /** one LSH bucket member in the transformWithState store */
+  final case class LshMember(docId: Long, sig: Seq[String])
+
+  /** [[streamingNearDupLsh]] with NATIVE per-member state TTL via Spark 4's
+    * `transformWithState`: each member appended to a bucket's `ListState`
+    * carries its own TTL and is evicted by the state store itself (RocksDB
+    * provider required) — no timer registration and no injectable clock.
+    * Prefer this for windowed near-dup on a real cluster; the lazy-eviction
+    * variant remains for HDFS-state deployments.
+    *
+    * Trigger caveat (probed, same family as the GroupStateTimeout wedge in
+    * NOTES.md): with TTL enabled the operator schedules state-cleanup
+    * micro-batches continuously ("no new data but cleaning up state"), so
+    * `processAllAvailable()` never quiesces and even Trigger.AvailableNow
+    * does not terminate. Use a processing-time trigger in production and
+    * observe progress metrics — never quiescence — in tests.
+    */
+  def streamingNearDupLshTtl(docs: Dataset[DocEvent],
+      memberTtl: java.time.Duration, shingleLen: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.Dedup
+    val banded = docs.flatMap { e =>
+      val sh = Dedup.shinglesOf(e.text, shingleLen)
+      if (sh.isEmpty) Nil
+      else {
+        val sig = Dedup.minhashOf(sh, numHashes)
+        Dedup.bandHashesOf(sig, bands, numHashes / bands)
+          .map(b => BandedDoc(e.docId, b, sig))
+      }
+    }
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[
+          String, BandedDoc, CandidatePair] {
+        @transient private var members:
+          org.apache.spark.sql.streaming.ListState[LshMember] = _
+        override def init(outputMode: OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+          members = getHandle.getListState[LshMember]("members",
+            org.apache.spark.sql.Encoders.product[LshMember],
+            org.apache.spark.sql.streaming.TTLConfig(memberTtl))
+        override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+            tv: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[CandidatePair] = {
+          // the store already filtered expired members out of the read
+          var cur = members.get().toVector
+          val out = Seq.newBuilder[CandidatePair]
+          rows.toSeq.sortBy(_.docId).foreach { d =>
+            if (!cur.exists(_.docId == d.docId) && cur.size < maxBucketSize) {
+              cur.foreach { m =>
+                val agree = d.sig.zip(m.sig).count { case (a, b) => a == b }
+                val est = agree.toDouble / d.sig.length
+                if (est >= threshold)
+                  out += CandidatePair(math.min(d.docId, m.docId),
+                    math.max(d.docId, m.docId), est)
+              }
+              members.appendValue(LshMember(d.docId, d.sig))
+              cur = cur :+ LshMember(d.docId, d.sig)
+            }
+          }
+          out.result().iterator
+        }
+      }
+    banded.groupByKey(_.bucket).transformWithState(processor,
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+      OutputMode.Append())
+  }
+
   /** Streaming decontamination: drop stream documents sharing any word
     * n-gram with the static benchmark set. The benchmark's distinct grams
     * (an eval suite — small by construction) are collected once and

@@ -98,6 +98,23 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("bm25 scoreTokens over a pre-tokenized corpus matches score") {
+    val df = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark and a lot of other words besides the one that matters here"),
+      (3L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "words")
+    val viaText = Bm25.score(df, "doc_id", "text", terms).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    // a caller-persisted tokenized projection (the single-raw-scan shape)
+    val tokenized = df.select(col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
+    val viaTokens = Bm25.scoreTokens(tokenized, "doc_id", "toks", terms)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(viaText == viaTokens)
+  }
+
   test("tokenEntropy matches hand-computed values") {
     val df = Seq(
       (1L, Seq("a", "a", "a", "a")),          // uniform single token → 0

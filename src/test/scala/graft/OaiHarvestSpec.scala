@@ -159,4 +159,42 @@ class OaiHarvestSpec extends AnyFunSuite {
     assert(st2.status == "idle")
     assert(r.records().count() == 2)
   }
+
+  test("owner fencing: a concurrent start on a live job fails fast") {
+    val r = freshReservoir()
+    val onePage = page(Seq(("F1", "2024-03-01", false)), None)
+    val cfg = HarvestConfig("job7", "http://fake/oai", sourceId = "SRC")
+    var rejected: Option[IllegalStateException] = None
+    lazy val client: OaiPmhClient = new OaiPmhClient(r, _ => {
+      // fires while the outer run holds the claim (status running + owner):
+      // a second start of the same job must fail fast, not interleave
+      if (rejected.isEmpty)
+        rejected = Some(intercept[IllegalStateException](client.run(cfg)))
+      (200, onePage)
+    }, _ => ())
+    val st = client.run(cfg)
+    assert(st.status == "idle" && st.totalRecords == 1)
+    assert(rejected.exists(_.getMessage.contains("already running")))
+    // terminal save released the claim: the same job id starts again cleanly
+    assert(client.run(cfg).status == "idle")
+  }
+
+  test("a crashed runner's stale claim is reclaimed after stop()") {
+    val r = freshReservoir()
+    val cfg = HarvestConfig("job8", "http://fake/oai", sourceId = "SRC")
+    // an Error bypasses the runner's Exception handler — like a process
+    // crash, it leaves the job row claimed (status running, owner set)
+    val crashing = new OaiPmhClient(r,
+      _ => throw new AssertionError("simulated crash"), _ => ())
+    intercept[AssertionError](crashing.run(cfg))
+    assert(crashing.status("job8").exists(_.status == "running"))
+    val good = new OaiPmhClient(r,
+      _ => (200, page(Seq(("G1", "2024-03-01", false)), None)), _ => ())
+    // fenced: the dead runner still owns the claim...
+    intercept[IllegalStateException](good.run(cfg))
+    // ...until stop() marks the job reclaimable
+    good.stop("job8")
+    val st = good.run(cfg)
+    assert(st.status == "idle" && st.totalRecords == 1)
+  }
 }

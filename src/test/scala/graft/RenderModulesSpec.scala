@@ -90,9 +90,34 @@ class RenderModulesSpec extends AnyFunSuite {
     // an unrecognized user script still fails with guidance
     r.modules.putJson("""{"id":"custom","type":"javascript",
       "url":"https://example.com/my-matcher.mjs"}""")
-    assertThrows[UnsupportedOperationException] {
+    val e = intercept[UnsupportedOperationException] {
       r.modules.resolveMatcher("custom")
     }
+    assert(e.getMessage.contains("registerNative"), e.getMessage)
+  }
+
+  test("registerNative SPI: a custom Scala matcher clusters end-to-end") {
+    val r = freshReservoir()
+    // the documented replacement for the reference's user-JS matchers: a
+    // Scala lambda registered at startup, addressed via a native module
+    graft.api.ModuleRegistry.registerNative("first-issn-upper",
+      p => try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p)
+        Option(node.at("/inventory/issn/0")).filterNot(_.isMissingNode)
+          .map(_.asText.toUpperCase).toSeq
+      } catch { case _: Exception => Nil })
+    r.modules.put(CodeModule("my-matcher", "native", "first-issn-upper"))
+    assert(r.modules.resolveMatcher("my-matcher")(
+      """{"inventory":{"issn":["x77"]}}""") == Seq("X77"))
+    // an unregistered native name fails with the registration hint
+    r.modules.put(CodeModule("ghost", "native", "not-registered"))
+    val e = intercept[IllegalArgumentException](r.modules.resolveMatcher("ghost"))
+    assert(e.getMessage.contains("registerNative"), e.getMessage)
+    // end-to-end: the custom matcher keys the pool (case-folded ISSN match)
+    r.putMatchKeyConfig(MatchKeyConfig("custom-pool", "module:my-matcher"))
+    r.ingest(batch(r, "A" -> Seq("q1"), "B" -> Seq("Q1"), "C" -> Seq("z9")))
+    val byCluster = r.clusters("custom-pool").collect()
+    assert(byCluster.length == 2, s"expected {A,B} and {C}: ${byCluster.length}")
   }
 
   test("items JSON envelope matches the reference's list shape") {

@@ -116,4 +116,34 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(packed.toSet == again.toSet)
   }
+
+  test("packChunks bucket count is a parameter; default 256 is the md5 prefix") {
+    val capacity = 100
+    val tok = size(split(col("text"), "\\s+"))
+    def run(nBuckets: Int) = Sampling.packChunks(docs(4), "doc_id", tok,
+        capacity, nBuckets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (n <- Seq(16, 1024)) {
+      val packed = run(n)
+      val buckets = packed.map(_._2).distinct
+      assert(buckets.length <= n, s"$n buckets requested, got ${buckets.length}")
+      // same packing invariants as the default: capacity respected per
+      // (bucket, chunk), chunk_seq dense from 0 per bucket
+      packed.groupBy(p => (p._2, p._4)).foreach { case ((b, c), rows) =>
+        assert(rows.map(_._3).sum < capacity + rows.map(_._3).max,
+          s"n=$n bucket $b chunk $c overfilled")
+      }
+      packed.groupBy(_._2).foreach { case (b, rows) =>
+        val seqs = rows.map(_._4).distinct.sorted
+        assert(seqs.sameElements(0L until seqs.length), s"n=$n bucket $b")
+      }
+    }
+    // explicit 256 is byte-identical to the default (the documented two-hex
+    // md5 prefix bucketing external reproductions depend on)
+    val explicit = run(256)
+    val default = Sampling.packChunks(docs(4), "doc_id", tok, capacity)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(explicit.toSet == default.toSet)
+    assert(explicit.forall(_._2.length == 2))
+  }
 }

@@ -116,4 +116,56 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $q (cluster ${truthOf(q)}) got neighbor $n from cluster ${truthOf(n)}")
     }
   }
+
+  test("each Lloyd iteration is exactly one Spark job") {
+    val df = clustered(40).cache()
+    df.count() // materialize outside the counted window
+    // job-group + statusTracker: poll until the (async) status store
+    // stabilizes, then read the group's job count. AQE re-plans each
+    // exchange stage as its own scheduler job, so turn it off to make
+    // "one action" == "one job".
+    def countJobs(iters: Int): Int = {
+      val group = s"kmeans-jobcount-$iters"
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sparkContext.setJobGroup(group, group)
+      try Similarity.trainCentroidsKMeans(df, "vec_id", "embedding",
+        nCentroids = 3, iters = iters)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      def n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      val deadline = System.currentTimeMillis() + 10000
+      var prev = -1
+      var cur = n
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(100); cur = n
+      }
+      cur
+    }
+    val seedOnly = countJobs(0)
+    val withIters = countJobs(3)
+    assert(withIters - seedOnly == 3,
+      s"expected 1 job/iteration: seed=$seedOnly, with 3 iters=$withIters")
+    df.unpersist()
+  }
+
+  test("sampleFraction trains on the deterministic hash sample") {
+    val df = clustered(60)
+    val full = Similarity.trainCentroidsKMeans(df, "vec_id", "embedding",
+      nCentroids = 3, iters = 2)
+    val sampled = Similarity.trainCentroidsKMeans(df, "vec_id", "embedding",
+      nCentroids = 3, iters = 2, sampleFraction = 0.5)
+    // the sample actually changed the training set (different seeds/model)
+    assert(sampled.centroids != full.centroids)
+    // reproducible: the same content-addressed sample trains the same model
+    val again = Similarity.trainCentroidsKMeans(df, "vec_id", "embedding",
+      nCentroids = 3, iters = 2, sampleFraction = 0.5)
+    assert(sampled.centroids == again.centroids)
+    // the spherical objective still never increases on the sampled run
+    sampled.inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: ${sampled.inertia}")
+    }
+  }
 }

@@ -158,6 +158,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState LSH TTL: native per-member eviction, real timeouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{CandidatePair, DocEvent}
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // With TTL enabled the query keeps scheduling state-cleanup
+    // micro-batches ("no new data but cleaning up state"), so neither
+    // processAllAvailable() nor Trigger.AvailableNow() ever quiesces — the
+    // probed wedge (same family as NOTES' GroupStateTimeout one). The
+    // data DOES flow, so the test observes progress metrics instead:
+    // cumulative numInputRows by batchId, then polls the sink.
+    def waitInputs(q: org.apache.spark.sql.streaming.StreamingQuery,
+        atLeast: Long): Unit = {
+      val seen = scala.collection.mutable.Map[Long, Long]()
+      val deadline = System.currentTimeMillis() + 90000
+      while (System.currentTimeMillis() < deadline) {
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        if (seen.values.sum >= atLeast) return
+        Thread.sleep(100)
+      }
+      fail(s"only ${seen.values.sum} of $atLeast input rows processed")
+    }
+    def pairsOf(qn: String): Set[(Long, Long)] =
+      spark.table(qn).as[CandidatePair].collect().map(p => (p.id1, p.id2)).toSet
+    try {
+      // long TTL: the cross-batch pair IS found (state survived the batches)
+      val inLong = MemoryStream[DocEvent](spark)
+      val qLong = StreamingIngest.streamingNearDupLshTtl(inLong.toDS(),
+          java.time.Duration.ofHours(1), threshold = 0.5)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_long").start()
+      try {
+        inLong.addData(DocEvent(1, near1))
+        waitInputs(qLong, 1)
+        inLong.addData(DocEvent(2, near1))
+        val deadline = System.currentTimeMillis() + 90000
+        while (pairsOf("tws_long").isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(pairsOf("tws_long") == Set((1L, 2L)), pairsOf("tws_long").toString)
+      } finally qLong.stop()
+      // short TTL: the store itself expired the member during a real delay
+      val inShort = MemoryStream[DocEvent](spark)
+      val qShort = StreamingIngest.streamingNearDupLshTtl(inShort.toDS(),
+          java.time.Duration.ofMillis(500), threshold = 0.5)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_short").start()
+      try {
+        inShort.addData(DocEvent(1, near1))
+        waitInputs(qShort, 1)
+        Thread.sleep(1500) // comfortably past the TTL
+        inShort.addData(DocEvent(2, near1))
+        waitInputs(qShort, 2)
+        Thread.sleep(1000) // allow any (wrong) late emission to surface
+        assert(pairsOf("tws_short").isEmpty,
+          s"expired member still matched: ${pairsOf("tws_short")}")
+      } finally qShort.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming decontamination drops benchmark-overlapping docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
