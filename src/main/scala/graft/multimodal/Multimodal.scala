@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages shaped for executor-parallel batch processing.
   *
-  * PIXEL work is STUBBED behind `MediaCodecs` (this container ships no
-  * image/audio libraries): `decode` parses a deterministic fake header
-  * instead of invoking a real decoder. Container-level metadata is NOT
-  * stubbed — [[ImageHeaders]] reads real PNG/JPEG/GIF dimensions straight
-  * from header bytes. Everything around the stub — the schema, the
-  * per-partition batching, the column signatures, the partition-parallel
-  * execution — is real: swapping in a JNI/javacpp decoder is a
-  * one-function change.
+  * IMAGE and WAV-AUDIO pixel/sample work is REAL: [[ImageCodecs]] decodes
+  * PNG/JPEG/GIF/BMP through the JDK's built-in `javax.imageio` (resample,
+  * perceptual dHash/aHash, luminance-grid embeddings), and [[AudioCodecs]]
+  * decodes RIFF/WAV PCM through `javax.sound.sampled` (RMS, zero-crossing
+  * rate, clipping ratio). [[ImageHeaders]] additionally reads dimensions
+  * straight from header bytes without a full decode. Only VIDEO (and
+  * compressed audio) decoding is stubbed behind `MediaCodecs` — the JDK has
+  * no codec for those containers; the surrounding schema, per-partition
+  * batching, and partition-parallel execution are real, so swapping in a
+  * JNI/javacpp decoder is a one-function change.
   *
   * Scale notes: media rows are large; keep `spark.sql.files.maxPartitionBytes`
   * at the default 128 MB so tasks stay memory-bounded, and store binaries in
@@ -131,6 +133,112 @@ object Multimodal {
       m.copy(content = resized,
         meta = m.meta.copy(width = width, height = height))
     }
+  }
+
+  // ---------------- REAL image operators (JDK ImageIO) ----------------
+
+  /** real decode: adds img_width / img_height (null where no installed
+    * reader accepts the bytes) — unlike [[ImageHeaders]] this touches the
+    * pixels, so it also validates the payload end-to-end
+    */
+  def withImagePixelMeta(df: DataFrame, contentCol: String): DataFrame = {
+    val dims = udf((c: Array[Byte]) =>
+      ImageCodecs.decode(c).map(i => (i.getWidth, i.getHeight)))
+    df.withColumn("px", dims(col(contentCol)))
+      .withColumn("img_width", col("px._1"))
+      .withColumn("img_height", col("px._2"))
+      .drop("px")
+  }
+
+  /** 64-bit perceptual dHash column (null for undecodable rows). Persist
+    * the result before self-joining at scale — each downstream use re-runs
+    * the decode otherwise.
+    */
+  def withImageHash(df: DataFrame, contentCol: String): DataFrame = {
+    val h = udf((c: Array[Byte]) => ImageCodecs.decode(c).map(ImageCodecs.dHash))
+    df.withColumn("dhash", h(col(contentCol)))
+  }
+
+  /** Near-duplicate image pairs among pre-hashed rows (`idCol`, `hashCol`
+    * 64-bit dHash): the hash is sliced into `maxHamming + 1` bands
+    * (pigeonhole — a pair within maxHamming bits agrees on at least one
+    * whole band), candidates come from a (band, slice) equi-join, and the
+    * exact `bit_count(xor)` verify runs codegen-native. Never an all-pairs
+    * comparison — the simhashPairs shape on image bytes.
+    */
+  def imageNearDupsFromHashes(hashed: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    val nb = maxHamming + 1
+    val base = 64 / nb
+    val extra = 64 % nb // first `extra` bands get one more bit
+    val offsets = (0 until nb).scanLeft(0)((o, i) =>
+      o + base + (if (i < extra) 1 else 0))
+    val slices = (0 until nb).map { i =>
+      val width = base + (if (i < extra) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("h"), offsets(i)).bitwiseAND(lit(mask)).as("slice"))
+    }
+    val rows = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val banded = rows.select(col("id"), col("h"),
+      explode(array(slices: _*)).as("bs"))
+    banded.as("l").join(banded.as("r"),
+        col("l.bs") === col("r.bs") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.h").as("h1"), col("r.h").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** hash + pair search in one call (decodes twice across the self-join —
+    * persist [[withImageHash]] output instead at corpus scale)
+    */
+  def imageNearDups(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6): DataFrame =
+    imageNearDupsFromHashes(withImageHash(df, contentCol), idCol, "dhash",
+      maxHamming)
+
+  /** real luminance-grid embedding column, L2-normalized — feed straight to
+    * graft.similarity cosine / ANN operators for image similarity search
+    */
+  def withImageEmbedding(df: DataFrame, contentCol: String,
+      grid: Int = 8): DataFrame = {
+    val e = udf((c: Array[Byte]) =>
+      ImageCodecs.decode(c).map(ImageCodecs.embedding(_, grid)))
+    df.withColumn("embedding", e(col(contentCol)))
+  }
+
+  /** real pixel resample of every decodable image to (w, h), re-encoded as
+    * PNG (null where decode failed)
+    */
+  def resizeImages(df: DataFrame, contentCol: String, w: Int,
+      h: Int): DataFrame = {
+    val r = udf((c: Array[Byte]) => ImageCodecs.decode(c)
+      .map(i => ImageCodecs.encodePng(ImageCodecs.resize(i, w, h))))
+    df.withColumn("resized", r(col(contentCol)))
+  }
+
+  // ---------------- REAL audio operators (JDK javax.sound) ----------------
+
+  /** WAV PCM decode + curation features: audio_duration_ms, audio_rms,
+    * audio_zcr, audio_clipping (all null for non-WAV rows)
+    */
+  def withAudioFeatures(df: DataFrame, contentCol: String): DataFrame = {
+    val f = udf((c: Array[Byte]) => AudioCodecs.decodeWav(c).map { p =>
+      (p.durationMs, AudioCodecs.rms(p.samples),
+        AudioCodecs.zeroCrossingRate(p.samples),
+        AudioCodecs.clippingRatio(p.samples))
+    })
+    df.withColumn("af", f(col(contentCol)))
+      .withColumn("audio_duration_ms", col("af._1"))
+      .withColumn("audio_rms", col("af._2"))
+      .withColumn("audio_zcr", col("af._3"))
+      .withColumn("audio_clipping", col("af._4"))
+      .drop("af")
   }
 
   /** synthesize a deterministic media table from any keyed text frame —

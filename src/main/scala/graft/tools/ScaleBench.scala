@@ -56,11 +56,20 @@ object ScaleBench {
       .foreach(t => write(read(t), t))
     write(replicate(read("orders"), Seq("o_orderkey")), "orders")
     write(replicate(read("lineitem"), Seq("l_orderkey")), "lineitem")
-    // per-replica text marker keeps exact/near-dup DENSITY constant instead
-    // of making every doc a 10-way duplicate
+    // Per-replica text salting keeps exact/near-dup DENSITY constant
+    // instead of making every doc a 10-way near-duplicate of its copies: a
+    // replica token interleaved every 4 words shifts most 3-gram shingle
+    // windows, pushing cross-replica jaccard far below the 0.5 threshold
+    // while each replica's own dup groups stay intact (replica 0 = the
+    // original corpus verbatim).
+    val docMax = read("documents").agg(max(col("doc_id"))).head.getLong(0) + 1L
     write(replicate(read("documents"), Seq("doc_id"))
-      .withColumn("text", concat(col("text"), lit(" rep"),
-        (col("doc_id") % lit(997)).cast("string"))), "documents")
+      .withColumn("text", udf { (text: String, docId: Long) =>
+        val rep = docId / docMax
+        if (rep == 0L) text
+        else text.split(" ").grouped(4)
+          .map(g => (g :+ s"rep$rep").mkString(" ")).mkString(" ")
+      }.apply(col("text"), col("doc_id"))), "documents")
     write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
 
     val headline = graft.SparkEntry.allQ.filter(_.headline)

@@ -120,4 +120,119 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(5L).isEmpty, "truncated header parses to null")
     assert(got(6L) == Some(("jpeg", 800, 600)), "0xFF fill bytes are consumed")
   }
+
+  // ---------------- REAL codecs (JDK ImageIO / javax.sound) ----------------
+
+  /** deterministic pseudo-random 64×64 grayscale PNG per seed */
+  private def patternPng(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val c = ((x * 73856093) ^ (y * 19349663) ^ (seed * 83492791)) & 0xff
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    graft.multimodal.ImageCodecs.encodePng(img)
+  }
+
+  /** the same pixels recompressed as lossy JPEG — the classic near-dup */
+  private def recompressJpeg(png: Array[Byte]): Array[Byte] = {
+    val img = graft.multimodal.ImageCodecs.decode(png).get
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode, resize, and perceptual hash behave like codecs") {
+    import graft.multimodal.ImageCodecs
+    val png = patternPng(1)
+    val img = ImageCodecs.decode(png).get
+    assert(img.getWidth == 64 && img.getHeight == 64)
+    val small = ImageCodecs.resize(img, 20, 10)
+    assert(small.getWidth == 20 && small.getHeight == 10)
+    // PNG is lossless: re-encode + decode preserves the hash exactly
+    val again = ImageCodecs.decode(ImageCodecs.encodePng(img)).get
+    assert(ImageCodecs.dHash(img) == ImageCodecs.dHash(again))
+    // JPEG recompression is lossy but perceptually identical: small hamming
+    val jpg = ImageCodecs.decode(recompressJpeg(png)).get
+    val dNear = ImageCodecs.hamming(ImageCodecs.dHash(img), ImageCodecs.dHash(jpg))
+    assert(dNear <= 10, s"recompressed hash drifted $dNear bits")
+    // a different pattern is far away (~32 bits for independent hashes)
+    val other = ImageCodecs.decode(patternPng(2)).get
+    val dFar = ImageCodecs.hamming(ImageCodecs.dHash(img), ImageCodecs.dHash(other))
+    assert(dFar > 16, s"distinct images only $dFar bits apart")
+    assert(ImageCodecs.decode("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup pairs: banded join finds the recompressed copy only") {
+    import spark.implicits._
+    val png1 = patternPng(10)
+    val df = Seq(
+      (1L, png1), (2L, recompressJpeg(png1)), (3L, patternPng(11)),
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "content")
+    val pairs = Multimodal.imageNearDups(df, "id", "content", maxHamming = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+    // scale shape: banded equi-join, never an all-pairs comparison
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("real image embeddings: near-dups at cosine ~1, distinct far below") {
+    import spark.implicits._
+    val png1 = patternPng(20)
+    val df = Seq(
+      (1L, png1), (2L, recompressJpeg(png1)), (3L, patternPng(21))
+    ).toDF("id", "content")
+    val emb = Multimodal.withImageEmbedding(df, "content")
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(math.abs(cos(emb(1L), emb(1L)) - 1.0) < 1e-5, "unit norm")
+    assert(cos(emb(1L), emb(2L)) > 0.98, s"near-dup cos ${cos(emb(1L), emb(2L))}")
+    assert(cos(emb(1L), emb(3L)) < 0.8, s"distinct cos ${cos(emb(1L), emb(3L))}")
+  }
+
+  test("real WAV decode recovers duration, energy, and zero crossings") {
+    import graft.multimodal.AudioCodecs
+    val rate = 8000f
+    val n = 2000 // 250 ms
+    val amp = 0.5f
+    val sine = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * 440 * i / rate)).toFloat)
+    val wav = AudioCodecs.encodeWavMono16(sine, rate)
+    val pcm = AudioCodecs.decodeWav(wav).get
+    assert(pcm.sampleRate == rate && pcm.channels == 1)
+    assert(math.abs(pcm.durationMs - 250L) <= 1)
+    // sine RMS = amp / sqrt(2); 440 Hz crosses zero 2*440 times per second
+    assert(math.abs(AudioCodecs.rms(pcm.samples) - amp / math.sqrt(2)) < 0.01)
+    val zcr = AudioCodecs.zeroCrossingRate(pcm.samples)
+    assert(math.abs(zcr - 2 * 440 / rate) < 0.01, s"zcr $zcr")
+    assert(AudioCodecs.clippingRatio(pcm.samples) == 0.0)
+    assert(AudioCodecs.decodeWav("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("withAudioFeatures annotates WAV rows and nulls the rest") {
+    import spark.implicits._
+    import graft.multimodal.AudioCodecs
+    val rate = 8000f
+    val loud = AudioCodecs.encodeWavMono16(
+      Array.tabulate(800)(i => if (i % 18 < 9) 1.0f else -1.0f), rate) // square
+    val quiet = AudioCodecs.encodeWavMono16(Array.fill(800)(0.001f), rate)
+    val df = Seq((1L, loud), (2L, quiet), (3L, "nope".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val rows = Multimodal.withAudioFeatures(df, "content")
+      .select("id", "audio_duration_ms", "audio_rms", "audio_clipping")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getDouble(2), r.getDouble(3))))).toMap
+    val (durLoud, rmsLoud, clipLoud) = rows(1L).get
+    assert(durLoud == 100L && rmsLoud > 0.9 && clipLoud > 0.9,
+      s"square wave: $durLoud ms rms=$rmsLoud clip=$clipLoud")
+    val (_, rmsQuiet, clipQuiet) = rows(2L).get
+    assert(rmsQuiet < 0.01 && clipQuiet == 0.0)
+    assert(rows(3L).isEmpty, "non-WAV bytes yield null features, not a crash")
+  }
 }
