@@ -31,20 +31,38 @@ object Pipeline {
     * score attached. Keeps the min-id representative of each exact-duplicate
     * group, drops benchmark members and any document sharing an n-gram with
     * the benchmark, then hash-samples the survivors.
+    *
+    * Plan shape (sized for one pass over a 100 TB corpus): the dedup is ONE
+    * `min_by(struct)` aggregate — a single corpus shuffle, replacing the
+    * agg + corpus-wide semi-join formulation that shuffled twice — and the
+    * contamination grams are computed from the PRE-dedup rows, so the dedup
+    * shuffle never re-runs under the gram branch. Pre-dedup contamination
+    * is provably the same output: exact duplicates have identical grams, so
+    * a kept representative is flagged iff any of its copies would be. The
+    * text column is read under three branches (dedup aggregate, corpus gram
+    * explode, benchmark grams) plus two id-only pruned scans for the
+    * benchmark anti-joins; at petabyte scale materialize the (stable)
+    * benchmark slice upstream and pass it to [[Decontaminate]] directly to
+    * drop the text reads to two.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
     val scored = docs.withColumn("quality",
       TextFunctions.qualityScore(col(textCol)))
     val qual = scored.filter(col("quality") >= cfg.minQuality)
-    // exact dedup: min id per content hash survives
-    val keep = qual.groupBy(md5(col(textCol)).as("_h"))
-      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
-    val deduped = qual.join(keep, Seq(idCol), "left_semi")
-    // decontaminate against a deterministic held-out benchmark slice
+    // exact dedup: the min-id row per content hash survives, one aggregate
+    val deduped = qual
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(struct(qual.columns.map(col).toSeq: _*), col(idCol)).as("_r"))
+      .select(col("_r.*"))
+    // decontaminate against a deterministic held-out benchmark slice; the
+    // dirty set is bounded by benchmark overlap and broadcast
     val bench = Sampling.hashSample(docs, idCol, cfg.benchFraction, cfg.benchSalt)
-    val clean = Decontaminate.decontaminated(deduped, bench, idCol, textCol,
-      cfg.contaminationNgram)
+    val dirty = Decontaminate.contaminationHits(qual, bench, idCol, textCol,
+      cfg.contaminationNgram).select(col(idCol))
+    val clean = deduped
+      .join(broadcast(bench.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+      .join(broadcast(dirty), Seq(idCol), "left_anti")
     Sampling.hashSample(clean, idCol, cfg.sampleFraction, cfg.sampleSalt)
   }
 }
