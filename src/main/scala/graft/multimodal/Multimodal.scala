@@ -137,16 +137,17 @@ object Multimodal {
 
   // ---------------- REAL image operators (JDK ImageIO) ----------------
 
-  /** real decode: adds img_width / img_height (null where no installed
-    * reader accepts the bytes) — unlike [[ImageHeaders]] this touches the
-    * pixels, so it also validates the payload end-to-end
+  /** real decode: adds px_width / px_height (null where no installed
+    * reader accepts the bytes) — unlike [[ImageHeaders]]' header-sniffed
+    * img_width/img_height (composable alongside: distinct column names)
+    * this touches the pixels, so it also validates the payload end-to-end
     */
   def withImagePixelMeta(df: DataFrame, contentCol: String): DataFrame = {
     val dims = udf((c: Array[Byte]) =>
       ImageCodecs.decode(c).map(i => (i.getWidth, i.getHeight)))
     df.withColumn("px", dims(col(contentCol)))
-      .withColumn("img_width", col("px._1"))
-      .withColumn("img_height", col("px._2"))
+      .withColumn("px_width", col("px._1"))
+      .withColumn("px_height", col("px._2"))
       .drop("px")
   }
 
