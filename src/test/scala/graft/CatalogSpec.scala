@@ -181,6 +181,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.readOr("tbl", schema).collect().map(_.getInt(1)).toSeq == Seq(2))
   }
 
+  test("mid-commit crash debris is reclaimed: dest dir, manifest, claim") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val cat = new Catalog(spark, dir, "t")
+    cat.overwritePartitions("tbl", df("a" -> 1), "k", Seq("a"))
+    val fs = hfs(dir)
+    // a writer crashed AFTER renaming its partition data and writing its
+    // manifest for v=2, but BEFORE flipping _LATEST: readers still see v=1,
+    // and the claim, data dir, and manifest are all debris
+    val claim = new org.apache.hadoop.fs.Path(s"$dir/t/tbl/_COMMIT.v=2")
+    val out = fs.create(claim, false)
+    out.write("dead-uuid 0".getBytes("UTF-8")); out.close()
+    fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/t/tbl/parts/a/v=2"))
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$dir/t/tbl/_MANIFEST.v=2"), false)
+    mf.write("2\ta".getBytes("UTF-8")); mf.close()
+    // committed state is untouched by the debris
+    assert(readAll(cat) == Set("a" -> 1))
+    // the next writer takes over the stale claim, replaces every leftover,
+    // and commits cleanly
+    assert(cat.overwritePartitions("tbl", df("a" -> 7), "k", Seq("a")) == 2L)
+    assert(readAll(cat) == Set("a" -> 7))
+    assert(cat.partitionManifest("tbl").keySet == Set("a"))
+  }
+
   test("orphaned staging dirs are aged out by the next commit's GC") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val cat = new Catalog(spark, dir, "t")
