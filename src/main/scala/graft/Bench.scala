@@ -9,35 +9,52 @@ import org.apache.spark.sql.SparkSession
   * skip work via column pruning on non-aggregating plans).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** the session shape every bench main shares */
+  def benchSession(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName("graft-bench")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  /** one warmup pass (JIT + codegen + parquet footer cache) then one timed
+    * pass of the headline set against `dir`; failures log and score their
+    * elapsed time
+    */
+  def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     val headline = SparkEntry.allQ.filter(_.headline)
-    // one warmup pass (JIT + codegen + parquet footer cache) then timed pass
     headline.foreach { q =>
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = headline.map { q =>
+    headline.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
+  }
+
+  /** the driver-contract single JSON result line */
+  def jsonLine(results: Seq[(String, Double)], sfLabel: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = benchSession("graft-bench")
+    println(jsonLine(timeHeadline(spark, sfDir), sfDir))
     spark.stop()
   }
 }

@@ -121,10 +121,14 @@ final class ModuleRegistry(catalog: Catalog) {
         case "goldrush2021" =>
           p => try Seq(GoldRush2021.matchkeyFromPayload(p))
                catch { case _: Exception => Nil }
-        case other => ModuleRegistry.nativeMatcher(other).getOrElse(
-          throw new IllegalArgumentException(
-            s"unknown native matcher: $other — register it first: " +
-              s"""ModuleRegistry.registerNative("$other", payloadJson => keys)"""))
+        case other =>
+          val f = ModuleRegistry.nativeMatcher(other).getOrElse(
+            throw new IllegalArgumentException(
+              s"unknown native matcher: $other — register it first: " +
+                s"""ModuleRegistry.registerNative("$other", payloadJson => keys)"""))
+          // same per-record guard as the builtins: one malformed payload
+          // skips the record, never aborts a distributed ingest
+          p => try f(p) catch { case _: Exception => Nil }
       }
       case "javascript" =>
         // the two stock matchkey scripts resolve to their golden-verified

@@ -46,13 +46,21 @@ object Decontaminate {
   /** The clean corpus: documents with zero benchmark n-gram overlap (and not
     * benchmark members themselves). Anti-join against the flagged set — the
     * corpus passes through with its full schema intact.
+    *
+    * `gramSource` optionally computes the contamination grams from a
+    * DIFFERENT (superset) frame than the one being filtered — e.g. the
+    * pre-dedup rows, so an expensive dedup subplan is not re-evaluated
+    * under the gram branch (Pipeline.curate). Flagged ids not present in
+    * `corpus` anti-join away harmlessly.
     */
   def decontaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int,
+      gramSource: Option[DataFrame] = None): DataFrame = {
     // dirty is bounded by the benchmark-overlap count (same scale class as
     // the other broadcast sides) — without the hint a large overlap would
     // tip the anti-join into a full-corpus sort-merge shuffle
-    val dirty = contaminationHits(corpus, bench, idCol, textCol, n)
+    val dirty = contaminationHits(gramSource.getOrElse(corpus), bench, idCol,
+        textCol, n)
       .select(col(idCol))
     corpus
       .join(broadcast(bench.select(col(idCol)).distinct()), Seq(idCol), "left_anti")

@@ -55,14 +55,12 @@ object Pipeline {
       .groupBy(md5(col(textCol)).as("_h"))
       .agg(min_by(struct(qual.columns.map(col).toSeq: _*), col(idCol)).as("_r"))
       .select(col("_r.*"))
-    // decontaminate against a deterministic held-out benchmark slice; the
-    // dirty set is bounded by benchmark overlap and broadcast
+    // decontaminate against a deterministic held-out benchmark slice,
+    // computing the grams from the cheap pre-dedup rows (see the
+    // decontaminated scaladoc — the dedup shuffle is not re-evaluated)
     val bench = Sampling.hashSample(docs, idCol, cfg.benchFraction, cfg.benchSalt)
-    val dirty = Decontaminate.contaminationHits(qual, bench, idCol, textCol,
-      cfg.contaminationNgram).select(col(idCol))
-    val clean = deduped
-      .join(broadcast(bench.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-      .join(broadcast(dirty), Seq(idCol), "left_anti")
+    val clean = Decontaminate.decontaminated(deduped, bench, idCol, textCol,
+      cfg.contaminationNgram, gramSource = Some(qual))
     Sampling.hashSample(clean, idCol, cfg.sampleFraction, cfg.sampleSalt)
   }
 }

@@ -200,6 +200,16 @@ final class OaiPmhClient(reservoir: Reservoir,
     ()
   }
 
+  /** Retries on saveStatus version conflicts. Every job's flush bumps the
+    * shared oai_clients version, so N concurrent jobs race each other on
+    * every write — attempt-scaled backoff keeps the CAS from exhausting
+    * under ordinary multi-job harvests.
+    */
+  private val CasAttempts = 10
+
+  private def casBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(10L << attempt, 1000L))
+
   /** Claim the job for this runner (the reference's owner fencing,
     * oai_pmh_clients.owner / OaiPmhClientService.java:335-474): an optimistic
     * CAS on the job row stamps this runner's UUID as owner. A second `run`
@@ -227,7 +237,12 @@ final class OaiPmhClient(reservoir: Reservoir,
             return (st, uuid)
           } catch {
             // another runner claimed between read and write: re-examine
-            case _: graft.storage.CommitConflict if attempts < 5 => attempts += 1
+            case _: graft.storage.CommitConflict if attempts < CasAttempts =>
+              casBackoff(attempts); attempts += 1
+            case _: graft.storage.CommitConflict =>
+              throw new IllegalStateException(
+                s"could not claim harvest job '${cfg.id}': persistent commit " +
+                  "contention on oai_clients (too many concurrent jobs?)")
           }
       }
     }
@@ -258,7 +273,8 @@ final class OaiPmhClient(reservoir: Reservoir,
         saveStatus(s, stopFlag, if (release) None else Some(uuid), v)
         return
       } catch {
-        case _: graft.storage.CommitConflict if attempts < 5 => attempts += 1
+        case _: graft.storage.CommitConflict if attempts < CasAttempts =>
+          casBackoff(attempts); attempts += 1
       }
     }
   }
@@ -271,15 +287,20 @@ final class OaiPmhClient(reservoir: Reservoir,
     */
   def stop(id: String): Unit = {
     var attempts = 0
-    while (attempts <= 5) {
+    while (attempts <= CasAttempts) {
       val v = reservoir.catalog.version("oai_clients")
       loadStatus(id) match {
         case None => return
         case Some((s, _, owner)) =>
           try { saveStatus(s, stop = true, owner, v); return }
-          catch { case _: graft.storage.CommitConflict => attempts += 1 }
+          catch {
+            case _: graft.storage.CommitConflict =>
+              casBackoff(attempts); attempts += 1
+          }
       }
     }
+    sys.error(s"could not persist stop request for harvest job '$id' " +
+      "(persistent commit contention)")
   }
 
   private def buildUrl(cfg: HarvestConfig, token: Option[String],

@@ -36,6 +36,10 @@ object AudioCodecs {
         val out = new Array[Float](n)
         var i = 0
         if (bits == 16) {
+          // 16-bit PCM is signed in practice; unsigned 16-bit is nonstandard
+          // and would decode wrong through a signed ShortBuffer — reject it
+          if (fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) return None
           val order =
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN
@@ -75,19 +79,46 @@ object AudioCodecs {
     bos.toByteArray
   }
 
-  /** root-mean-square energy in [0, 1] — silence/loudness filter */
-  def rms(samples: Array[Float]): Double =
-    if (samples.isEmpty) 0.0
-    else math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+  // feature kernels run per row inside UDFs over multi-million-sample
+  // arrays: plain while loops, no intermediate collections
 
-  /** fraction of adjacent-sample sign changes — crude voicing/noise signal */
-  def zeroCrossingRate(samples: Array[Float]): Double =
-    if (samples.length < 2) 0.0
-    else samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toDouble /
-      (samples.length - 1)
+  /** root-mean-square energy in [0, 1] — silence/loudness filter
+    * (channel-agnostic: interleaving doesn't change the mean square)
+    */
+  def rms(samples: Array[Float]): Double = {
+    if (samples.isEmpty) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < samples.length) { acc += samples(i).toDouble * samples(i); i += 1 }
+    math.sqrt(acc / samples.length)
+  }
+
+  /** Fraction of adjacent-sample sign changes WITHIN each channel — crude
+    * voicing/noise signal. `channels` matters: interleaved stereo compared
+    * sample-to-sample would count spurious L/R sign flips (out-of-phase
+    * channels read as ZCR ~1.0 when neither channel crosses zero).
+    */
+  def zeroCrossingRate(samples: Array[Float], channels: Int = 1): Double = {
+    val ch = math.max(1, channels)
+    if (samples.length < 2 * ch) return 0.0
+    var crossings = 0L
+    var i = ch
+    while (i < samples.length) {
+      if ((samples(i - ch) >= 0) != (samples(i) >= 0)) crossings += 1
+      i += 1
+    }
+    crossings.toDouble / (samples.length - ch)
+  }
 
   /** fraction of samples at or beyond full scale — clipping detector */
-  def clippingRatio(samples: Array[Float], threshold: Float = 0.999f): Double =
-    if (samples.isEmpty) 0.0
-    else samples.count(s => math.abs(s) >= threshold).toDouble / samples.length
+  def clippingRatio(samples: Array[Float], threshold: Float = 0.999f): Double = {
+    if (samples.isEmpty) return 0.0
+    var clipped = 0L
+    var i = 0
+    while (i < samples.length) {
+      if (math.abs(samples(i)) >= threshold) clipped += 1
+      i += 1
+    }
+    clipped.toDouble / samples.length
+  }
 }

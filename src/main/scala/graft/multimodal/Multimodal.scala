@@ -145,10 +145,12 @@ object Multimodal {
   def withImagePixelMeta(df: DataFrame, contentCol: String): DataFrame = {
     val dims = udf((c: Array[Byte]) =>
       ImageCodecs.decode(c).map(i => (i.getWidth, i.getHeight)))
-    df.withColumn("px", dims(col(contentCol)))
-      .withColumn("px_width", col("px._1"))
-      .withColumn("px_height", col("px._2"))
-      .drop("px")
+    // namespaced temp name: a bare "px" would silently clobber (withColumn
+    // replaces) and then delete a user column of the same name
+    df.withColumn("_graft_px", dims(col(contentCol)))
+      .withColumn("px_width", col("_graft_px._1"))
+      .withColumn("px_height", col("_graft_px._2"))
+      .drop("_graft_px")
   }
 
   /** 64-bit perceptual dHash column (null for undecodable rows). Persist
@@ -231,15 +233,15 @@ object Multimodal {
   def withAudioFeatures(df: DataFrame, contentCol: String): DataFrame = {
     val f = udf((c: Array[Byte]) => AudioCodecs.decodeWav(c).map { p =>
       (p.durationMs, AudioCodecs.rms(p.samples),
-        AudioCodecs.zeroCrossingRate(p.samples),
+        AudioCodecs.zeroCrossingRate(p.samples, p.channels),
         AudioCodecs.clippingRatio(p.samples))
     })
-    df.withColumn("af", f(col(contentCol)))
-      .withColumn("audio_duration_ms", col("af._1"))
-      .withColumn("audio_rms", col("af._2"))
-      .withColumn("audio_zcr", col("af._3"))
-      .withColumn("audio_clipping", col("af._4"))
-      .drop("af")
+    df.withColumn("_graft_af", f(col(contentCol)))
+      .withColumn("audio_duration_ms", col("_graft_af._1"))
+      .withColumn("audio_rms", col("_graft_af._2"))
+      .withColumn("audio_zcr", col("_graft_af._3"))
+      .withColumn("audio_clipping", col("_graft_af._4"))
+      .drop("_graft_af")
   }
 
   /** synthesize a deterministic media table from any keyed text frame —

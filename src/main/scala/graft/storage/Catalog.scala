@@ -116,10 +116,19 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   def readVersion(name: String, version: Option[Long]): Option[DataFrame] =
     version.map(v => spark.read.parquet(new Path(tableDir(name), s"v=$v").toString))
 
-  /** read the latest snapshot, or an empty frame with `schema` */
+  /** Read the latest snapshot under the EXPECTED schema, or an empty frame
+    * with it. Applying `schema` at read time (not the file's own) makes
+    * adding a nullable column a zero-migration change: snapshots written
+    * before the column existed read it as null, exactly like the
+    * partitioned-table path (`readManifestParts`) already does.
+    */
   def readOr(name: String, schema: StructType): DataFrame =
-    read(name).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    latestVersion(name) match {
+      case Some(v) => spark.read.schema(schema)
+        .parquet(new Path(tableDir(name), s"v=$v").toString)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   // ---------------- commit protocol ----------------
 

@@ -1,16 +1,21 @@
 package graft.tools
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scaling-slope datapoint: materializes an N×-replicated copy of a
-  * driver-generated sf directory (facts key-shifted so joins stay 1:1,
-  * dimensions copied as-is, document text perturbed per replica so the
-  * dedup rate is preserved rather than multiplied), then times the headline
-  * bench set on it. With N=10 over sf0.1 this approximates sf1 — the 10×
-  * point that shows whether the headline plans scale linearly or hide a
-  * super-linear stage.
+  * driver-generated sf directory (facts AND the customer dimension
+  * key-shifted with one span per key domain so joins stay 1:1, document
+  * text salted per replica so the dedup rate is preserved rather than
+  * multiplied), then times the headline bench set on it. With N=10 over
+  * sf0.1 this approximates sf1 — the 10× point that shows whether the
+  * headline plans scale linearly or hide a super-linear stage.
+  *
+  * Known approximations vs a true sf1: supplier/part stay at source size
+  * (outside the headline join graph), and value distributions repeat per
+  * replica instead of widening — treat the slope as a lower bound on
+  * dimension-side growth effects.
   *
   * Usage: runMain graft.tools.ScaleBench [mult] [srcDir] [workDir]
   */
@@ -20,16 +25,7 @@ object ScaleBench {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(2).getOrElse("/tmp/graft-scalebench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-scalebench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    val spark = graft.Bench.benchSession("graft-scalebench")
 
     val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(work), true)
@@ -40,53 +36,57 @@ object ScaleBench {
       df.repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$work/$t.parquet")
 
-    /** replicate `mult`× shifting `keys` by replica × (max+1) — replica 0 is
-      * the original, so per-key join fan-in/fan-out is unchanged
+    /** Replicate `mult`× shifting each key column by replica × its DOMAIN
+      * span — replica 0 is the original, so per-key join fan-in/fan-out is
+      * unchanged. Spans are computed once per key DOMAIN (not per table):
+      * orders and lineitem must shift o_orderkey/l_orderkey by the SAME
+      * span or replica lineitems become join orphans whenever the
+      * highest-keyed order has no lineitems (2.7k sf0.1 orders don't).
       */
-    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val spans = keys.map(k =>
-        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+    def replicate(df: DataFrame, keys: Map[String, Long]): DataFrame = {
       val rep = df.withColumn("_r", explode(sequence(lit(0L), lit(mult - 1L))))
-      keys.foldLeft(rep)((d, k) =>
-        d.withColumn(k, col(k) + col("_r") * lit(spans(k)))).drop("_r")
+      keys.foldLeft(rep) { case (d, (k, span)) =>
+        d.withColumn(k, col(k) + col("_r") * lit(span))
+      }.drop("_r")
     }
+    def maxOf(t: String, k: String): Long =
+      read(t).agg(max(col(k))).head.getLong(0)
 
-    // dimensions: copy; facts: key-shifted replicas
-    Seq("region", "nation", "customer", "supplier", "part")
+    // one span per key DOMAIN, shared by every table carrying that key
+    val orderSpan = math.max(maxOf("orders", "o_orderkey"),
+      maxOf("lineitem", "l_orderkey")) + 1L
+    val custSpan = math.max(maxOf("customer", "c_custkey"),
+      maxOf("orders", "o_custkey")) + 1L
+
+    // small dims (region/nation are fixed-size even at sf1000): copy.
+    // customer scales WITH its fact (real sf1 has 10x customers, and the
+    // customer join's build side must grow with the data); supplier/part
+    // are outside the headline queries' join graph and stay copied.
+    Seq("region", "nation", "supplier", "part")
       .foreach(t => write(read(t), t))
-    write(replicate(read("orders"), Seq("o_orderkey")), "orders")
-    write(replicate(read("lineitem"), Seq("l_orderkey")), "lineitem")
+    write(replicate(read("customer"), Map("c_custkey" -> custSpan)), "customer")
+    write(replicate(read("orders"),
+      Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
+    write(replicate(read("lineitem"), Map("l_orderkey" -> orderSpan)), "lineitem")
     // Per-replica text salting keeps exact/near-dup DENSITY constant
     // instead of making every doc a 10-way near-duplicate of its copies: a
     // replica token interleaved every 4 words shifts most 3-gram shingle
     // windows, pushing cross-replica jaccard far below the 0.5 threshold
     // while each replica's own dup groups stay intact (replica 0 = the
     // original corpus verbatim).
-    val docMax = read("documents").agg(max(col("doc_id"))).head.getLong(0) + 1L
-    write(replicate(read("documents"), Seq("doc_id"))
+    val docSpan = maxOf("documents", "doc_id") + 1L
+    write(replicate(read("documents"), Map("doc_id" -> docSpan))
       .withColumn("text", udf { (text: String, docId: Long) =>
-        val rep = docId / docMax
+        val rep = docId / docSpan
         if (rep == 0L) text
         else text.split(" ").grouped(4)
           .map(g => (g :+ s"rep$rep").mkString(" ")).mkString(" ")
       }.apply(col("text"), col("doc_id"))), "documents")
-    write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
+    write(replicate(read("embeddings"),
+      Map("vec_id" -> (maxOf("embeddings", "vec_id") + 1L))), "embeddings")
 
-    val headline = graft.SparkEntry.allQ.filter(_.headline)
-    headline.foreach { q => // warmup: JIT + codegen + footer cache
-      try q.fn(spark, work).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, work).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scalebench] ${q.name} failed: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${mult}x($src)"}""")
+    println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
+      s"${mult}x($src)"))
     fs.delete(new Path(work), true)
     spark.stop()
   }

@@ -97,6 +97,16 @@ class CatalogSpec extends AnyFunSuite {
   private def hfs(dir: String) = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  test("readOr fills columns added to the schema after a snapshot was written") {
+    val c = fresh()
+    import spark.implicits._
+    c.write("tbl", Seq(("a", 1)).toDF("k", "v")) // old 2-column layout
+    val widened = StructType(schema.fields :+ StructField("extra", StringType))
+    val rows = c.readOr("tbl", widened).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "a" &&
+      rows.head.isNullAt(2), "pre-migration snapshot reads new column as null")
+  }
+
   test("optimistic writeIf rejects a stale base version") {
     val c = fresh()
     val v1 = c.writeIf("tbl", df("a" -> 1), 0L)

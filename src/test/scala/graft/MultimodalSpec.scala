@@ -214,6 +214,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioCodecs.decodeWav("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("zero-crossing rate is per-channel, not per interleaved sample") {
+    import graft.multimodal.AudioCodecs
+    // out-of-phase stereo (L=+0.5, R=-0.5): NO channel ever crosses zero,
+    // but the interleaved stream flips sign every sample
+    val interleaved = Array.tabulate(1000)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    assert(AudioCodecs.zeroCrossingRate(interleaved, channels = 2) == 0.0)
+    assert(AudioCodecs.zeroCrossingRate(interleaved, channels = 1) > 0.9,
+      "the mono reading of the same array must see the flips")
+  }
+
   test("withAudioFeatures annotates WAV rows and nulls the rest") {
     import spark.implicits._
     import graft.multimodal.AudioCodecs

@@ -160,6 +160,28 @@ class OaiHarvestSpec extends AnyFunSuite {
     assert(r.records().count() == 2)
   }
 
+  test("job state written before the owner column existed still loads and runs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val r = freshReservoir()
+    // the pre-owner 8-column layout, persisted by an earlier build
+    val oldSchema = StructType(Seq(
+      StructField("id", StringType), StructField("status", StringType),
+      StructField("resumptionToken", StringType), StructField("from", StringType),
+      StructField("totalRecords", LongType), StructField("totalRequests", LongType),
+      StructField("error", StringType), StructField("stop", BooleanType)))
+    r.catalog.write("oai_clients", spark.createDataFrame(
+      java.util.List.of(Row("jobOld", "idle", null, "2024-01-01", 5L, 2L, null,
+        java.lang.Boolean.FALSE)), oldSchema))
+    val client = new OaiPmhClient(r,
+      _ => (200, page(Seq(("M1", "2024-03-01", false)), None)), _ => ())
+    // loads with owner read as null, resumes, and runs to completion
+    assert(client.status("jobOld").exists(s =>
+      s.totalRecords == 5L && s.from.contains("2024-01-01")))
+    val st = client.run(HarvestConfig("jobOld", "http://fake/oai", sourceId = "SRC"))
+    assert(st.status == "idle" && st.totalRecords == 6L)
+  }
+
   test("owner fencing: a concurrent start on a live job fails fast") {
     val r = freshReservoir()
     val onePage = page(Seq(("F1", "2024-03-01", false)), None)
