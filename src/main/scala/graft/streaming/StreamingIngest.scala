@@ -319,6 +319,92 @@ object StreamingIngest {
       }
   }
 
+  /** a gap-closed session window emitted by the event-time sessionizer */
+  final case class ClosedSession(userId: Long, startTs: Timestamp,
+      endTs: Timestamp, events: Long)
+
+  /** Event-time session WINDOWS via `transformWithState` with NATIVE
+    * event-time timers (RocksDB provider required): a session closes — and
+    * its (start, end, count) row is emitted — when the WATERMARK passes
+    * `end + gap`, with no further arrival needed for the key. The
+    * [[streamingSessionize]] NoTimeout formulation can only assign session
+    * ids on arrival; an idle key's final session would stay open forever.
+    * A stale timer (the session grew after it was registered) is detected
+    * by comparing its expiry to the state's current close time; the
+    * current timer is deleted and re-registered whenever the session
+    * extends, so each key carries at most one live timer.
+    *
+    * `watermarkDelay` bounds out-of-order arrival (events later than that
+    * are dropped by Spark's watermark machinery, the standard contract).
+    */
+  def streamingSessionWindowsEventTime(events: Dataset[UserEvent],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[
+          Long, UserEvent, ClosedSession] {
+        // (startMs, endMs, count) of the single open session per key
+        @transient private var session:
+          org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+        override def init(outputMode: OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+          session = getHandle.getValueState[(Long, Long, Long)]("session",
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        private def state: Option[(Long, Long, Long)] =
+          if (session.exists()) Some(session.get()) else None
+        private def closed(key: Long, s: (Long, Long, Long)) =
+          ClosedSession(key, new Timestamp(s._1), new Timestamp(s._2), s._3)
+        override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+            tv: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[ClosedSession] = {
+          val out = Seq.newBuilder[ClosedSession]
+          var cur = state
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            val ms = e.ts.getTime
+            cur match {
+              case None =>
+                cur = Some((ms, ms, 1L))
+              case Some(s) if ms > s._2 + gapMs =>
+                // gap exceeded in-stream: close immediately, open the next
+                out += closed(key, s)
+                getHandle.deleteTimer(s._2 + gapMs)
+                cur = Some((ms, ms, 1L))
+              case Some(s) =>
+                if (ms > s._2) getHandle.deleteTimer(s._2 + gapMs)
+                cur = Some((math.min(s._1, ms), math.max(s._2, ms), s._3 + 1L))
+            }
+          }
+          cur.foreach { s =>
+            session.update(s)
+            getHandle.registerTimer(s._2 + gapMs)
+          }
+          out.result().iterator
+        }
+        override def handleExpiredTimer(key: Long,
+            tv: org.apache.spark.sql.streaming.TimerValues,
+            info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+            : Iterator[ClosedSession] = {
+          state match {
+            // only the CURRENT close time may close the session — an
+            // undeleted older timer for a since-extended session is stale
+            case Some(s) if info.getExpiryTimeInMs >= s._2 + gapMs =>
+              session.clear()
+              Iterator.single(closed(key, s))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream record batches into a Reservoir: each micro-batch runs the SAME
     * idempotent ingest the batch path uses (MERGE by natural key +
     * incremental clusterize), so an at-least-once replay after restart

@@ -224,6 +224,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time session windows close on watermark passage, no arrival needed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent](spark)
+    val q = StreamingIngest.streamingSessionWindowsEventTime(input.toDS(),
+        gapSeconds = 10, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_windows").start()
+    def sessions() = spark.table("session_windows").as[ClosedSession].collect()
+      .map(s => (s.userId, s.startTs.getTime, s.endTs.getTime, s.events)).toSet
+    try {
+      // user 1: two events 2s apart; user 2: one event — all sessions open
+      input.addData(UserEvent(1, 1, new Timestamp(1000)),
+        UserEvent(1, 2, new Timestamp(3000)), UserEvent(2, 3, new Timestamp(5000)))
+      q.processAllAvailable()
+      assert(sessions().isEmpty, "nothing closes before the watermark moves")
+      // a user-2 event at t=20s pushes the watermark past 1's gap deadline:
+      // user 1's session closes with NO further user-1 arrival (the
+      // capability the NoTimeout sessionizer lacks), and user 2's first
+      // session closes in-stream (gap exceeded by its own event)
+      input.addData(UserEvent(2, 4, new Timestamp(20000)))
+      q.processAllAvailable()
+      assert(sessions() == Set((1L, 1000L, 3000L, 2L), (2L, 5000L, 5000L, 1L)),
+        sessions().toString)
+      // a user-3 event far ahead closes user 2's second session by timer
+      input.addData(UserEvent(3, 5, new Timestamp(60000)))
+      q.processAllAvailable()
+      assert(sessions().contains((2L, 20000L, 20000L, 1L)), sessions().toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming decontamination drops benchmark-overlapping docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
