@@ -1,0 +1,54 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus-unigram language-model scoring — the CCNet-style perplexity proxy
+  * used to rank pretraining documents by "ordinariness": a document's score
+  * is the mean negative log-probability of its tokens under the corpus's
+  * own unigram distribution (low = common language, high = rare/garbled).
+  * A real KenLM is an external artifact; the unigram model is the standard
+  * self-contained first cut and needs nothing but the corpus.
+  *
+  * Scale shape: ONE corpus token shuffle builds the vocabulary (partial
+  * count agg), its grand total is a 1-row broadcast, and scoring joins the
+  * exploded tokens to the vocabulary — broadcast when the vocabulary fits
+  * (natural-language vocabularies do; `broadcastVocab = false` falls back
+  * to a token-keyed shuffle join for adversarial corpora), then one
+  * per-document partial agg.
+  *
+  * Determinism: per-token log-probs are quantized to integer micro-nats
+  * BEFORE summing, so the per-document sum is exact integer arithmetic —
+  * partition-order-independent and reproducible cross-engine (the same
+  * fixed-order trick BM25 uses, adapted to an aggregation).
+  */
+object UnigramModel {
+
+  /** (idCol, n_tokens, neg_logp_micro, avg_neg_logp) per document —
+    * `neg_logp_micro` is the EXACT integer micro-nat sum (the
+    * cross-engine-comparable form; `avg_neg_logp` = that / 1e6 / n_tokens
+    * is the human-facing score). Documents with zero tokens are dropped
+    * (no distribution to score against).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val tokenRows = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val vocab = tokenRows.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("total").cast("double") / col("cnt").cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    val lookup = if (broadcastVocab) broadcast(scored) else scored
+    tokenRows.join(lookup, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp_micro")).as("neg_logp_micro"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("neg_logp_micro"),
+        (col("neg_logp_micro").cast("double") / 1e6 /
+          col("n_tokens").cast("double")).as("avg_neg_logp"))
+  }
+}

@@ -263,6 +263,29 @@ object CurationQueries {
            |  quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
            |  quantile_cont(CAST(c AS DOUBLE), 0.75) AS p75
            |FROM (SELECT CAST(round($c * 100) AS BIGINT) AS c FROM lineitem)""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
+
+    // ---- corpus-unigram LM scoring (CCNet-style perplexity proxy): the
+    // gate compares the EXACT integer micro-nat sum — per-token log-probs
+    // quantize before summing, so partition order can't wobble the result
+    Q("q62_unigram_logprob",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.UnigramModel.unigramLogProb(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("neg_logp_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |  FROM documents),
+             |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |tot AS (SELECT sum(cnt) AS total FROM v),
+             |lp AS (SELECT token,
+             |    CAST(round(ln(CAST(total AS DOUBLE)/CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+             |  FROM v, tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(lp_micro) AS BIGINT) AS neg_logp_micro
+             |FROM tok JOIN lp USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

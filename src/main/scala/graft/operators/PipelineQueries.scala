@@ -43,6 +43,32 @@ object PipelineQueries {
              |  FROM events)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- session WINDOWS: one row per (user, session) with start/end/count
+    // (the batch twin of streamingSessionWindowsEventTime)
+    Q("q61_session_windows",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sessions.sessionWindows(t.events, "user_id", "ts", "event_id", 1800L)
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id,
+             |  min(epoch_us(ts)) AS session_start_us,
+             |  max(epoch_us(ts)) AS session_end_us,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ---- IVF-bucketed ANN (constant-size md5-sampled quantizer, nProbe=2)
     Q("q36_ann_ivf",
       (s, d) => {
