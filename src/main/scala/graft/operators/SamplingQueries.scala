@@ -79,6 +79,37 @@ object SamplingQueries {
              |    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
              |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
              |    FROM documents))
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- token-budget mixture ("data mixing"): per-language Bernoulli
+    // rates min(1, target/actual) derived from one aggregate; fr has no
+    // target and is kept whole
+    Q("q63_mixture_sample",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.mixtureSample(t.documents, "doc_id",
+            size(graft.text.TextFunctions.tokens(col("text"))), "lang",
+            Map("en" -> 2000L, "de" -> 2000L, "es" -> 500L, "zh" -> 500L),
+            salt = "mix")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS DOUBLE) AS toks
+             |  FROM documents GROUP BY lang),
+             |tgt(lang, t) AS (VALUES ('en', 2000.0), ('de', 2000.0),
+             |  ('es', 500.0), ('zh', 500.0)),
+             |thr AS (
+             |  SELECT c.lang,
+             |    CASE WHEN tgt.t IS NULL OR tgt.t / c.toks >= 1.0 THEN 'g'
+             |      ELSE printf('%08x',
+             |        CAST(trunc(least(1.0, tgt.t / c.toks) * 4294967296.0) AS BIGINT))
+             |    END AS thr
+             |  FROM c LEFT JOIN tgt USING (lang))
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN thr USING (lang)
+             |WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

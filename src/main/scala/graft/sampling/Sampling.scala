@@ -83,6 +83,28 @@ object Sampling {
       .select(col("key").as(keyCol), col("s.id").cast(idType).as(idCol))
   }
 
+  /** Token-budget mixture sampling — the "data mixing" step of pretraining
+    * prep: given a target token count per stratum (source, language, …),
+    * derive each stratum's Bernoulli rate `min(1, target / actual)` from
+    * one aggregation pass and apply the deterministic stratified sample.
+    * Strata without a target keep every row. The per-stratum counts come
+    * to the driver (strata are sources/languages — bounded by construction,
+    * not data-scaled); everything else is the per-row pushed-down filter of
+    * [[stratifiedSample]].
+    */
+  def mixtureSample(df: DataFrame, idCol: String, tokenCountCol: Column,
+      stratumCol: String, targetTokens: Map[String, Long],
+      salt: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(sum(tokenCountCol.cast("long")).as("_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = targetTokens.flatMap { case (s, tgt) =>
+      counts.get(s).map(c => s -> math.min(1.0, tgt.toDouble / c.toDouble))
+    }
+    stratifiedSample(df, idCol, stratumCol, fractions,
+      defaultFraction = 1.0, salt)
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining
     * batching shape): documents are laid out in a deterministic order and
     * cut into chunks of `capacity` tokens; a document's chunk is
