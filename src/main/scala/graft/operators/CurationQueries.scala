@@ -286,6 +286,32 @@ object CurationQueries {
              |SELECT doc_id, count(*) AS n_tokens,
              |  CAST(sum(lp_micro) AS BIGINT) AS neg_logp_micro
              |FROM tok JOIN lp USING (token)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-language KL divergence vs the whole corpus (drift/data-card
+    // signal): exact integer micro-nat weighted sums on both engines
+    Q("q64_kl_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.DistributionDrift.klByStratum(t.documents, "text", "lang")
+          .select(col("lang"), col("n_tokens"), col("kl_micro_times_n"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |  FROM documents),
+             |pc AS (SELECT lang, token, count(*) AS cnt_s FROM tok GROUP BY lang, token),
+             |tt AS (SELECT token, sum(cnt_s) AS cnt FROM pc GROUP BY token),
+             |st AS (SELECT lang, sum(cnt_s) AS total_s FROM pc GROUP BY lang),
+             |g AS (SELECT sum(cnt) AS total FROM tt),
+             |lq AS (SELECT pc.lang, pc.cnt_s,
+             |    CAST(round(ln((CAST(pc.cnt_s AS DOUBLE) * CAST(total AS DOUBLE)) /
+             |      (CAST(cnt AS DOUBLE) * CAST(total_s AS DOUBLE))) * 1e6) AS BIGINT) AS lq_micro
+             |  FROM pc JOIN tt USING (token) JOIN st USING (lang), g)
+             |SELECT lang, CAST(st.total_s AS BIGINT) AS n_tokens,
+             |  CAST(sum(cnt_s * lq_micro) AS BIGINT) AS kl_micro_times_n
+             |FROM lq JOIN st USING (lang)
+             |GROUP BY lang, st.total_s
+             |ORDER BY lang""".stripMargin))
   )
 }
