@@ -14,10 +14,12 @@ import graft.text.TextFunctions
   * tokens (p_s(t) > 0 implies p(t) > 0 — the slice is part of the corpus,
   * so the divergence is always finite).
   *
-  * Scale shape: one (stratum, token) count aggregate over the corpus (the
-  * only corpus shuffle), a token-marginal re-aggregate of THAT result (not
-  * a second corpus pass), a 1-row grand total broadcast, and a per-stratum
-  * final fold. Exactness: each token's log-ratio quantizes to integer
+  * Scale shape: the (stratum, token) count aggregate is the only
+  * corpus-token shuffle; logically the marginals re-aggregate that result,
+  * though Spark's partial exchange reuse still plans a second pruned text
+  * scan for the token marginal (PlanSpec pins ≤ 2 scans) — persist the
+  * pair counts upstream for a strict single pass. Marginal lookups join by
+  * broadcast. Exactness: each token's log-ratio quantizes to integer
   * micro-nats and is weighted by its integer count, so the per-stratum sum
   * is exact integer arithmetic — partition-order-independent and
   * cross-engine comparable (`kl_micro_times_n` = KL × n_tokens × 1e6).

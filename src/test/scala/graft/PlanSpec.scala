@@ -176,4 +176,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode — per-row fold:\n" + p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q61 session windows shuffle only by user, partial-agg the sessions") {
+    val p = plan("q61_session_windows")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), "session agg must combine map-side")
+    assert(!p.contains("Join"), "no join in the session pipeline:\n" + p)
+  }
+
+  test("q62 unigram scoring broadcasts the vocabulary, never sort-merges") {
+    val p = plan("q62_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), "vocab lookup must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q63 mixture sample plans as a pure per-row filter (rates pre-derived)") {
+    val p = plan("q63_mixture_sample")
+    assert(!p.contains("Join"), "thresholds are literals, not a joined table:\n" + p)
+    assert(!p.contains("HashAggregate"), "no aggregate in the sampling plan:\n" + p)
+  }
+
+  test("q64 KL drift joins marginals by broadcast, bounded corpus scans") {
+    val p = plan("q64_kl_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the marginal branches re-evaluate the pair-count subplan under
+    // different column pruning, so exchange reuse dedupes only partially:
+    // two pruned text scans is the documented shape (persist the pair
+    // counts upstream for a strict single pass)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected at most two documents scans, got $scans:\n" + p)
+  }
 }
