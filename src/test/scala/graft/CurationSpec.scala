@@ -156,6 +156,45 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("unigram log-prob scores rare-token docs higher than common ones") {
+    import graft.curation.UnigramModel
+    val df = Seq(
+      (1L, "the the the the the the the the"),   // only the commonest token
+      (2L, "the the the the quux zorblat vex"),  // mixes in singletons
+      (3L, "the and of to in the and of to in") // common-ish filler
+    ).toDF("doc_id", "text")
+    val got = UnigramModel.unigramLogProb(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("avg_neg_logp")))
+      .toMap
+    assert(got(1L)._1 == 8L && got(2L)._1 == 7L)
+    // doc 1 is all corpus-dominant tokens: strictly the lowest surprise
+    // (docs 2 and 3 both carry tokens rare in this tiny corpus)
+    assert(got(1L)._2 < got(2L)._2 && got(1L)._2 < got(3L)._2, got.toString)
+  }
+
+  test("KL drift is exactly zero for identically-distributed strata") {
+    import graft.curation.DistributionDrift
+    val text = "alpha beta beta gamma gamma gamma"
+    val df = Seq(
+      ("s1", text), ("s2", text),            // identical distributions
+      ("s3", "omega omega omega omega")      // concentrated elsewhere
+    ).toDF("lang", "text")
+    val got = DistributionDrift.klByStratum(df, "text", "lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getAs[Double]("kl_nats")))
+      .toMap
+    // s1/s2 each match ... themselves + each other; their token ratios to
+    // the corpus are NOT 1 (s3's tokens dilute the corpus), so only assert
+    // symmetry and positivity; the exact-zero case needs the stratum to BE
+    // the corpus distribution
+    assert(got("s1") == got("s2"), "identical strata must score identically")
+    assert(got("s3")._2 > got("s1")._2,
+      "the concentrated stratum diverges more")
+    // exact zero: a corpus of ONE stratum is its own distribution
+    val solo = DistributionDrift.klByStratum(
+      Seq(("only", text)).toDF("lang", "text"), "text", "lang").collect()
+    assert(solo.head.getLong(2) == 0L, "KL(P||P) must be exactly 0 micro-nats")
+  }
+
   test("boilerplateGrams finds the common gram with a deterministic cut") {
     val df = Seq(
       (1L, "the end of file marker here"),

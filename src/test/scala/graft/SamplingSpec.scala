@@ -91,6 +91,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("mixtureSample hits per-stratum token budgets; untargeted strata pass whole") {
+    import spark.implicits._
+    // 400 docs of 10 tokens each per stratum: 4000 tokens per stratum
+    val docs = (0 until 800).map { i =>
+      val stratum = if (i < 400) "en" else "fr"
+      (i.toLong, stratum, Seq.fill(10)(s"w${i % 7}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val tok = size(split(col("text"), "\\s+"))
+    val sampled = Sampling.mixtureSample(docs, "doc_id", tok, "lang",
+      Map("en" -> 1000L), salt = "mixtest")
+    val kept = sampled.groupBy("lang")
+      .agg(sum(tok).as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en targeted 1000 of 4000 tokens: Bernoulli rate 0.25, so the kept
+    // count concentrates near 1000 (400 draws; allow generous noise)
+    assert(kept("en") > 500 && kept("en") < 1500, kept.toString)
+    assert(kept("fr") == 4000L, "untargeted stratum keeps every row")
+    // deterministic: the same inputs keep the same rows
+    val again = Sampling.mixtureSample(docs, "doc_id", tok, "lang",
+      Map("en" -> 1000L), salt = "mixtest").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("packChunks fills chunks to capacity in bucket order") {
     val capacity = 100
     val packed = Sampling.packChunks(docs(4), "doc_id",
