@@ -121,6 +121,21 @@ object TextDedupQueries {
              |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- whitespace + BPE-ish token counting (LLM token-budget proxy)
+    Q("q65_bpe_token_count",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
+            TextFunctions.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+')) AS BIGINT) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- quality scoring (length/diversity/stopword heuristic)
     Q("q21_quality_score",
       (s, d) => {

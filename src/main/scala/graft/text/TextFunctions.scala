@@ -30,6 +30,19 @@ object TextFunctions {
   /** token count */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pretokenizer pattern ("BPE-ish"): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs — the
+    * standard proxy for LLM token budgets when the real tokenizer is an
+    * external artifact. Restricted to the RE2-compatible subset (no
+    * lookahead) so SQL oracles reproduce the count exactly.
+    */
+  val BpeishRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+"
+
+  /** number of BPE-ish pretokens in `text` (codegen'd regexp_count) */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishRegex))
+
   /** type-token ratio (lexical diversity) */
   def typeTokenRatio(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks)
