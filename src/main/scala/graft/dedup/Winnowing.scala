@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+  * MOSS algorithm): hash every character k-gram, slide a window of `w`
+  * hashes, and keep each window's minimum. The selected set is guaranteed
+  * to share a fingerprint with any other document that shares a substring
+  * of length ≥ k + w − 1, at a density of ~2/(w+1) — the classic local
+  * substring-dedup / plagiarism primitive that whole-document hashing
+  * (q22) and shingle-set similarity (q24/q25) don't give: those compare
+  * documents, winnowing localizes shared PASSAGES.
+  *
+  * Hashes are the first 16 hex chars of each gram's md5, compared
+  * lexicographically — a total order both Spark and SQL engines reproduce
+  * byte-identically, so no integer conversion is needed. All per-document
+  * work is higher-order functions over bound array attributes (no explode
+  * until the final fingerprint rows), so the operator is a per-row scalar
+  * pipeline: no shuffle at all until the caller aggregates or joins the
+  * (id, fingerprint) output. Very long documents materialize one hash per
+  * character in the row — chunk multi-megabyte texts upstream.
+  */
+object Winnowing {
+
+  /** distinct (idCol, fingerprint) rows per document; documents shorter
+    * than k + w − 1 chars produce none
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad k=$k w=$w")
+    val text = col(textCol)
+    val hashes: Column = transform(
+      sequence(lit(0), length(text) - k),
+      i => substring(md5(text.substr(i + 1, lit(k))), 1, 16))
+    df.filter(length(text) >= k + w - 1)
+      .select(col(idCol), hashes.as("_hs"))
+      .select(col(idCol), transform(
+        sequence(lit(0), size(col("_hs")) - w),
+        j => array_min(slice(col("_hs"), j + 1, lit(w)))).as("_mins"))
+      .select(col(idCol), explode(array_distinct(col("_mins"))).as("fingerprint"))
+  }
+
+  /** documents sharing at least `minShared` fingerprints — passage-level
+    * near-dup pairs via one equi-join on the fingerprint (never all-pairs)
+    */
+  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    fps.as("l").join(fps.as("r"),
+        col("l.fingerprint") === col("r.fingerprint") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -179,6 +179,30 @@ object TextDedupQueries {
       },
       Some(langIdOracleSql)),
 
+    // ---- winnowing fingerprints (MOSS): windowed-min k-gram hashes that
+    // localize shared PASSAGES (guarantee: any shared substring of length
+    // >= k+w-1 shares a fingerprint)
+    Q("q66_winnowing",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.Winnowing.fingerprints(t.documents, "doc_id", "text",
+            k = 5, w = 4)
+          .orderBy(col("doc_id"), col("fingerprint"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, len(text)-4), i ->
+             |      substr(md5(substr(text, CAST(i+1 AS INT), 5)), 1, 16)) AS hs
+             |  FROM documents WHERE len(text) >= 8),
+             |m AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, len(hs)-3), j ->
+             |      list_min(hs[CAST(j+1 AS INT):CAST(j+4 AS INT)])) AS mins
+             |  FROM h)
+             |SELECT DISTINCT doc_id, fingerprint FROM (
+             |  SELECT doc_id, unnest(mins) AS fingerprint FROM m)
+             |ORDER BY doc_id, fingerprint""".stripMargin)),
+
     // ---- all-pairs n-gram Jaccard (exact; LSH is the scale path)
     Q("q24_jaccard_pairs",
       (s, d) => {

@@ -154,4 +154,32 @@ class DedupKernelSpec extends AnyFunSuite {
       assert(got == want, s"maxHamming=$maxHamming")
     }
   }
+
+  test("winnowing guarantees a shared fingerprint for substrings >= k+w-1") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val shared = "the quick brown fox jumps" // 25 chars >> k+w-1 = 8
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"xxxxxxxx $shared yyyyyyyy"),
+      (3L, "completely unrelated content here with no overlap at all")
+    ).toDF("doc_id", "text")
+    val fps = graft.dedup.Winnowing.fingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the guarantee: docs 1 and 2 share the 25-char passage, so they MUST
+    // share at least one selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared passage missed")
+    // density sanity: ~2/(w+1) of positions selected, never more than all
+    byDoc.values.foreach(s => assert(s.nonEmpty))
+    // the pair search surfaces exactly the overlapping pair at this floor
+    val pairs = graft.dedup.Winnowing.sharedPassagePairs(df, "doc_id", "text",
+        k, w, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // a doc shorter than k+w-1 yields no fingerprints (and no crash)
+    val tiny = graft.dedup.Winnowing.fingerprints(
+      Seq((9L, "short")).toDF("doc_id", "text"), "doc_id", "text", k, w)
+    assert(tiny.count() == 0)
+  }
 }
