@@ -18,8 +18,11 @@ import graft.text.TextFunctions
   * corpus-token shuffle; logically the marginals re-aggregate that result,
   * though Spark's partial exchange reuse still plans a second pruned text
   * scan for the token marginal (PlanSpec pins ≤ 2 scans) — persist the
-  * pair counts upstream for a strict single pass. Marginal lookups join by
-  * broadcast. Exactness: each token's log-ratio quantizes to integer
+  * pair counts upstream for a strict single pass. The stratum and grand
+  * marginals join by broadcast (bounded by stratum count); the
+  * vocabulary-sized token marginal is deliberately unhinted — it
+  * auto-broadcasts when small and degrades to a token-keyed shuffle join
+  * at web-vocabulary scale. Exactness: each token's log-ratio quantizes to integer
   * micro-nats and is weighted by its integer count, so the per-stratum sum
   * is exact integer arithmetic — partition-order-independent and
   * cross-engine comparable (`kl_micro_times_n` = KL × n_tokens × 1e6).
@@ -33,6 +36,7 @@ object DistributionDrift {
       stratumCol: String): DataFrame = {
     val pairCounts = docs
       .select(col(stratumCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "") // split("") yields a phantom "" element
       .groupBy(col(stratumCol), col("token"))
       .agg(count(lit(1)).as("cnt_s"))
     val tokenTotals = pairCounts.groupBy(col("token"))
@@ -51,8 +55,12 @@ object DistributionDrift {
           (col("cnt").cast("double") * col("total_s").cast("double"))) * 1e6)
           .cast("long").as("lq_micro"))
       .groupBy(col(stratumCol))
-      .agg(sum(col("cnt_s") * col("lq_micro")).as("kl_micro_times_n"),
+      .agg(sum(col("cnt_s") * col("lq_micro")).as("_raw"),
         max(col("total_s")).as("n_tokens"))
+      // clamp at 0: KL >= 0 in exact math, but per-token rounding can dip a
+      // near-identical stratum epsilon-negative — preserve the invariant
+      .select(col(stratumCol), col("n_tokens"),
+        greatest(lit(0L), col("_raw")).as("kl_micro_times_n"))
       .select(col(stratumCol), col("n_tokens"), col("kl_micro_times_n"),
         (col("kl_micro_times_n").cast("double") / 1e6 /
           col("n_tokens").cast("double")).as("kl_nats"))

@@ -30,12 +30,15 @@ object UnigramModel {
     * `neg_logp_micro` is the EXACT integer micro-nat sum (the
     * cross-engine-comparable form; `avg_neg_logp` = that / 1e6 / n_tokens
     * is the human-facing score). Documents with zero tokens are dropped
-    * (no distribution to score against).
+    * (no distribution to score against) — including empty/whitespace-only
+    * texts, whose split() yields a phantom "" element that must not reach
+    * the vocabulary.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
     val tokenRows = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
     val vocab = tokenRows.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val scored = vocab.crossJoin(broadcast(total))

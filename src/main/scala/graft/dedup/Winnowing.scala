@@ -41,17 +41,27 @@ object Winnowing {
       .select(col(idCol), explode(array_distinct(col("_mins"))).as("fingerprint"))
   }
 
-  /** documents sharing at least `minShared` fingerprints — passage-level
-    * near-dup pairs via one equi-join on the fingerprint (never all-pairs)
+  /** Documents sharing at least `minShared` fingerprints among pre-computed
+    * (`idCol`, fingerprint) rows — passage-level near-dup pairs via one
+    * equi-join on the fingerprint, never all-pairs. Persist the fingerprint
+    * frame before calling: the self-join evaluates its plan twice
+    * otherwise, and the per-character hashing is the dominant cost.
     */
-  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w)
+  def sharedPassagePairsFromFingerprints(fps: DataFrame, idCol: String,
+      minShared: Int = 2): DataFrame =
     fps.as("l").join(fps.as("r"),
         col("l.fingerprint") === col("r.fingerprint") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
+
+  /** fingerprint + pair search in one call (hashes every document twice
+    * across the self-join — persist [[fingerprints]] output instead at
+    * corpus scale, like imageNearDups vs imageNearDupsFromHashes)
+    */
+  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame =
+    sharedPassagePairsFromFingerprints(fingerprints(df, idCol, textCol, k, w),
+      idCol, minShared)
 }

@@ -276,8 +276,9 @@ object CurationQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
-             |  FROM documents),
+             |  SELECT doc_id, token FROM (
+             |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
              |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
              |tot AS (SELECT sum(cnt) AS total FROM v),
              |lp AS (SELECT token,
@@ -298,8 +299,9 @@ object CurationQueries {
           .orderBy(col("lang"))
       },
       Some("""WITH tok AS (
-             |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
-             |  FROM documents),
+             |  SELECT lang, token FROM (
+             |    SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
              |pc AS (SELECT lang, token, count(*) AS cnt_s FROM tok GROUP BY lang, token),
              |tt AS (SELECT token, sum(cnt_s) AS cnt FROM pc GROUP BY token),
              |st AS (SELECT lang, sum(cnt_s) AS total_s FROM pc GROUP BY lang),
@@ -309,7 +311,7 @@ object CurationQueries {
              |      (CAST(cnt AS DOUBLE) * CAST(total_s AS DOUBLE))) * 1e6) AS BIGINT) AS lq_micro
              |  FROM pc JOIN tt USING (token) JOIN st USING (lang), g)
              |SELECT lang, CAST(st.total_s AS BIGINT) AS n_tokens,
-             |  CAST(sum(cnt_s * lq_micro) AS BIGINT) AS kl_micro_times_n
+             |  CAST(greatest(0, sum(cnt_s * lq_micro)) AS BIGINT) AS kl_micro_times_n
              |FROM lq JOIN st USING (lang)
              |GROUP BY lang, st.total_s
              |ORDER BY lang""".stripMargin))

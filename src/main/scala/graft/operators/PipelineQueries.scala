@@ -19,16 +19,7 @@ object PipelineQueries {
     Q("q34_sessionize",
       (s, d) => {
         val t = Tables(s, d)
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        t.events
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_ts").isNull
-              || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1)
-              .otherwise(0))
-          .withColumn("session_id",
-            sum(col("new_session")).over(byUser
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Sessions.assignSessionIds(t.events, "user_id", "ts", "event_id", 1800L)
           .select(col("user_id"), col("event_id"), col("session_id"))
           .orderBy(col("user_id"), col("event_id"))
       },

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** one row per (user, session): session_id, start/end in epoch micros,
-    * event count. Timestamps surface as BIGINT micros so cross-engine
-    * comparisons never hit sub-microsecond parquet precision.
+  /** The per-event session-id assignment (lag + strictly-greater gap test +
+    * running sum over one per-user window): input columns plus
+    * `session_id`, numbered from 1 per user in (ts, tieBreak) order. The
+    * single definition of the gap semantics — q34's per-event view and the
+    * window aggregate both build on it.
     */
-  def sessionWindows(events: DataFrame, userCol: String, tsCol: String,
+  def assignSessionIds(events: DataFrame, userCol: String, tsCol: String,
       tieBreakCol: String, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieBreakCol))
@@ -31,9 +33,18 @@ object Sessions {
       .withColumn("session_id",
         sum(col("_new_session")).over(byUser
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** one row per (user, session): session_id, start/end in epoch micros,
+    * event count. Timestamps surface as BIGINT micros so cross-engine
+    * comparisons never hit sub-microsecond parquet precision.
+    */
+  def sessionWindows(events: DataFrame, userCol: String, tsCol: String,
+      tieBreakCol: String, gapSeconds: Long): DataFrame =
+    assignSessionIds(events, userCol, tsCol, tieBreakCol, gapSeconds)
       .groupBy(col(userCol), col("session_id"))
       .agg(min(unix_micros(col(tsCol))).as("session_start_us"),
         max(unix_micros(col(tsCol))).as("session_end_us"),
         count(lit(1)).as("n_events"))
-  }
 }

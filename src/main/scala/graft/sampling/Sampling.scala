@@ -95,11 +95,19 @@ object Sampling {
   def mixtureSample(df: DataFrame, idCol: String, tokenCountCol: Column,
       stratumCol: String, targetTokens: Map[String, Long],
       salt: String): DataFrame = {
+    // null-safe and type-agnostic: a stratum of all-null texts sums to a
+    // null count (no rate derivable — its rows pass whole), and non-string
+    // stratum columns key by their string form (stratifiedSample compares
+    // with ===, which coerces)
     val counts = df.groupBy(col(stratumCol))
       .agg(sum(tokenCountCol.cast("long")).as("_toks"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some(r.get(0).toString -> r.getLong(1))
+      }.toMap
     val fractions = targetTokens.flatMap { case (s, tgt) =>
-      counts.get(s).map(c => s -> math.min(1.0, tgt.toDouble / c.toDouble))
+      counts.get(s).filter(_ > 0)
+        .map(c => s -> math.min(1.0, tgt.toDouble / c.toDouble))
     }
     stratifiedSample(df, idCol, stratumCol, fractions,
       defaultFraction = 1.0, salt)

@@ -325,17 +325,26 @@ object StreamingIngest {
 
   /** Event-time session WINDOWS via `transformWithState` with NATIVE
     * event-time timers (RocksDB provider required): a session closes — and
-    * its (start, end, count) row is emitted — when the WATERMARK passes
-    * `end + gap`, with no further arrival needed for the key. The
+    * its (start, end, count) row is emitted — ONLY when the WATERMARK
+    * passes `end + gap`, with no further arrival needed for the key. The
     * [[streamingSessionize]] NoTimeout formulation can only assign session
     * ids on arrival; an idle key's final session would stay open forever.
-    * A stale timer (the session grew after it was registered) is detected
-    * by comparing its expiry to the state's current close time; the
-    * current timer is deleted and re-registered whenever the session
-    * extends, so each key carries at most one live timer.
+    *
+    * State holds EVERY still-open session per key (a ListState), never just
+    * the latest: an in-order event more than `gap` ahead opens a SECOND
+    * session while the previous stays pending, because a later
+    * late-but-within-watermark event may yet bridge them (merging every
+    * session it overlaps into one). Closing in-stream on a gap-exceeded
+    * arrival would emit unretractable wrong rows in exactly that case.
+    * Once `end + gap ≤ watermark` no admissible event (ts ≥ watermark) can
+    * extend or bridge the session, so the timer close is final. Each key
+    * carries ONE live timer at its earliest close deadline, re-registered
+    * as sessions merge, extend, or close.
     *
     * `watermarkDelay` bounds out-of-order arrival (events later than that
     * are dropped by Spark's watermark machinery, the standard contract).
+    * Events exactly at the watermark boundary may land on either side of a
+    * closing session — inherent to micro-batched watermarks.
     */
   def streamingSessionWindowsEventTime(events: Dataset[UserEvent],
       gapSeconds: Long = 1800,
@@ -345,56 +354,57 @@ object StreamingIngest {
     val processor =
       new org.apache.spark.sql.streaming.StatefulProcessor[
           Long, UserEvent, ClosedSession] {
-        // (startMs, endMs, count) of the single open session per key
-        @transient private var session:
-          org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+        // all open (startMs, endMs, count) sessions of the key
+        @transient private var sessions:
+          org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
         override def init(outputMode: OutputMode,
             timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-          session = getHandle.getValueState[(Long, Long, Long)]("session",
+          sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
             org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
             org.apache.spark.sql.streaming.TTLConfig.NONE)
-        private def state: Option[(Long, Long, Long)] =
-          if (session.exists()) Some(session.get()) else None
+        private def deadline(ss: Seq[(Long, Long, Long)]): Option[Long] =
+          ss.map(_._2 + gapMs).minOption
+        private def replace(ss: Seq[(Long, Long, Long)]): Unit = {
+          sessions.clear()
+          ss.foreach(sessions.appendValue)
+        }
         private def closed(key: Long, s: (Long, Long, Long)) =
           ClosedSession(key, new Timestamp(s._1), new Timestamp(s._2), s._3)
         override def handleInputRows(key: Long, rows: Iterator[UserEvent],
             tv: org.apache.spark.sql.streaming.TimerValues)
             : Iterator[ClosedSession] = {
-          val out = Seq.newBuilder[ClosedSession]
-          var cur = state
+          var ss = sessions.get().toVector
+          val oldDeadline = deadline(ss)
           rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
             val ms = e.ts.getTime
-            cur match {
-              case None =>
-                cur = Some((ms, ms, 1L))
-              case Some(s) if ms > s._2 + gapMs =>
-                // gap exceeded in-stream: close immediately, open the next
-                out += closed(key, s)
-                getHandle.deleteTimer(s._2 + gapMs)
-                cur = Some((ms, ms, 1L))
-              case Some(s) =>
-                if (ms > s._2) getHandle.deleteTimer(s._2 + gapMs)
-                cur = Some((math.min(s._1, ms), math.max(s._2, ms), s._3 + 1L))
-            }
+            // merge every session within gap of the event (one event can
+            // bridge several); otherwise open a new one alongside
+            val (overlap, rest) = ss.partition(s =>
+              ms >= s._1 - gapMs && ms <= s._2 + gapMs)
+            val merged =
+              if (overlap.isEmpty) (ms, ms, 1L)
+              else ((overlap.map(_._1) :+ ms).min,
+                (overlap.map(_._2) :+ ms).max, overlap.map(_._3).sum + 1L)
+            ss = rest :+ merged
           }
-          cur.foreach { s =>
-            session.update(s)
-            getHandle.registerTimer(s._2 + gapMs)
+          replace(ss)
+          val newDeadline = deadline(ss)
+          if (newDeadline != oldDeadline) {
+            oldDeadline.foreach(getHandle.deleteTimer)
+            newDeadline.foreach(getHandle.registerTimer)
           }
-          out.result().iterator
+          Iterator.empty // closes are watermark-driven only
         }
         override def handleExpiredTimer(key: Long,
             tv: org.apache.spark.sql.streaming.TimerValues,
             info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
             : Iterator[ClosedSession] = {
-          state match {
-            // only the CURRENT close time may close the session — an
-            // undeleted older timer for a since-extended session is stale
-            case Some(s) if info.getExpiryTimeInMs >= s._2 + gapMs =>
-              session.clear()
-              Iterator.single(closed(key, s))
-            case _ => Iterator.empty
-          }
+          val wm = tv.getCurrentWatermarkInMs
+          val (done, open) = sessions.get().toVector
+            .partition(s => s._2 + gapMs <= wm)
+          replace(open)
+          deadline(open).foreach(getHandle.registerTimer)
+          done.sortBy(_._1).iterator.map(closed(key, _))
         }
       }
     events

@@ -244,10 +244,10 @@ class StreamingSpec extends AnyFunSuite {
         UserEvent(1, 2, new Timestamp(3000)), UserEvent(2, 3, new Timestamp(5000)))
       q.processAllAvailable()
       assert(sessions().isEmpty, "nothing closes before the watermark moves")
-      // a user-2 event at t=20s pushes the watermark past 1's gap deadline:
-      // user 1's session closes with NO further user-1 arrival (the
-      // capability the NoTimeout sessionizer lacks), and user 2's first
-      // session closes in-stream (gap exceeded by its own event)
+      // a user-2 event at t=20s pushes the watermark past both pending
+      // deadlines: user 1's session closes with NO further user-1 arrival
+      // (the capability the NoTimeout sessionizer lacks), and user 2's
+      // first session closes by the same timer sweep
       input.addData(UserEvent(2, 4, new Timestamp(20000)))
       q.processAllAvailable()
       assert(sessions() == Set((1L, 1000L, 3000L, 2L), (2L, 5000L, 5000L, 1L)),
@@ -256,6 +256,48 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(UserEvent(3, 5, new Timestamp(60000)))
       q.processAllAvailable()
       assert(sessions().contains((2L, 20000L, 20000L, 1L)), sessions().toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("a late-but-admissible event bridges two pending sessions into one") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent](spark)
+    // gap 10s, watermark delay 30s: out-of-order events up to 30s late are
+    // admissible and may bridge sessions the naive design would have closed
+    val q = StreamingIngest.streamingSessionWindowsEventTime(input.toDS(),
+        gapSeconds = 10, watermarkDelay = "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_bridge").start()
+    try {
+      input.addData(UserEvent(4, 1, new Timestamp(100000)))
+      q.processAllAvailable()
+      // 15s ahead (> gap): a SECOND pending session — the first must stay
+      // open, not close in-stream
+      input.addData(UserEvent(4, 2, new Timestamp(115000)))
+      q.processAllAvailable()
+      // 7s after the first and 8s before the second, and still >= the
+      // watermark (85s): bridges both pending sessions into one
+      input.addData(UserEvent(4, 3, new Timestamp(107000)))
+      q.processAllAvailable()
+      // another key pushes the watermark past the merged deadline (125s)
+      input.addData(UserEvent(9, 4, new Timestamp(160000)))
+      q.processAllAvailable()
+      val got = spark.table("session_bridge").as[ClosedSession].collect()
+        .filter(_.userId == 4L)
+        .map(s => (s.startTs.getTime, s.endTs.getTime, s.events)).toSet
+      assert(got == Set((100000L, 115000L, 3L)),
+        s"expected ONE bridged session, got $got")
     } finally {
       q.stop()
       prev match {
