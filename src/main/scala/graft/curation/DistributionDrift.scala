@@ -33,12 +33,26 @@ object DistributionDrift {
     * human-facing `kl_nats` = that / n_tokens / 1e6
     */
   def klByStratum(docs: DataFrame, textCol: String,
-      stratumCol: String): DataFrame = {
-    val pairCounts = docs
-      .select(col(stratumCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "") // split("") yields a phantom "" element
-      .groupBy(col(stratumCol), col("token"))
-      .agg(count(lit(1)).as("cnt_s"))
+      stratumCol: String): DataFrame =
+    klFromPairCounts(
+      docs
+        .select(col(stratumCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= "") // split("") yields a phantom "" element
+        .groupBy(col(stratumCol), col("token"))
+        .agg(count(lit(1)).as("cnt_s")),
+      stratumCol)
+
+  /** [[klByStratum]] over already-aggregated (stratum, token, cnt_s) pair
+    * counts — every marginal re-aggregates THIS frame, so a caller handing
+    * a persisted pair-count frame (vocabulary × strata rows, tiny next to
+    * the corpus) gets a strict single scan+tokenization of the raw text.
+    * The convenience entry above re-plans the text scan under the token
+    * marginal (PlanSpec pins its ≤ 2 scans).
+    */
+  def klFromPairCounts(pairCountsIn: DataFrame, stratumCol: String,
+      tokenCol: String = "token", cntCol: String = "cnt_s"): DataFrame = {
+    val pairCounts = pairCountsIn
+      .select(col(stratumCol), col(tokenCol).as("token"), col(cntCol).as("cnt_s"))
     val tokenTotals = pairCounts.groupBy(col("token"))
       .agg(sum(col("cnt_s")).as("cnt"))
     val stratumTotals = pairCounts.groupBy(col(stratumCol))

@@ -17,7 +17,9 @@ import graft.text.TextFunctions
   * exploded tokens to the vocabulary — broadcast when the vocabulary fits
   * (natural-language vocabularies do; `broadcastVocab = false` falls back
   * to a token-keyed shuffle join for adversarial corpora), then one
-  * per-document partial agg.
+  * per-document partial agg. Hand [[unigramLogProbTokens]] a persisted
+  * token frame to scan and tokenize the raw text exactly once — the
+  * convenience entry re-plans the scan under both consumers.
   *
   * Determinism: per-token log-probs are quantized to integer micro-nats
   * BEFORE summing, so the per-document sum is exact integer arithmetic —
@@ -35,18 +37,31 @@ object UnigramModel {
     * the vocabulary.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-      broadcastVocab: Boolean = true): DataFrame = {
-    val tokenRows = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-    val vocab = tokenRows.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      broadcastVocab: Boolean = true): DataFrame =
+    unigramLogProbTokens(
+      docs.select(col(idCol),
+          explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= ""),
+      idCol, "token", broadcastVocab)
+
+  /** [[unigramLogProb]] over already-exploded (id, token) rows — the
+    * `Bm25.scoreTokens` pattern: `tokenRows` feeds both the vocabulary
+    * aggregate and the scoring join, so a caller handing a PERSISTED token
+    * frame gets the corpus scanned and tokenized exactly once (the
+    * unpersisted convenience entry above plans the text scan twice).
+    * Empty-string tokens must already be filtered out.
+    */
+  def unigramLogProbTokens(tokenRows: DataFrame, idCol: String,
+      tokenCol: String, broadcastVocab: Boolean = true): DataFrame = {
+    val toks = tokenRows.select(col(idCol), col(tokenCol).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val scored = vocab.crossJoin(broadcast(total))
       .select(col("token"),
         round(log(col("total").cast("double") / col("cnt").cast("double")) * 1e6)
           .cast("long").as("lp_micro"))
     val lookup = if (broadcastVocab) broadcast(scored) else scored
-    tokenRows.join(lookup, Seq("token"))
+    toks.join(lookup, Seq("token"))
       .groupBy(col(idCol))
       .agg(sum(col("lp_micro")).as("neg_logp_micro"),
         count(lit(1)).as("n_tokens"))

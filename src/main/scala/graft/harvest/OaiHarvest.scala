@@ -352,7 +352,22 @@ final class OaiPmhClient(reservoir: Reservoir,
     var buffer = Vector.empty[OaiHarvest.OaiRecord]
     var bufferedPages = 0
 
+    // cheap fencing read (one config-row load) so a usurped runner aborts
+    // BEFORE mutating anything: claimJob clears a pending stop flag on
+    // takeover, so without this check a merely-stalled (not dead) old runner
+    // would keep fetching and could ingest up to pagesPerIngest pages before
+    // its next saveOwned aborted it. Ingest is an idempotent MERGE, so that
+    // window was safe — but this closes it at the page boundary.
+    def assertStillOwner(): Unit =
+      loadStatus(cfg.id).foreach { case (_, _, owner) =>
+        if (!owner.contains(uuid))
+          throw new IllegalStateException(
+            s"harvest job '${cfg.id}' was taken over by another runner " +
+              s"(owner ${owner.getOrElse("<none>")}); aborting this one")
+      }
+
     def flush(): Unit = if (bufferedPages > 0) {
+      assertStillOwner()
       val stats = reservoir.ingest(toBatch(buffer, cfg))
       st = st.copy(
         totalRecords = st.totalRecords + stats.processed,
@@ -366,7 +381,14 @@ final class OaiPmhClient(reservoir: Reservoir,
     var continue = true
     try {
       while (continue) {
-        val stopped = loadStatus(cfg.id).exists(_._2)
+        val cur = loadStatus(cfg.id)
+        cur.foreach { case (_, _, owner) =>
+          if (!owner.contains(uuid))
+            throw new IllegalStateException(
+              s"harvest job '${cfg.id}' was taken over by another runner " +
+                s"(owner ${owner.getOrElse("<none>")}); aborting this one")
+        }
+        val stopped = cur.exists(_._2)
         if (stopped) {
           flush()
           st = st.copy(status = "idle")
@@ -408,7 +430,14 @@ final class OaiPmhClient(reservoir: Reservoir,
         try flush() catch { case _: Exception => () }
         st = st.copy(status = "error", error = Some(e.getMessage))
         try saveOwned(st, uuid, release = true, clearStop = true)
-        catch { case _: IllegalStateException => () } // usurped: theirs now
+        catch {
+          case _: IllegalStateException => () // usurped: theirs now
+          // CAS retries exhausted under contention: still return the error
+          // status instead of replacing it with a thrown CommitConflict
+          // (which would leave the row stuck at status=running, needing
+          // stop(id) to reclaim)
+          case _: graft.storage.CommitConflict => ()
+        }
         st
     }
   }

@@ -25,15 +25,15 @@ object Sessions {
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieBreakCol))
     events
-      .withColumn("_prev_ts", lag(col(tsCol), 1).over(byUser))
-      .withColumn("_new_session",
-        when(col("_prev_ts").isNull ||
-          unix_micros(col(tsCol)) - unix_micros(col("_prev_ts")) >
+      .withColumn("_graft_prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_graft_new_session",
+        when(col("_graft_prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_graft_prev_ts")) >
             gapSeconds * 1000000L, 1).otherwise(0))
       .withColumn("session_id",
-        sum(col("_new_session")).over(byUser
+        sum(col("_graft_new_session")).over(byUser
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_prev_ts", "_new_session")
+      .drop("_graft_prev_ts", "_graft_new_session")
   }
 
   /** one row per (user, session): session_id, start/end in epoch micros,

@@ -121,11 +121,25 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     * adding a nullable column a zero-migration change: snapshots written
     * before the column existed read it as null, exactly like the
     * partitioned-table path (`readManifestParts`) already does.
+    *
+    * The expected schema must be a SUPERSET of the on-disk one: a caller
+    * passing a stale/narrower schema would otherwise silently drop the
+    * extra columns at read time, and through `updateWith` (read → f →
+    * writeIf) persist a snapshot permanently missing them. Checked against
+    * the parquet footer (one small read; readOr serves config-row tables).
     */
   def readOr(name: String, schema: StructType): DataFrame =
     latestVersion(name) match {
-      case Some(v) => spark.read.schema(schema)
-        .parquet(new Path(tableDir(name), s"v=$v").toString)
+      case Some(v) =>
+        val path = new Path(tableDir(name), s"v=$v").toString
+        val expected = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val dropped = spark.read.parquet(path).schema.fieldNames
+          .filterNot(n => expected.contains(n.toLowerCase(java.util.Locale.ROOT)))
+        if (dropped.nonEmpty) throw new IllegalArgumentException(
+          s"table '$name' v=$v has columns [${dropped.mkString(", ")}] absent from the " +
+            "expected schema; pass the full current schema (a narrower one would lose " +
+            "those columns through updateWith)")
+        spark.read.schema(schema).parquet(path)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

@@ -197,17 +197,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), "no aggregate in the sampling plan:\n" + p)
   }
 
-  test("q64 KL drift joins marginals by broadcast, bounded corpus scans") {
+  test("q64 KL drift joins marginals by broadcast") {
     val p = plan("q64_kl_drift")
     // the sf0.001 vocabulary fits the auto-broadcast threshold; at
     // web-vocabulary scale the (unhinted) token marginal degrades to a
     // token-keyed shuffle join by design — this pins the small-corpus plan
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  /** Executed plan (AQE off, as [[plan]]) as a tree for programmatic node
+    * counts — string matching can't tell a live parquet scan from the
+    * cache-build plan printed under an InMemoryRelation.
+    */
+  private def exec(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q62/q64 persisted-token paths scan the documents text exactly once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // both gate queries persist the tokenized projection (q62) / the pair
+    // counts (q64): every consumer must read the cache, so the raw text is
+    // scanned and tokenized exactly once — at cache build
+    Seq("q62_unigram_logprob", "q64_kl_drift").foreach { q =>
+      val p = exec(q)
+      val fileScans = p.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.isEmpty,
+        s"$q: all branches must read the persisted frame, got " +
+          s"${fileScans.size} direct parquet scans:\n$p")
+      val cacheScans = p.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size >= 2, s"$q: expected >= 2 cache reads:\n$p")
+    }
+  }
+
+  test("klByStratum convenience entry plans at most two pruned text scans") {
+    // drop the gate queries' persisted frames: the pair-count subplan here
+    // canonicalizes identically, so the cache manager would substitute the
+    // cached data and this would no longer test the unpersisted shape
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try graft.curation.DistributionDrift.klByStratum(docs, "text", "lang")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     // the marginal branches re-evaluate the pair-count subplan under
     // different column pruning, so exchange reuse dedupes only partially:
-    // two pruned text scans is the documented shape (persist the pair
-    // counts upstream for a strict single pass)
+    // two pruned text scans is the documented ceiling for the unpersisted
+    // path (klFromPairCounts over a persisted frame is the strict
+    // single-pass shape, pinned above)
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"expected at most two documents scans, got $scans:\n" + p)
   }
