@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * until the final fingerprint rows), so the operator is a per-row scalar
   * pipeline: no shuffle at all until the caller aggregates or joins the
   * (id, fingerprint) output. Very long documents materialize one hash per
-  * character in the row — chunk multi-megabyte texts upstream.
+  * character in the row — [[Winnowing.fingerprintsChunked]] bounds that
+  * with an overlap-preserving splitter (identical fingerprint set).
   */
 object Winnowing {
 
@@ -39,6 +40,39 @@ object Winnowing {
         sequence(lit(0), size(col("_hs")) - w),
         j => array_min(slice(col("_hs"), j + 1, lit(w)))).as("_mins"))
       .select(col(idCol), explode(array_distinct(col("_mins"))).as("fingerprint"))
+  }
+
+  /** [[fingerprints]] with bounded per-row memory: the text is split into
+    * overlapping chunks of `chunkChars` characters BEFORE hashing, so a
+    * row never materializes more than ~chunkChars 16-char hashes at once
+    * (the plain entry builds one hash per character of the whole document —
+    * fine for web pages, multi-hundred-MB arrays for book-length rows).
+    *
+    * Consecutive chunks share k + w − 2 characters: a window of w k-gram
+    * hashes spans w + k − 1 characters, so every window of the full
+    * document lies entirely inside exactly one chunk and the fingerprint
+    * SET is identical to the unchunked operator's (property-pinned in
+    * DedupKernelSpec). Chunk starts step by chunkChars − (k+w−2); the
+    * final `dropDuplicates` re-distincts across chunk boundaries — the
+    * operator's one shuffle, on the already-small (id, fingerprint) rows.
+    */
+  def fingerprintsChunked(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, chunkChars: Int = 1 << 16): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad k=$k w=$w")
+    val overlap = k + w - 2
+    require(chunkChars > overlap,
+      s"chunkChars=$chunkChars must exceed k+w-2=$overlap")
+    val text = col(textCol)
+    // one chunk per stride of window starts; the last start is <= the last
+    // window position, so every chunk has >= k+w-1 chars (substr clamps)
+    val chunks = transform(
+      sequence(lit(0), length(text) - (k + w - 1), lit(chunkChars - overlap)),
+      a => text.substr(a + 1, lit(chunkChars)))
+    fingerprints(
+      df.filter(length(text) >= k + w - 1)
+        .select(col(idCol), explode(chunks).as("_graft_chunk")),
+      idCol, "_graft_chunk", k, w)
+      .dropDuplicates(idCol, "fingerprint")
   }
 
   /** Documents sharing at least `minShared` fingerprints among pre-computed

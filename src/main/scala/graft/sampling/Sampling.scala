@@ -89,19 +89,30 @@ object Sampling {
     * one aggregation pass and apply the deterministic stratified sample.
     * Strata without a target keep every row. The per-stratum counts come
     * to the driver (strata are sources/languages — bounded by construction,
-    * not data-scaled); everything else is the per-row pushed-down filter of
-    * [[stratifiedSample]].
+    * not data-scaled); `maxStrata` makes that contract crash-proof: past it
+    * the call fails fast with guidance instead of silently collecting an
+    * unbounded aggregate. Everything else is the per-row pushed-down filter
+    * of [[stratifiedSample]].
     */
   def mixtureSample(df: DataFrame, idCol: String, tokenCountCol: Column,
       stratumCol: String, targetTokens: Map[String, Long],
-      salt: String): DataFrame = {
+      salt: String, maxStrata: Int = 100000): DataFrame = {
+    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
     // null-safe and type-agnostic: a stratum of all-null texts sums to a
     // null count (no rate derivable — its rows pass whole), and non-string
     // stratum columns key by their string form (stratifiedSample compares
     // with ===, which coerces)
-    val counts = df.groupBy(col(stratumCol))
+    val rows = df.groupBy(col(stratumCol))
       .agg(sum(tokenCountCol.cast("long")).as("_toks"))
-      .collect().flatMap { r =>
+      .limit(maxStrata + 1) // bounds the collect even when the guard fires
+      .collect()
+    if (rows.length > maxStrata) throw new IllegalArgumentException(
+      s"mixtureSample: more than $maxStrata distinct values in " +
+        s"'$stratumCol' — per-stratum rates are derived on the driver, so " +
+        "the stratum column must be low-cardinality (sources, languages, " +
+        "snapshots); raise maxStrata deliberately or derive rates with a " +
+        "distributed join for data-scaled strata")
+    val counts = rows.flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1)) None
         else Some(r.get(0).toString -> r.getLong(1))
       }.toMap

@@ -182,4 +182,32 @@ class DedupKernelSpec extends AnyFunSuite {
       Seq((9L, "short")).toDF("doc_id", "text"), "doc_id", "text", k, w)
     assert(tiny.count() == 0)
   }
+
+  test("chunked winnowing fingerprints equal the unchunked set (property)") {
+    import spark.implicits._
+    // random texts over a tiny alphabet (forces repeated grams and min
+    // ties), chunk sizes small enough that every document spans many
+    // chunks, plus boundary lengths around k+w-1 and one chunk exactly
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc d"
+    for (trial <- 0 until 6) {
+      val k = 2 + rnd.nextInt(4)            // 2..5
+      val w = 1 + rnd.nextInt(5)            // 1..5
+      val chunkChars = (k + w - 2) + 1 + rnd.nextInt(12) // overlap+1 .. +12
+      val docs = (0L until 12L).map { id =>
+        val len = rnd.nextInt(120) + (if (id % 3 == 0) k + w - 2 else 0)
+        (id, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val plain = graft.dedup.Winnowing
+        .fingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val chunked = graft.dedup.Winnowing
+        .fingerprintsChunked(df, "doc_id", "text", k, w, chunkChars)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(chunked == plain,
+        s"trial=$trial k=$k w=$w chunkChars=$chunkChars: " +
+          s"missing=${(plain -- chunked).take(3)} extra=${(chunked -- plain).take(3)}")
+    }
+  }
 }

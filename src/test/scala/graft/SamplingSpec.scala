@@ -115,6 +115,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixtureSample fails fast past maxStrata instead of collecting unbounded") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"s$i", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val tok = size(split(col("text"), "\\s+"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "doc_id", tok, "lang",
+        Map("s0" -> 1L), salt = "g", maxStrata = 10)
+    }
+    assert(e.getMessage.contains("maxStrata") ||
+      e.getMessage.contains("distinct values"), e.getMessage)
+    // at exactly the limit the operator behaves as before
+    val ok = Sampling.mixtureSample(docs, "doc_id", tok, "lang",
+      Map("s0" -> 1L), salt = "g", maxStrata = 100)
+    assert(ok.count() >= 99, "untargeted strata pass whole")
+  }
+
   test("packChunks fills chunks to capacity in bucket order") {
     val capacity = 100
     val packed = Sampling.packChunks(docs(4), "doc_id",
