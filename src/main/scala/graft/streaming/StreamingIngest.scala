@@ -345,30 +345,48 @@ object StreamingIngest {
     * are dropped by Spark's watermark machinery, the standard contract).
     * Events exactly at the watermark boundary may land on either side of a
     * closing session — inherent to micro-batched watermarks.
+    *
+    * A never-idle key (events forever within the gap) would otherwise grow
+    * ONE session without bound and never emit it: `maxSessionDurationSeconds`
+    * / `maxSessionEvents` SEAL a session once it spans the cap — it stops
+    * merging and extending, and the triggering arrival's successors open a
+    * fresh session alongside. A sealed session still emits only when the
+    * watermark passes its end + gap (never in-stream, so no unretractable
+    * rows), which the never-idle key's own arrivals guarantee happens.
+    * Documented split semantics: a late event that would have joined the
+    * sealed span lands in a neighbouring session instead, so a capped key's
+    * sessions partition what the uncapped operator would have reported as
+    * one run (start/end bounds are exact per emitted row; only the
+    * grouping splits).
     */
   def streamingSessionWindowsEventTime(events: Dataset[UserEvent],
       gapSeconds: Long = 1800,
-      watermarkDelay: String = "10 seconds"): Dataset[ClosedSession] = {
+      watermarkDelay: String = "10 seconds",
+      maxSessionDurationSeconds: Option[Long] = None,
+      maxSessionEvents: Option[Long] = None): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
+    val capMs = maxSessionDurationSeconds.map(_ * 1000L)
+    require(capMs.forall(_ > 0), "maxSessionDurationSeconds must be positive")
+    require(maxSessionEvents.forall(_ > 0), "maxSessionEvents must be positive")
     val processor =
       new org.apache.spark.sql.streaming.StatefulProcessor[
           Long, UserEvent, ClosedSession] {
-        // all open (startMs, endMs, count) sessions of the key
+        // all open (startMs, endMs, count, sealed) sessions of the key
         @transient private var sessions:
-          org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+          org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Boolean)] = _
         override def init(outputMode: OutputMode,
             timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-          sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
-            org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+          sessions = getHandle.getListState[(Long, Long, Long, Boolean)]("sessions",
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Boolean)],
             org.apache.spark.sql.streaming.TTLConfig.NONE)
-        private def deadline(ss: Seq[(Long, Long, Long)]): Option[Long] =
+        private def deadline(ss: Seq[(Long, Long, Long, Boolean)]): Option[Long] =
           ss.map(_._2 + gapMs).minOption
-        private def replace(ss: Seq[(Long, Long, Long)]): Unit = {
+        private def replace(ss: Seq[(Long, Long, Long, Boolean)]): Unit = {
           sessions.clear()
           ss.foreach(sessions.appendValue)
         }
-        private def closed(key: Long, s: (Long, Long, Long)) =
+        private def closed(key: Long, s: (Long, Long, Long, Boolean)) =
           ClosedSession(key, new Timestamp(s._1), new Timestamp(s._2), s._3)
         override def handleInputRows(key: Long, rows: Iterator[UserEvent],
             tv: org.apache.spark.sql.streaming.TimerValues)
@@ -377,15 +395,17 @@ object StreamingIngest {
           val oldDeadline = deadline(ss)
           rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
             val ms = e.ts.getTime
-            // merge every session within gap of the event (one event can
-            // bridge several); otherwise open a new one alongside
+            // merge every UNSEALED session within gap of the event (one
+            // event can bridge several); otherwise open a new one alongside
             val (overlap, rest) = ss.partition(s =>
-              ms >= s._1 - gapMs && ms <= s._2 + gapMs)
+              !s._4 && ms >= s._1 - gapMs && ms <= s._2 + gapMs)
             val merged =
-              if (overlap.isEmpty) (ms, ms, 1L)
+              if (overlap.isEmpty) (ms, ms, 1L, false)
               else ((overlap.map(_._1) :+ ms).min,
-                (overlap.map(_._2) :+ ms).max, overlap.map(_._3).sum + 1L)
-            ss = rest :+ merged
+                (overlap.map(_._2) :+ ms).max, overlap.map(_._3).sum + 1L, false)
+            val seal = capMs.exists(c => merged._2 - merged._1 >= c) ||
+              maxSessionEvents.exists(c => merged._3 >= c)
+            ss = rest :+ merged.copy(_4 = seal)
           }
           replace(ss)
           val newDeadline = deadline(ss)

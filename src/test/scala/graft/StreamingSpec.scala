@@ -307,6 +307,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("a capped never-idle key seals and emits bounded sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent](spark)
+    // gap 10s, cap 15s: a key firing every 5s forever would otherwise hold
+    // ONE ever-growing session that never emits
+    val q = StreamingIngest.streamingSessionWindowsEventTime(input.toDS(),
+        gapSeconds = 10, watermarkDelay = "0 seconds",
+        maxSessionDurationSeconds = Some(15))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_capped").start()
+    try {
+      var id = 0
+      def ev(tsSec: Long): UserEvent = {
+        id += 1; UserEvent(7, id, new Timestamp(tsSec * 1000))
+      }
+      // start at 5s: an event at the initial 0 watermark would be dropped
+      input.addData((5L to 35L by 5).map(ev): _*)
+      q.processAllAvailable()
+      input.addData((40L to 65L by 5).map(ev): _*)
+      q.processAllAvailable()
+      // another key pushes the watermark far past every pending deadline
+      input.addData(UserEvent(9, 99, new Timestamp(100000)))
+      q.processAllAvailable()
+      val got = spark.table("session_capped").as[ClosedSession].collect()
+        .filter(_.userId == 7L)
+        .map(s => (s.startTs.getTime, s.endTs.getTime, s.events)).toSet
+      // the 13-event run splits into cap-bounded sessions: each seals at
+      // 15s span, its successor opens alongside, and every span emits via
+      // the normal watermark close — exact bounds, partitioned counts
+      assert(got == Set((5000L, 20000L, 4L), (25000L, 40000L, 4L),
+        (45000L, 60000L, 4L), (65000L, 65000L, 1L)), got.toString)
+      // no session row ever exceeds the cap
+      got.foreach { case (s, e, _) => assert(e - s <= 15000L) }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming decontamination drops benchmark-overlapping docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
