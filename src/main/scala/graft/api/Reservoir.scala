@@ -206,6 +206,21 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
 
   private def loadState(pool: String): ClusterState = loadStateV(pool)._1
 
+  /** pool state at a PAST pinned snapshot version (paged OAI exports);
+    * fails with guidance when auto-vacuum already dropped that manifest
+    */
+  private def loadStateAt(pool: String, v: Long): ClusterState = {
+    val t = poolTable(pool)
+    val mf = catalog.snapshotAt(t, v)
+    if (v > 0 && mf.isEmpty) throw new IllegalStateException(
+      s"snapshot v=$v of pool '$pool' is no longer available (vacuumed " +
+        "while the paged export ran); restart the export without the token")
+    val Seq(meta, assignments, values) = poolSchemas.map { case (sub, schema) =>
+      catalog.readGroupOr(t, mf, sub, schema)
+    }
+    ClusterState(meta, assignments, values)
+  }
+
   /** full rewrite (initialize / pool reset): every bucket is touched */
   private def saveState(pool: String, s: ClusterState): Unit = {
     catalog.overwriteGroupIf(poolTable(pool),
@@ -487,8 +502,9 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     * and aggregates O(page) rows — not O(N) as `clusters(pool, null)` would.
     * Package-private so specs can assert the plan shape.
     */
-  private[graft] def pageClusterDocs(pool: String, pageIds: Seq[String]): DataFrame = {
-    val state = loadState(pool)
+  private[graft] def pageClusterDocs(pool: String, pageIds: Seq[String],
+      pinned: Option[ClusterState] = None): DataFrame = {
+    val state = pinned.getOrElse(loadState(pool))
     val recs = readRecords()
     val pageState = ClusterState(
       state.meta.filter(col("clusterId").isin(pageIds: _*)),
@@ -539,10 +555,22 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
   /** ListRecords/ListIdentifiers page (W3 keyset pagination,
     * OaiService.java:165-191): ordered by (datestamp, clusterId), bounded by
     * from/until, resumable via a byte-compatible resumption token.
+    *
+    * `pinSnapshot = true` EXCEEDS reference parity (SURVEY §7.4 risk 5):
+    * the first page pins the pool's catalog snapshot and embeds its version
+    * in the token, so every later page reads the SAME committed state —
+    * ingest landing between pages can neither duplicate a cluster (its
+    * datestamp bump would re-order it past the cursor) nor drop one into
+    * the already-consumed keyset range. The reference only gets per-request
+    * MVCC; so does our compat default (false — token bytes then match the
+    * reference's). Record payloads still read the live records table,
+    * mirroring the reference's per-request join. Auto-vacuum can expire a
+    * pinned snapshot mid-export; the next page then fails with guidance.
     */
   def listRecords(pool: String, from: Option[String] = None,
       until: Option[String] = None, resumptionToken: Option[String] = None,
-      limit: Int = 1000, withMetadata: Boolean = true): OaiPage = {
+      limit: Int = 1000, withMetadata: Boolean = true,
+      pinSnapshot: Boolean = false): OaiPage = {
     val tok = resumptionToken.map(ResumptionToken.decode)
     val effFrom = tok.flatMap(_.from)
       .orElse(from.map(OaiDates.parseFrom))
@@ -550,7 +578,13 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
     val effUntil = effUntilStr.map(OaiDates.parseUntil)
     val afterId = tok.flatMap(_.clusterId)
 
-    val state = loadState(pool)
+    val (state, pinnedV) = tok.flatMap(_.snapshotVersion) match {
+      case Some(v) => (loadStateAt(pool, v), Some(v))
+      case None if pinSnapshot =>
+        val (s, v) = loadStateV(pool)
+        (s, Some(v))
+      case None => (loadState(pool), None)
+    }
     var q = state.meta
     effFrom.foreach { f =>
       val fts = Timestamp.valueOf(f)
@@ -566,7 +600,8 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
 
     val hasMore = page.length > limit
     val pageIds = page.take(limit).map(_.getString(0)).toSeq
-    val docs = clusterDocMap(pool, pageIds)
+    val docs = clusterDocMap(pool, pageIds,
+      if (pinnedV.isDefined) Some(state) else None)
     val items = page.take(limit).map(r =>
       mkOaiItem(r.getString(0), r.getTimestamp(1), docs, withMetadata)).toSeq
 
@@ -576,16 +611,17 @@ final class Reservoir(val spark: SparkSession, root: String, tenant: String) {
         val nextRow = page(limit)
         Some(ResumptionToken(pool, effUntilStr,
           Some(nextRow.getTimestamp(1).toLocalDateTime),
-          Some(nextRow.getString(0))).encode)
+          Some(nextRow.getString(0)), snapshotVersion = pinnedV).encode)
       }
     OaiPage(items, nextToken)
   }
 
   /** collect the cluster documents of the given (page-bounded) ids */
-  private def clusterDocMap(pool: String, ids: Seq[String])
+  private def clusterDocMap(pool: String, ids: Seq[String],
+      pinned: Option[ClusterState] = None)
       : Map[String, (Seq[String], Seq[MarcUtil.ClusterRecordDoc])] =
     if (ids.isEmpty) Map.empty
-    else pageClusterDocs(pool, ids).collect().map { r =>
+    else pageClusterDocs(pool, ids, pinned).collect().map { r =>
       val cid = r.getString(0)
       val mvs = r.getSeq[String](2)
       val recs = r.getSeq[org.apache.spark.sql.Row](3).map { rr =>

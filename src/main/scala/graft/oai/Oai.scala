@@ -49,22 +49,33 @@ object OaiDates {
 /** Keyset-pagination token, byte-compatible with the reference:
   * base64("<from>[/<clusterId>] <until|null> <set>") where `from` is
   * LocalDateTime.toString (ResumptionToken.java:27-56).
+  *
+  * `snapshotVersion` (set only by snapshot-pinned exports, SURVEY §7.4
+  * risk 5) appends a FOURTH field " v=<n>" — absent, the encoding is
+  * byte-identical to the reference's, so the compat default round-trips
+  * reference tokens unchanged. A set id ending in a literal " v=<digits>"
+  * would be mis-split; pool ids are word-like in practice (the reference
+  * never validates them either).
   */
 final case class ResumptionToken(
     set: String,
     until: Option[String],
     from: Option[LocalDateTime] = None,
-    clusterId: Option[String] = None) {
+    clusterId: Option[String] = None,
+    snapshotVersion: Option[Long] = None) {
 
   def encode: String = {
     val f = from.getOrElse(throw new IllegalStateException("from unset"))
     val s = f.toString + clusterId.map("/" + _).getOrElse("") + " " +
-      until.getOrElse("null") + " " + set
+      until.getOrElse("null") + " " + set +
+      snapshotVersion.map(v => s" v=$v").getOrElse("")
     Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   }
 }
 
 object ResumptionToken {
+
+  private val SnapSuffix = """(?s)(.*) v=(\d+)""".r
 
   def decode(coded: String): ResumptionToken = {
     val s = new String(Base64.getDecoder.decode(coded), "UTF-8")
@@ -78,11 +89,16 @@ object ResumptionToken {
         (s.substring(0, islash0), Some(s.substring(islash0 + 1, i1)))
       else (s.substring(0, i1), None)
     val untilStr = s.substring(i1 + 1, i2)
+    val (setStr, snapV) = s.substring(i2 + 1) match {
+      case SnapSuffix(rest, v) => (rest, Some(v.toLong))
+      case rest => (rest, None)
+    }
     ResumptionToken(
-      set = s.substring(i2 + 1),
+      set = setStr,
       until = if (untilStr == "null") None else Some(untilStr),
       from = Some(OaiDates.parseIso(fromStr)),
-      clusterId = id)
+      clusterId = id,
+      snapshotVersion = snapV)
   }
 }
 

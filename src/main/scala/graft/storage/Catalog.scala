@@ -377,6 +377,12 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       case Some(v) => manifestAt(name, v)
     }
 
+  /** The manifest a PAST [[snapshot]] pinned — empty once auto-vacuum has
+    * dropped that version's manifest file. Lets long-lived readers (paged
+    * OAI exports) re-resolve one consistent snapshot across requests.
+    */
+  def snapshotAt(name: String, v: Long): Map[String, Long] = manifestAt(name, v)
+
   /** Atomically pin (version, manifest) of a partitioned or group table: the
     * consistent snapshot a reader resolves every partition dir against. A
     * racing GC of the just-read manifest version (two commits land in

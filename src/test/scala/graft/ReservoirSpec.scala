@@ -84,6 +84,47 @@ class ReservoirSpec extends AnyFunSuite {
       all.map(_.getString(0)).toSet)
   }
 
+  test("pinSnapshot: a paged OAI export is one consistent snapshot under ingest") {
+    val r = freshReservoir()
+    r.ingest(batchDf(rec("S1", "SRC", 1, Seq("a")), rec("S2", "SRC", 1, Seq("b")),
+      rec("S3", "SRC", 1, Seq("c")), rec("S4", "SRC", 1, Seq("d"))))
+    val initial = r.clusters("issn").collect().map(_.getString(0)).toSet
+    assert(initial.size == 4)
+
+    val p1 = r.listRecords("issn", limit = 2, pinSnapshot = true)
+    assert(p1.items.length == 2 && p1.resumptionToken.isDefined)
+
+    // ingest lands between pages: every initial cluster's datestamp bumps
+    // (their records re-ingest at sourceVersion 2 — unpinned keyset would
+    // re-serve the already-exported ones past the cursor) and a brand-new
+    // cluster appears
+    Thread.sleep(5)
+    r.ingest(batchDf(rec("S1", "SRC", 2, Seq("a")), rec("S2", "SRC", 2, Seq("b")),
+      rec("S3", "SRC", 2, Seq("c")), rec("S4", "SRC", 2, Seq("d")),
+      rec("S5", "SRC", 1, Seq("e"))))
+
+    val p2 = r.listRecords("issn", resumptionToken = p1.resumptionToken,
+      limit = 10)
+    val served = (p1.items ++ p2.items).map(_.clusterId)
+    assert(served.toSet == initial && served.distinct.length == served.length,
+      s"pinned export must serve each initial cluster exactly once, got $served")
+    assert(p2.resumptionToken.isEmpty)
+
+    // the unpinned default keeps reference per-request semantics: a fresh
+    // export now sees all five clusters at their live datestamps
+    val live = r.listRecords("issn", limit = 10)
+    assert(live.items.map(_.clusterId).toSet.size == 5)
+
+    // token byte-compat: the unpinned token carries no snapshot field
+    val tokPlain = r.listRecords("issn", limit = 1).resumptionToken
+    assert(tokPlain.isEmpty || !new String(
+      java.util.Base64.getDecoder.decode(tokPlain.get), "UTF-8").contains(" v="))
+    val tokPinned = r.listRecords("issn", limit = 1, pinSnapshot = true)
+      .resumptionToken
+    assert(tokPinned.exists(t => new String(
+      java.util.Base64.getDecoder.decode(t), "UTF-8").matches("(?s).* v=\\d+")))
+  }
+
   test("localIdPath extracts ids from the payload; missing ids are ignored") {
     import spark.implicits._
     val r = freshReservoir()
