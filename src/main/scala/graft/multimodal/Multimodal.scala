@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * perceptual dHash/aHash, luminance-grid embeddings), and [[AudioCodecs]]
   * decodes RIFF/WAV PCM through `javax.sound.sampled` (RMS, zero-crossing
   * rate, clipping ratio). [[ImageHeaders]] additionally reads dimensions
-  * straight from header bytes without a full decode. Only VIDEO (and
-  * compressed audio) decoding is stubbed behind `MediaCodecs` — the JDK has
-  * no codec for those containers; the surrounding schema, per-partition
-  * batching, and partition-parallel execution are real, so swapping in a
-  * JNI/javacpp decoder is a one-function change.
+  * straight from header bytes without a full decode. VIDEO is real for the
+  * two containers a pure JVM can fully decode — YUV4MPEG2 raw planes and
+  * MJPEG-in-AVI via the JDK JPEG reader ([[VideoCodecs]]): probe,
+  * frame-sample, per-frame perceptual hashes, and frame-level video
+  * near-dup pairs. Compressed bitstreams (H.264/VP9/compressed audio)
+  * remain behind the `MediaCodecs` stub — the JDK has no entropy decoder;
+  * the schema and batch shapes are identical, so a JNI decoder swaps in as
+  * one function.
   *
   * Scale notes: media rows are large; keep `spark.sql.files.maxPartitionBytes`
   * at the default 128 MB so tasks stay memory-bounded, and store binaries in
@@ -243,6 +246,78 @@ object Multimodal {
       .withColumn("audio_clipping", col("_graft_af._4"))
       .drop("_graft_af")
   }
+
+  // ------------- REAL video operators (pure-JVM containers) -------------
+
+  final case class VideoFrameRow(mediaId: Long, frameIndex: Int, width: Int,
+      height: Int, luma: Array[Byte])
+
+  /** real container probe: vid_format / vid_width / vid_height / vid_frames
+    * (all null where [[VideoCodecs.probe]] can't decode the container —
+    * compressed bitstreams included). Per-row scalar, no shuffle.
+    */
+  def withVideoMeta(df: DataFrame, contentCol: String): DataFrame = {
+    val p = udf((c: Array[Byte]) =>
+      VideoCodecs.probe(c).map(i => (i.format, i.width, i.height, i.nFrames)))
+    df.withColumn("_graft_vp", p(col(contentCol)))
+      .withColumn("vid_format", col("_graft_vp._1"))
+      .withColumn("vid_width", col("_graft_vp._2"))
+      .withColumn("vid_height", col("_graft_vp._3"))
+      .withColumn("vid_frames", col("_graft_vp._4"))
+      .drop("_graft_vp")
+  }
+
+  /** REAL frame sampling: every `stride`-th decoded luminance frame up to
+    * `maxFrames` per row, one output row per frame — the lazy container
+    * iterators mean skipped AVI frames are never pixel-decoded (y4m skips
+    * are plane slices either way). Executor-parallel via flatMap.
+    */
+  def sampleVideoFrames(df: DataFrame, idCol: String, contentCol: String,
+      stride: Int = 1, maxFrames: Int = Int.MaxValue): Dataset[VideoFrameRow] = {
+    require(stride >= 1 && maxFrames >= 1, s"bad stride=$stride maxFrames=$maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, c) =>
+        VideoCodecs.frames(c)
+          .filter(_.index % stride == 0).take(maxFrames)
+          .map(f => VideoFrameRow(id, f.index, f.width, f.height, f.luma))
+      }
+  }
+
+  /** per-sampled-frame perceptual dHash rows (mediaId, frameIndex, dhash) —
+    * video frames ride the image hash kernel via a grayscale lift
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String, contentCol: String,
+      stride: Int = 1, maxFrames: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sampleVideoFrames(df, idCol, contentCol, stride, maxFrames)
+      .map(f => (f.mediaId, f.frameIndex,
+        ImageCodecs.dHash(VideoCodecs.toGrayImage(
+          VideoCodecs.LumaFrame(f.frameIndex, f.width, f.height, f.luma)))))
+      .toDF("mediaId", "frameIndex", "dhash")
+  }
+
+  /** Near-duplicate VIDEO pairs from per-frame hash rows: distinct
+    * (video, frame-hash) looks feed the banded image pair search (pigeonhole
+    * equi-join, never all-pairs), and a pair survives with the number of
+    * near-matching distinct looks — ≥ `minSharedFrames` means the videos
+    * share that many visually-distinct frames within `maxHamming` bits.
+    * Persist the (small) frame-hash frame before calling at corpus scale.
+    */
+  def videoNearDupsFromFrameHashes(frameHashes: DataFrame,
+      maxHamming: Int = 6, minSharedFrames: Int = 2): DataFrame =
+    imageNearDupsFromHashes(
+      frameHashes.select(col("mediaId"), col("dhash")).distinct(),
+      "mediaId", "dhash", maxHamming)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  // (shared_frames counts near-matching distinct-look PAIRS: one look of A
+  // matching two distinct looks of B contributes 2 — a deliberate
+  // similarity-mass semantics, documented rather than deduped)
 
   /** synthesize a deterministic media table from any keyed text frame —
     * useful for wiring tests and the gate query

@@ -339,6 +339,48 @@ object TextDedupQueries {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |  md5(text) AS content_md5,
              |  hex(encode(substr(text, 1, 8))) AS head_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- REAL video-container round trip: a y4m stream is synthesized per
+    // document (dims / frame count / pixel bytes are pure functions of
+    // doc_id), then PROBED and FRAME-DECODED back through the pure-JVM
+    // container parser — DuckDB reproduces the expected numbers
+    // arithmetically, so a hash match proves byte-level container framing
+    // AND pixel-payload recovery, not just schema plumbing
+    Q("q67_video_probe",
+      (s, d) => {
+        val t = Tables(s, d)
+        import s.implicits._
+        val mk = udf((id: Long) => {
+          val w = 16 + 2 * (id % 8).toInt
+          val h = 10 + 2 * (id % 5).toInt
+          val n = 1 + (id % 4).toInt
+          graft.multimodal.VideoCodecs.encodeY4m(w, h, (0 until n).map(f =>
+            Array.tabulate(w * h)(i => ((id + f + i) % 251).toByte)))
+        })
+        val media = t.documents
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .withColumn("content", mk(col("doc_id")))
+        val meta = graft.multimodal.Multimodal.withVideoMeta(media, "content")
+          .select(col("doc_id"), col("vid_width"), col("vid_height"),
+            col("vid_frames"))
+        val lumaSum = graft.multimodal.Multimodal
+          .sampleVideoFrames(media, "doc_id", "content")
+          .map(f => (f.mediaId, f.luma.foldLeft(0L)((a, b) => a + (b & 0xff))))
+          .toDF("doc_id", "s")
+          .groupBy(col("doc_id")).agg(sum(col("s")).as("luma_sum"))
+        meta.join(lumaSum, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 16 + 2 * (doc_id % 8) AS w,
+             |    10 + 2 * (doc_id % 5) AS h, 1 + (doc_id % 4) AS n
+             |  FROM documents),
+             |f AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS fr FROM d),
+             |p AS (SELECT doc_id, w, h, n, fr, unnest(range(0, w * h)) AS i FROM f)
+             |SELECT doc_id, CAST(w AS INTEGER) AS vid_width,
+             |  CAST(h AS INTEGER) AS vid_height, CAST(n AS INTEGER) AS vid_frames,
+             |  CAST(sum((doc_id + fr + i) % 251) AS BIGINT) AS luma_sum
+             |FROM p GROUP BY doc_id, w, h, n
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -245,4 +245,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rmsQuiet < 0.01 && clipQuiet == 0.0)
     assert(rows(3L).isEmpty, "non-WAV bytes yield null features, not a crash")
   }
+
+  // ---- REAL video containers ----
+
+  private def gradientLuma(w: Int, h: Int, phase: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i + phase * 7) % 256).toByte)
+
+  test("y4m round-trip: encode, probe, decode byte-exact luminance planes") {
+    import graft.multimodal.VideoCodecs
+    val (w, h) = (32, 18)
+    val planes = (0 until 4).map(f => gradientLuma(w, h, f))
+    val y4m = VideoCodecs.encodeY4m(w, h, planes)
+    val info = VideoCodecs.probe(y4m)
+    assert(info.contains(VideoCodecs.VideoInfo("y4m", w, h, 4)), info.toString)
+    val frames = VideoCodecs.frames(y4m).toSeq
+    assert(frames.map(_.index) == Seq(0, 1, 2, 3))
+    frames.zip(planes).foreach { case (f, p) =>
+      assert(java.util.Arrays.equals(f.luma, p), s"frame ${f.index} luma")
+    }
+    // truncated stream: complete frames decode, the cut one is dropped
+    val cut = java.util.Arrays.copyOf(y4m, y4m.length - 10)
+    assert(VideoCodecs.probe(cut).map(_.nFrames).contains(3))
+  }
+
+  test("mjpeg-avi round-trip: RIFF walk + JDK JPEG decode per frame") {
+    import graft.multimodal.{ImageCodecs, VideoCodecs}
+    val imgs = (0 until 3).map { f =>
+      val lf = VideoCodecs.LumaFrame(f, 24, 16, gradientLuma(24, 16, f))
+      VideoCodecs.toGrayImage(lf)
+    }
+    val avi = VideoCodecs.encodeAviMjpeg(imgs)
+    val info = VideoCodecs.probe(avi)
+    assert(info.contains(VideoCodecs.VideoInfo("avi-mjpeg", 24, 16, 3)),
+      info.toString)
+    val frames = VideoCodecs.frames(avi).toSeq
+    assert(frames.length == 3 && frames.forall(f => f.width == 24 && f.height == 16))
+    // JPEG is lossy: the decoded frame must still be perceptually identical
+    frames.zip(imgs).foreach { case (f, orig) =>
+      val hd = ImageCodecs.hamming(
+        ImageCodecs.dHash(VideoCodecs.toGrayImage(f)), ImageCodecs.dHash(orig))
+      assert(hd <= 4, s"frame ${f.index} perceptual drift $hd bits")
+    }
+    assert(VideoCodecs.probe("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("video operators: probe meta, stride sampling, frame-level near-dups") {
+    import spark.implicits._
+    import graft.multimodal.VideoCodecs
+    val (w, h) = (32, 18)
+    def vid(phases: Seq[Int]) =
+      VideoCodecs.encodeY4m(w, h, phases.map(gradientLuma(w, h, _)))
+    // A and B share two distinct looks (phases 1, 2); C is unrelated noise
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val df = Seq(
+      (1L, vid(Seq(1, 2, 3, 4, 5, 6))),
+      (2L, vid(Seq(1, 2, 40, 41))),
+      (3L, VideoCodecs.encodeY4m(w, h, Seq(noisy))),
+      (4L, "not a video".getBytes("UTF-8"))).toDF("id", "content")
+
+    val meta = Multimodal.withVideoMeta(df, "content")
+      .select("id", "vid_format", "vid_frames").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2))))).toMap
+    assert(meta(1L).contains(("y4m", 6)) && meta(2L).contains(("y4m", 4)))
+    assert(meta(4L).isEmpty, "non-video bytes must null out, not crash")
+
+    val sampled = Multimodal.sampleVideoFrames(df, "id", "content",
+      stride = 2, maxFrames = 2).collect()
+    assert(sampled.filter(_.mediaId == 1L).map(_.frameIndex).sorted.toSeq ==
+      Seq(0, 2), "every 2nd frame, capped at 2")
+
+    val fh = Multimodal.videoFrameHashes(df, "id", "content")
+    val pairs = Multimodal.videoNearDupsFromFrameHashes(fh,
+      maxHamming = 2, minSharedFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the two-shared-look pair must survive, got $pairs")
+  }
 }
