@@ -29,13 +29,25 @@ object Bench {
     * pass of the headline set against `dir`; failures log and score their
     * elapsed time
     */
-  def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    val headline = SparkEntry.allQ.filter(_.headline)
-    headline.foreach { q =>
+  def timeHeadline(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    timeSet(spark, dir, SparkEntry.allQ.filter(_.headline))
+
+  /** [[timeHeadline]] for an explicit query-name list (ScaleBench slopes
+    * over non-headline operators); unknown names are ignored
+    */
+  def timeNamed(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(String, Double)] = {
+    val byName = SparkEntry.allQ.map(q => q.name -> q).toMap
+    timeSet(spark, dir, names.flatMap(byName.get))
+  }
+
+  private def timeSet(spark: SparkSession, dir: String,
+      qs: Seq[graft.operators.Q]): Seq[(String, Double)] = {
+    qs.foreach { q =>
       try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    headline.map { q =>
+    qs.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }

@@ -334,6 +334,66 @@ object CurationQueries {
              |  CAST(greatest(0, sum(cnt_s * lq_micro)) AS BIGINT) AS kl_micro_times_n
              |FROM lq JOIN st USING (lang)
              |GROUP BY lang, st.total_s
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ---- per-document top-k characteristic terms by TF-IDF (keyword
+    // extraction / topic labeling): idf quantizes to integer micro-nats per
+    // term, so score_micro = tf * idf_micro is exact integer arithmetic —
+    // the SELECTION is reproducible cross-engine, not just the scores; the
+    // top-k is a bounded aggregate (partials cap at k rows/doc/partition),
+    // never a full per-document vocabulary sort
+    Q("q68_tfidf_topk",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.TfIdf.topTerms(t.documents, "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, token FROM (
+             |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+             |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, token, tf,
+             |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
+             |      AS score_micro
+             |  FROM tf JOIN df USING (token), n)
+             |SELECT doc_id, CAST(rn AS INTEGER) AS rank, token, tf, score_micro FROM (
+             |  SELECT doc_id, token, tf, score_micro,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_micro DESC, token) AS rn
+             |  FROM sc) WHERE rn <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- cross-slice contamination surface: distinct 3-gram shingles
+    // shared between every pair of language slices — the data-card overlap
+    // matrix behind train/eval slice-leakage checks. Shape: (slice, gram)
+    // distinct (one corpus shuffle) → gram equi-join with slice1 < slice2
+    // (never all-pairs of DOCUMENTS — grams bucket the join) → bounded
+    // (slice-pair)-sized output
+    Q("q69_stratum_overlap",
+      (s, d) => {
+        val t = Tables(s, d)
+        val grams = t.documents
+          .select(col("lang"),
+            explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("g"))
+          .distinct()
+        grams.as("a").join(grams.as("b"),
+            col("a.g") === col("b.g") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .orderBy(col("lang1"), col("lang2"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT lang, list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |ls AS (SELECT DISTINCT lang, unnest(sh) AS g FROM docs)
+             |SELECT a.lang AS lang1, b.lang AS lang2, count(*) AS shared_grams
+             |FROM ls a JOIN ls b ON a.g = b.g AND a.lang < b.lang
+             |GROUP BY a.lang, b.lang
+             |ORDER BY lang1, lang2""".stripMargin))
   )
 }

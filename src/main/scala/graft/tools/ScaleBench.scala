@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * replica instead of widening — treat the slope as a lower bound on
   * dimension-side growth effects.
   *
-  * Usage: runMain graft.tools.ScaleBench [mult] [srcDir] [workDir]
+  * Usage: runMain graft.tools.ScaleBench [mult] [srcDir] [workDir] [keep]
+  * (`keep` retains the replicated dir — e.g. as the target of a full
+  * oracle-gate correctness run at ~sf1)
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(2).getOrElse("/tmp/graft-scalebench")
+    val keep = args.lift(3).contains("keep")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.benchSession("graft-scalebench")
 
@@ -84,10 +87,34 @@ object ScaleBench {
       }.apply(col("text"), col("doc_id"))), "documents")
     write(replicate(read("embeddings"),
       Map("vec_id" -> (maxOf("embeddings", "vec_id") + 1L))), "embeddings")
+    // events replicate by shifting BOTH id domains: 10x users over the same
+    // time range (per-user event spans unchanged — the realistic growth for
+    // user-keyed session/window operators). ts is written as
+    // TIMESTAMP(MICROS): every event-time oracle already pre-truncates the
+    // source's TIMESTAMP(NANOS) to µs (the Spark reader's precision), so
+    // Spark and DuckDB see identical values on the replicated dir — which
+    // also makes it a valid target for the full 67-query oracle gate.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(replicate(read("events"),
+      Map("event_id" -> (maxOf("events", "event_id") + 1L),
+        "user_id" -> (maxOf("events", "user_id") + 1L)))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events")
+
+    // non-headline operator slopes (round-7 verdict #2): the q61-q67 set,
+    // timed at 1x and 10x in the SAME JVM so the pair is box-comparable
+    val extras = Seq("q61_session_windows", "q62_unigram_logprob",
+      "q63_mixture_sample", "q64_kl_drift", "q65_bpe_token_count",
+      "q66_winnowing", "q67_video_probe")
+    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
+      s"1x($src) extras"))
+    spark.catalog.clearCache() // q62/q64 persist per-dir token frames
 
     println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
       s"${mult}x($src)"))
-    fs.delete(new Path(work), true)
+    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extras),
+      s"${mult}x($src) extras"))
+    spark.catalog.clearCache()
+    if (!keep) fs.delete(new Path(work), true)
     spark.stop()
   }
 }

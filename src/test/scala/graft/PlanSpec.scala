@@ -234,6 +234,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 tf-idf top-k is a bounded aggregate, not a global window") {
+    val p = plan("q68_tfidf_topk")
+    assert(!p.contains("Window"), "top-k must not window the vocabulary:\n" + p)
+    assert(p.contains("partial_"), "bounded top-k partials expected:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q69 stratum overlap joins by gram, never all document pairs") {
+    val p = plan("q69_stratum_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "distinct + count aggregate partials:\n" + p)
+  }
+
   test("klByStratum convenience entry plans at most two pruned text scans") {
     // drop the gate queries' persisted frames: the pair-count subplan here
     // canonicalizes identically, so the cache manager would substitute the
