@@ -15,20 +15,39 @@ import org.apache.spark.sql.functions._
   * Hashes are the first 16 hex chars of each gram's md5, compared
   * lexicographically — a total order both Spark and SQL engines reproduce
   * byte-identically, so no integer conversion is needed. All per-document
-  * work is higher-order functions over bound array attributes (no explode
-  * until the final fingerprint rows), so the operator is a per-row scalar
-  * pipeline: no shuffle at all until the caller aggregates or joins the
-  * (id, fingerprint) output. Very long documents materialize one hash per
-  * character in the row — [[Winnowing.fingerprintsChunked]] bounds that
-  * with an overlap-preserving splitter (identical fingerprint set).
+  * work happens in one native single-pass kernel
+  * ([[graft.expressions.WinnowExpr]] — reused digest, monotonic-deque
+  * sliding min; no explode until the final fingerprint rows), so the
+  * operator is a per-row scalar pipeline: no shuffle at all until the
+  * caller aggregates or joins the (id, fingerprint) output. Very long
+  * documents materialize one hash per character in the row —
+  * [[Winnowing.fingerprintsChunked]] bounds that with an
+  * overlap-preserving splitter (identical fingerprint set).
   */
 object Winnowing {
 
   /** distinct (idCol, fingerprint) rows per document; documents shorter
-    * than k + w − 1 chars produce none
+    * than k + w − 1 chars produce none. Runs the single-pass native kernel
+    * ([[graft.expressions.WinnowExpr]]); [[fingerprintsHof]] is the
+    * built-in-functions formulation it is property-pinned against.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad k=$k w=$w")
+    df.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol),
+        explode(graft.expressions.DedupExpressions
+          .winnowFingerprints(col(textCol), k, w)).as("fingerprint"))
+  }
+
+  /** [[fingerprints]] expressed purely in built-in functions — one `md5`
+    * per gram, `slice`+`array_min` per window. O(len·w) allocations per
+    * row vs the kernel's O(len); kept as the executable specification the
+    * kernel is property-tested against (and the shape the DuckDB oracle
+    * mirrors), not as the production path.
+    */
+  private[graft] def fingerprintsHof(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"bad k=$k w=$w")
     val text = col(textCol)
     val hashes: Column = transform(

@@ -37,6 +37,12 @@ object DedupExpressions {
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(
       MinHashSigExpr(GraftSqlBridge.expression(shingles), k))
+
+  /** text → distinct winnowing fingerprints (single-pass native form of
+    * the [[graft.dedup.Winnowing]] HOF pipeline)
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowExpr(GraftSqlBridge.expression(text), k, w))
 }
 
 case class ShinglesExpr(child: Expression, n: Int)
@@ -131,4 +137,111 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Single-pass winnowing kernel: all k-gram md5 prefixes, the w-window
+  * sliding minimum, and the per-document distinct in ONE traversal of the
+  * input bytes. The HOF formulation (`Winnowing.fingerprintsHof`, kept as
+  * the executable spec) pays per gram: a `substring` UTF8String copy, a
+  * fresh MessageDigest inside Spark's `md5`, a 32-char hex UTF8String plus
+  * its 16-char prefix copy, and per WINDOW a w-element `slice` array — all
+  * inside interpreted HOF lambdas. This kernel reuses one thread-local
+  * digest, compares hashes as unsigned longs (the first 8 md5 bytes —
+  * lexicographic on the 16 lowercase hex chars ≡ unsigned numeric on the
+  * big-endian value), takes the sliding minimum with a monotonic deque
+  * (O(1) amortized per window vs O(w) slice+min), and only materializes
+  * hex strings for the distinct survivors (~2/(w+1) density). Output rows
+  * are byte-identical to the HOF pipeline (DedupKernelSpec property-pins
+  * it; the q66 oracle hash pins it end-to-end vs DuckDB).
+  *
+  * Character semantics match Spark's `substring`: positions count Unicode
+  * code points, and each gram is hashed over its UTF-8 bytes — the byte
+  * walk below starts a character at every non-continuation byte.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2 && w >= 1, s"bad k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nB = bytes.length
+    // char-start byte offsets (UTF-8: a char starts at every byte that is
+    // not a continuation byte 10xxxxxx), one extra slot for the end
+    val offs = new Array[Int](nB + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nB) {
+      offs(nChars) = b
+      nChars += 1
+      b += 1
+      while (b < nB && (bytes(b) & 0xc0) == 0x80) b += 1
+    }
+    offs(nChars) = nB
+    if (nChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
+
+    val h = nChars - k + 1
+    val md = WinnowExpr.md5.get()
+    val out16 = new Array[Byte](16)
+    val hashes = new Array[Long](h)
+    var i = 0
+    while (i < h) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      md.digest(out16, 0, 16)
+      hashes(i) =
+        ((out16(0) & 0xffL) << 56) | ((out16(1) & 0xffL) << 48) |
+        ((out16(2) & 0xffL) << 40) | ((out16(3) & 0xffL) << 32) |
+        ((out16(4) & 0xffL) << 24) | ((out16(5) & 0xffL) << 16) |
+        ((out16(6) & 0xffL) << 8) | (out16(7) & 0xffL)
+      i += 1
+    }
+
+    // monotonic deque of indices; head holds the current window's minimum.
+    // On ties the later index wins (same VALUE emitted, longer lifetime).
+    val distinct = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](h)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < h) {
+      while (tail > head &&
+          java.lang.Long.compareUnsigned(hashes(deque(tail - 1)), hashes(j)) >= 0)
+        tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) distinct.add(hashes(deque(head)))
+      j += 1
+    }
+
+    val arr = new Array[Any](distinct.size)
+    val it = distinct.iterator()
+    var x = 0
+    while (it.hasNext) {
+      arr(x) = UTF8String.fromString(f"${it.next().longValue()}%016x")
+      x += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowExpr {
+  /** MessageDigest is stateful and tasks can share a deserialized
+    * expression tree in local mode — one digest per thread
+    */
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }

@@ -183,6 +183,40 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(tiny.count() == 0)
   }
 
+  test("native winnowing kernel equals the HOF pipeline (property)") {
+    import spark.implicits._
+    // the HOF formulation is the executable spec (and the shape the q66
+    // DuckDB oracle mirrors); the native kernel must match it row-for-row,
+    // including multibyte characters (code-point gram positions, UTF-8
+    // gram bytes), hash ties from tiny alphabets, and boundary lengths
+    val rnd = new scala.util.Random(7)
+    // each alphabet element is ONE code point (2-byte e-acute, 3-byte CJK,
+    // 4-byte emoji as a surrogate pair) so lengths below count code points
+    val alphabets = Seq(
+      Seq("a", "b"),
+      Seq("a", "b", "c", " ", "d"),
+      Seq("a", "\u00e9", "\u4e2d", " ", "\ud83d\ude00", "b"))
+    for (trial <- 0 until 6) {
+      val k = 2 + rnd.nextInt(4)            // 2..5
+      val w = 1 + rnd.nextInt(5)            // 1..5
+      val alphabet = alphabets(trial % alphabets.size)
+      val docs = (0L until 10L).map { id =>
+        val len = if (id < 3) (k + w - 2 + id).toInt else rnd.nextInt(150)
+        (id, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val native = graft.dedup.Winnowing
+        .fingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val hof = graft.dedup.Winnowing
+        .fingerprintsHof(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(native == hof,
+        s"trial=$trial k=$k w=$w: " +
+          s"missing=${(hof.toSet -- native).take(3)} extra=${(native.toSet -- hof).take(3)}")
+    }
+  }
+
   test("chunked winnowing fingerprints equal the unchunked set (property)") {
     import spark.implicits._
     // random texts over a tiny alphabet (forces repeated grams and min
