@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Exact duplicated-SPAN detection — the substring-level complement of
+  * whole-document dedup (q19) and passage fingerprinting (q66): find every
+  * maximal run of words covered by a word n-gram that occurs more than once
+  * in the corpus, the distributed re-expression of suffix-array training-data
+  * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"; reference repo has no counterpart — builder's brief).
+  * A suffix array is a single-machine artifact; the Spark-native shape is
+  * the n-gram inverted index the engine already uses for dedup:
+  *
+  *  1. per row: whitespace tokens → all word n-grams with their start
+  *     positions (one HOF pipeline, no shuffle);
+  *  2. grams occurring ≥ `minCount` times across the corpus (ONE gram
+  *     shuffle with partial aggregation — same cost shape as the q62
+  *     vocabulary build);
+  *  3. duplicated gram starts cover words [p, p+n−1]; merge covered words
+  *     into maximal islands per document (gaps-and-islands over a per-doc
+  *     window — skew bounded by the longest document).
+  *
+  * Word positions index the empty-token-filtered whitespace token list —
+  * stable across engines (the DuckDB oracle builds the identical list).
+  * `n` is the minimum span length in WORDS (Lee et al. use 50 BPE tokens;
+  * word-grams are the tokenizer-free equivalent). Spans from overlapping
+  * or adjacent duplicated grams coalesce automatically because coverage is
+  * computed word-wise, so output spans are maximal and disjoint per doc.
+  */
+object DupSpans {
+
+  private def cleanTokens(textCol: String): Column =
+    filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+
+  /** (idCol, span_start, span_end, span_words) — maximal word spans covered
+    * by any n-gram occurring ≥ minCount times corpus-wide; positions are
+    * 0-based indexes into the whitespace token list
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 1 && minCount >= 2, s"bad n=$n minCount=$minCount")
+    val grams = gramStarts(docs, idCol, textCol, n)
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .filter(col("_graft_cnt") >= minCount)
+      .select(col("gram"))
+    // one row per (doc, pos) upstream → no distinct needed before explode
+    val words = grams.join(dup, Seq("gram"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    val isl = words.withColumn("_graft_grp",
+      col("wpos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("wpos"))))
+    isl.groupBy(col(idCol), col("_graft_grp"))
+      .agg(min(col("wpos")).as("span_start"),
+        max(col("wpos")).as("span_end"),
+        count(lit(1)).as("span_words"))
+      .drop("_graft_grp")
+  }
+
+  /** texts with every duplicated span removed (tokens rejoined with single
+    * spaces): the dedup ACTION over [[duplicatedSpans]]'s detection — keeps
+    * each document's non-duplicated words in order, dropping documents
+    * whose every word is covered
+    */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minCount)
+      .select(col(idCol).as("_graft_cut_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("_graft_cut"))
+    docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))
+      .select(col(idCol),
+        posexplode(col("_graft_toks")).as(Seq("_graft_pos", "_graft_tok")))
+      .join(spans,
+        col(idCol) === col("_graft_cut_id") &&
+          col("_graft_pos").cast("long") === col("_graft_cut"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(
+            struct(col("_graft_pos"), col("_graft_tok")))),
+          s => s.getField("_graft_tok")), " ").as(textCol))
+  }
+
+  /** one row per (doc, gram start): 0-based `pos` (long) + the n-word gram */
+  private def gramStarts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))
+      .filter(size(col("_graft_toks")) >= n)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("_graft_toks")) - n),
+          i => array_join(slice(col("_graft_toks"), i + 1, lit(n)), " ")))
+          .as(Seq("_graft_p", "gram")))
+      .select(col(idCol), col("_graft_p").cast("long").as("pos"), col("gram"))
+}

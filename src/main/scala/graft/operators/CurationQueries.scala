@@ -394,6 +394,36 @@ object CurationQueries {
              |SELECT a.lang AS lang1, b.lang AS lang2, count(*) AS shared_grams
              |FROM ls a JOIN ls b ON a.g = b.g AND a.lang < b.lang
              |GROUP BY a.lang, b.lang
-             |ORDER BY lang1, lang2""".stripMargin))
+             |ORDER BY lang1, lang2""".stripMargin)),
+
+    // ---- distilled token quality classifier (CCNet/fastText loop):
+    //      pseudo-label = (lang = 'en'), learn NB log-odds, score everything
+    Q("q71_quality_classifier",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.QualityClassifier.distill(
+            t.documents.withColumn("lab", col("lang") === "en"),
+            "doc_id", "text", "lab")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, (lang = 'en') AS lab, token FROM (
+             |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |c AS (SELECT token,
+             |    count(*) FILTER (WHERE lab) AS c_pos,
+             |    count(*) FILTER (WHERE NOT lab) AS c_neg
+             |  FROM tok GROUP BY token),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS v FROM c),
+             |w AS (SELECT token,
+             |    CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |      AS weight_micro
+             |  FROM c, tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(weight_micro) AS BIGINT) AS score_micro
+             |FROM tok JOIN w USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -381,6 +381,37 @@ object TextDedupQueries {
              |  CAST(h AS INTEGER) AS vid_height, CAST(n AS INTEGER) AS vid_frames,
              |  CAST(sum((doc_id + fr + i) % 251) AS BIGINT) AS luma_sum
              |FROM p GROUP BY doc_id, w, h, n
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact duplicated spans (suffix-array dedup, re-expressed as the
+    //      word-n-gram inverted index + gaps-and-islands)
+    Q("q70_dup_spans",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.DupSpans.duplicatedSpans(t.documents, "doc_id", "text",
+            n = 8, minCount = 2)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+             |      i -> {'pos': i,
+             |            'gram': array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')})) AS u
+             |  FROM t WHERE len(toks) >= 8),
+             |p AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram AS gram FROM g),
+             |dup AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+             |offs AS (SELECT unnest(range(0, 8)) AS j),
+             |w AS (SELECT DISTINCT doc_id, pos + j AS wpos
+             |  FROM p JOIN dup USING (gram) CROSS JOIN offs),
+             |isl AS (SELECT doc_id, wpos,
+             |    wpos - row_number() OVER (PARTITION BY doc_id ORDER BY wpos) AS grp
+             |  FROM w)
+             |SELECT doc_id, min(wpos) AS span_start, max(wpos) AS span_end,
+             |  CAST(count(*) AS BIGINT) AS span_words
+             |FROM isl GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin))
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DupSpans
+
+/** Semantics of exact duplicated-span detection + removal that the q70
+  * oracle row can't pin: span maximality/disjointness, within-document
+  * repeats, the strip action, and the no-duplicates case.
+  */
+class DupSpansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def spans(rows: Seq[(Long, String)], n: Int) =
+    DupSpans.duplicatedSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("cross-document duplicated n-gram yields the covering span in both docs") {
+    val shared = "one two three four"            // one 4-gram, shared
+    val got = spans(Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"$shared gamma delta"),
+      (3L, "no overlap at all here")), n = 4)
+    // doc 1: tokens alpha one two three four beta → gram start 1, covers 1..4
+    // doc 2: gram start 0 covers 0..3
+    assert(got == Seq((1L, 1L, 4L, 4L), (2L, 0L, 3L, 4L)))
+  }
+
+  test("overlapping and adjacent duplicated grams coalesce into one maximal span") {
+    // two docs share a 6-word passage → three overlapping 4-grams each;
+    // coverage must merge into ONE span per doc, not three
+    val p = "a b c d e f"
+    val got = spans(Seq((1L, s"x $p"), (2L, s"$p y")), n = 4)
+    assert(got == Seq((1L, 1L, 6L, 6L), (2L, 0L, 5L, 6L)))
+  }
+
+  test("within-document repetition counts as duplication") {
+    val got = spans(Seq((1L, "p q r s junk1 junk2 p q r s")), n = 4)
+    assert(got == Seq((1L, 0L, 3L, 4L), (1L, 6L, 9L, 4L)))
+  }
+
+  test("corpus with no repeated n-gram yields no spans; short docs are safe") {
+    val got = spans(Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "v1 v2 v3 v4 v5"), (3L, "tiny")), n = 4)
+    assert(got.isEmpty)
+  }
+
+  test("stripDuplicatedSpans removes exactly the covered words, keeps order") {
+    val df = Seq(
+      (1L, "alpha one two three four beta"),
+      (2L, "one two three four gamma delta")).toDF("doc_id", "text")
+    val got = DupSpans.stripDuplicatedSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "alpha beta", 2L -> "gamma delta"))
+  }
+
+  test("a fully-duplicated document strips to no output row") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = DupSpans.stripDuplicatedSpans(df, "doc_id", "text", n = 4)
+      .collect()
+    assert(got.isEmpty)
+  }
+}
