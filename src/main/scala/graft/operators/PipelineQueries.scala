@@ -117,6 +117,32 @@ object PipelineQueries {
               |  / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42
               |ORDER BY id1, id2""".stripMargin)),
 
+    // ---- SemDeDup: semantic dedup groups = transitive closure over the
+    // q38 cell-local near-dup pairs; keep the min id per component
+    Q("q72_semdedup",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.semDedup(t.embeddings, "vec_id", "embedding",
+            threshold = 0.42, nPlanes = 24, dim = 64, bitsPerTable = 6)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bk AS (SELECT vec_id, v, unnest(${Similarity.lshBucketsSql(24, 64, 6)}) AS bucket FROM e),
+              |cand AS (SELECT DISTINCT a.vec_id AS id1, a.v AS v1, b.vec_id AS id2, b.v AS v2
+              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |pairs AS (SELECT id1, id2 FROM cand
+              |  WHERE list_dot_product(v1, v2)
+              |    / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42),
+              |bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+              |  UNION ALL SELECT id2, id1 FROM pairs),
+              |lbl AS (
+              |  SELECT vec_id, vec_id AS comp FROM e
+              |  UNION
+              |  SELECT p.b AS vec_id, l.comp FROM lbl l JOIN bidir p ON p.a = l.vec_id)
+              |SELECT vec_id, min(comp) AS rep_id, min(comp) = vec_id AS keep
+              |FROM lbl GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // ---- embedding-cosine near-duplicate pairs (threshold chosen with a
     // >1e-3 margin to the nearest cosine so float noise can't flip a pair)
     Q("q35_embedding_dupes",

@@ -314,4 +314,49 @@ object Similarity {
       .distinct()
     rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop all but one
+    * representative of every group of semantically near-identical
+    * embeddings. The paper bounds the pairwise cost by k-means cells; the
+    * engine's deterministic equivalent uses the same LSH cells as
+    * [[nearDupPairsLsh]] (the trained-quantizer IVF cells plug in the same
+    * way, but hyperplane cells are reproducible in a SQL oracle). Where the
+    * paper drops greedily in scan order — order-dependent on a cluster —
+    * this keeps the MINIMUM id of each connected near-dup component
+    * (transitive closure over cell-local pairs): deterministic under any
+    * partitioning, and reuses the engine's distributed CC (degree-1 cut +
+    * size-gated union-find / pointer-doubling loop).
+    *
+    * Output: one row per input id, `rep_id` = the kept representative
+    * (itself when nothing similar); `keep = rep_id == id` filters the
+    * deduplicated corpus. Scale shape: bucket equi-join for pairs (never
+    * all-pairs), one CC over only the near-dup subgraph, one left join back.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 24, dim: Int = 64,
+      bitsPerTable: Int = 6): DataFrame =
+    semDedupFromPairs(corpus.select(col(idCol)), idCol,
+      nearDupPairsLsh(corpus, idCol, vecCol, threshold,
+        nPlanes, dim, bitsPerTable))
+
+  /** the grouping half of [[semDedup]] over any (id1, id2) similar-pair
+    * source — LSH cells, trained-IVF cell joins, or the exact all-pairs
+    * baseline — so the cell strategy and the dedup semantics compose
+    * independently
+    */
+  def semDedupFromPairs(ids: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val pairKey = concat_ws(":", col("id1").cast("string"),
+      col("id2").cast("string"))
+    val edges = pairs.select(col("id1").as("id"), pairKey.as("key"))
+      .union(pairs.select(col("id2").as("id"), pairKey.as("key")))
+    val comps = graft.cluster.Clusterize.connectedComponents(edges)
+      .withColumnRenamed("id", idCol)
+    ids.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col(idCol))
+  }
 }

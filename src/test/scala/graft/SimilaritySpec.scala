@@ -168,4 +168,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(b <= a + 1e-9, s"inertia rose: ${sampled.inertia}")
     }
   }
+
+  test("semDedupFromPairs: transitive closure, min-id reps, keep flags") {
+    import spark.implicits._
+    val ids = (0L to 6L).toDF("vec_id")
+    // chain 1-2-3 (transitive via pairs (1,2),(2,3)), pair (5,6), solo 0/4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val got = Similarity.semDedupFromPairs(ids, "vec_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("semDedup keeps exactly one representative per near-dup component") {
+    val c = corpus(60)
+    val got = Similarity.semDedup(c, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 60)                          // one row per input id
+    val byRep = got.groupBy(_._2)
+    // every component's rep is its min id and is flagged keep
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep)
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == rep)
+    }
+    // representatives' pairwise structure: dropping non-reps never drops a
+    // vector that has no near-dup (solo components keep themselves)
+    val kept = got.filter(_._3).map(_._1).toSet
+    assert(kept.size == byRep.size)
+  }
 }
