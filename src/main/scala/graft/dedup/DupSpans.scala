@@ -41,9 +41,22 @@ object DupSpans {
     * 0-based indexes into the whitespace token list
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minCount: Int = 2): DataFrame = {
+      n: Int = 8, minCount: Int = 2): DataFrame =
+    duplicatedSpansFromGrams(gramStarts(docs, idCol, textCol, n),
+      idCol, n, minCount)
+
+  /** [[duplicatedSpans]] over pre-computed [[gramStarts]] rows — the
+    * `Bm25.scoreTokens` pattern: the gram frame feeds both the dup-count
+    * aggregate and the coverage join, so hand a PERSISTED frame to scan
+    * and gram-assemble the corpus exactly once (the convenience entry
+    * re-plans the text scan under both consumers). The dup-gram set after
+    * the count floor is small (duplication is the exception), so AQE turns
+    * the coverage join into a broadcast — the gram rows themselves are
+    * never shuffled twice.
+    */
+  def duplicatedSpansFromGrams(grams: DataFrame, idCol: String,
+      n: Int, minCount: Int = 2): DataFrame = {
     require(n >= 1 && minCount >= 2, s"bad n=$n minCount=$minCount")
-    val grams = gramStarts(docs, idCol, textCol, n)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("_graft_cnt"))
       .filter(col("_graft_cnt") >= minCount)
@@ -88,9 +101,12 @@ object DupSpans {
   }
 
   /** one row per (doc, gram start): 0-based `pos` (long) + the n-word gram */
-  private def gramStarts(docs: DataFrame, idCol: String, textCol: String,
+  def gramStarts(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))
+    // gram assembly (slice+join per position) is the CPU-bound stage:
+    // spread a poorly-split scan before it
+    graft.operators.Parallelism.ensure(
+        docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks")))
       .filter(size(col("_graft_toks")) >= n)
       .select(col(idCol),
         posexplode(transform(

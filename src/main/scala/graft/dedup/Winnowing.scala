@@ -34,7 +34,10 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"bad k=$k w=$w")
-    df.filter(length(col(textCol)) >= k + w - 1)
+    // per-char hashing is the CPU-bound stage: spread a poorly-split scan
+    graft.operators.Parallelism.ensure(
+        df.select(col(idCol), col(textCol))
+          .filter(length(col(textCol)) >= k + w - 1))
       .select(col(idCol),
         explode(graft.expressions.DedupExpressions
           .winnowFingerprints(col(textCol), k, w)).as("fingerprint"))

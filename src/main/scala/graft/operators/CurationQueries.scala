@@ -401,9 +401,15 @@ object CurationQueries {
     Q("q71_quality_classifier",
       (s, d) => {
         val t = Tables(s, d)
-        graft.curation.QualityClassifier.distill(
-            t.documents.withColumn("lab", col("lang") === "en"),
-            "doc_id", "text", "lab")
+        // persisted labeled-token frame → one text scan under both the
+        // weight training and the scoring join (q62 pattern)
+        val tok = t.documents
+          .select(col("doc_id"), (col("lang") === "en").as("lab"),
+            explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.curation.QualityClassifier.scoreTokens(tok, "doc_id", "token",
+            graft.curation.QualityClassifier.trainTokens(tok, "token", "lab"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (

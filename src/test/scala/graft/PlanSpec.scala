@@ -268,4 +268,56 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"expected at most two documents scans, got $scans:\n" + p)
   }
+
+  test("q70 dup spans: persisted gram frame, no cartesian, partial agg") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val e = exec("q70_dup_spans")
+    val p = e.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "gram-count partial agg expected:\n" + p)
+    // both the dup-count agg and the coverage join read the persisted gram
+    // frame: the documents text is scanned and gram-assembled exactly once
+    assert(e.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "all branches must read the persisted gram frame:\n" + p)
+    assert(e.collect { case c: InMemoryTableScanExec => c }.size >= 2, p)
+  }
+
+  test("q71 classifier: persisted token frame, broadcast weights") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val e = exec("q71_quality_classifier")
+    val p = e.toString
+    assert(p.contains("BroadcastHashJoin"), "weights must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no token-keyed sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      p) // the 1-row totals crossJoin broadcasts
+    assert(e.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "all branches must read the persisted token frame:\n" + p)
+    assert(e.collect { case c: InMemoryTableScanExec => c }.size >= 2, p)
+  }
+
+  test("q72 semdedup: bucket equi-join candidates, never all pairs") {
+    // the final q72 plan is small (connectedComponents resolves the tiny
+    // sf0.001 subgraph eagerly via the size-gated local path, so the pair
+    // pipeline runs during planning) — pin the PAIR source's shape
+    // directly: candidates must come from the bucket equi-join
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val pairs = try graft.similarity.Similarity
+      .nearDupPairsLsh(emb, "vec_id", "embedding", 0.42)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(!pairs.contains("CartesianProduct"), pairs)
+    assert(!pairs.contains("BroadcastNestedLoopJoin"), pairs)
+    // candidate dedup is a two-level (map-side first) grouping aggregate
+    assert("HashAggregate".r.findAllIn(pairs).size >= 2,
+      "two-level candidate-distinct expected:\n" + pairs)
+    // and the end-to-end gate plan still has no pair blow-up
+    val p = plan("q72_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
