@@ -100,11 +100,17 @@ object ScaleBench {
         "user_id" -> (maxOf("events", "user_id") + 1L)))
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events")
 
-    // non-headline operator slopes (round-7 verdict #2): the q61-q67 set,
-    // timed at 1x and 10x in the SAME JVM so the pair is box-comparable
+    // non-headline operator slopes (round-7 verdict #2, extended to the
+    // round-8 operators), timed at 1x and Nx in the SAME JVM so the pair
+    // is box-comparable. q72 is gated past 10x: embeddings replicate
+    // UNPERTURBED, so every vector is an exact clone of its replicas and
+    // the near-dup pair OUTPUT (and the CC over it) grows quadratically in
+    // mult — a property of the synthetic replication, not the operator.
     val extras = Seq("q61_session_windows", "q62_unigram_logprob",
       "q63_mixture_sample", "q64_kl_drift", "q65_bpe_token_count",
-      "q66_winnowing", "q67_video_probe")
+      "q66_winnowing", "q67_video_probe", "q68_tfidf_topk",
+      "q69_stratum_overlap", "q70_dup_spans", "q71_quality_classifier") ++
+      (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))
     spark.catalog.clearCache() // q62/q64 persist per-dir token frames
