@@ -110,6 +110,39 @@ object SamplingQueries {
              |SELECT d.doc_id, d.lang
              |FROM documents d JOIN thr USING (lang)
              |WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- temperature-based mixture sampling (mT5-style alpha-flattened
+    // source shares; alpha=0.5, budget 25k tokens → the largest stratum
+    // subsamples, the smallest clamps at keep-everything)
+    Q("q73_temperature_mixture",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.temperatureMixture(t.documents, "doc_id",
+            size(graft.text.TextFunctions.tokens(col("text"))), "lang",
+            alpha = 0.5, budgetTokens = 25000L, salt = "temp")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY lang),
+             |w AS (SELECT lang, toks,
+             |    CAST(round(pow(CAST(toks AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS wm
+             |  FROM c WHERE lang IS NOT NULL AND toks > 0),
+             |sw AS (SELECT CAST(sum(wm) AS BIGINT) AS s FROM w),
+             |thr AS (SELECT lang,
+             |    CASE WHEN rate >= 1.0 THEN 'g'
+             |      ELSE printf('%08x', CAST(trunc(rate * 4294967296.0) AS BIGINT))
+             |    END AS thr
+             |  FROM (SELECT lang,
+             |      least(1.0, CAST(wm AS DOUBLE) / CAST(s AS DOUBLE) * 25000.0
+             |        / CAST(toks AS DOUBLE)) AS rate
+             |    FROM w, sw))
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN thr USING (lang)
+             |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
              |ORDER BY d.doc_id""".stripMargin))
   )
 }

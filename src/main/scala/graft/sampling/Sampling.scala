@@ -97,31 +97,79 @@ object Sampling {
   def mixtureSample(df: DataFrame, idCol: String, tokenCountCol: Column,
       stratumCol: String, targetTokens: Map[String, Long],
       salt: String, maxStrata: Int = 100000): DataFrame = {
-    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
-    // null-safe and type-agnostic: a stratum of all-null texts sums to a
-    // null count (no rate derivable — its rows pass whole), and non-string
-    // stratum columns key by their string form (stratifiedSample compares
-    // with ===, which coerces)
-    val rows = df.groupBy(col(stratumCol))
-      .agg(sum(tokenCountCol.cast("long")).as("_toks"))
-      .limit(maxStrata + 1) // bounds the collect even when the guard fires
-      .collect()
-    if (rows.length > maxStrata) throw new IllegalArgumentException(
-      s"mixtureSample: more than $maxStrata distinct values in " +
-        s"'$stratumCol' — per-stratum rates are derived on the driver, so " +
-        "the stratum column must be low-cardinality (sources, languages, " +
-        "snapshots); raise maxStrata deliberately or derive rates with a " +
-        "distributed join for data-scaled strata")
-    val counts = rows.flatMap { r =>
-        if (r.isNullAt(0) || r.isNullAt(1)) None
-        else Some(r.get(0).toString -> r.getLong(1))
-      }.toMap
+    val counts = stratumTokenCounts(df, tokenCountCol, stratumCol,
+      maxStrata, "mixtureSample")
     val fractions = targetTokens.flatMap { case (s, tgt) =>
       counts.get(s).filter(_ > 0)
         .map(c => s -> math.min(1.0, tgt.toDouble / c.toDouble))
     }
     stratifiedSample(df, idCol, stratumCol, fractions,
       defaultFraction = 1.0, salt)
+  }
+
+  /** Temperature-based mixture sampling — the mT5/XLM-R multilingual
+    * mixing rule generalized to any stratum column: stratum weights are
+    * token shares flattened by `alpha` (w_s ∝ toks_s^alpha; alpha = 1
+    * keeps natural proportions, alpha → 0 approaches uniform), and each
+    * stratum keeps `min(1, share_s · budget / toks_s)` of its rows via the
+    * deterministic hash sample. Rates derive from ONE aggregation pass
+    * (same driver-bounded contract as [[mixtureSample]]); the sampling
+    * itself is a pure pushed-down per-row filter.
+    *
+    * Determinism: `pow` is the one non-correctly-rounded step (libm-
+    * dependent), so weights quantize to integer micro-units before the
+    * exactly-rounded IEEE divide/multiply chain — the q62 micro-nat trick
+    * applied to mixing weights. Upsampling past rate 1.0 is clamped (this
+    * operator subsamples; repeat-epoch upsampling is a training-loader
+    * concern).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, tokenCountCol: Column,
+      stratumCol: String, alpha: Double, budgetTokens: Long,
+      salt: String, maxStrata: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val counts = stratumTokenCounts(df, tokenCountCol, stratumCol,
+      maxStrata, "temperatureMixture")
+    val wMicro = counts.collect { case (s, c) if c > 0 =>
+      s -> math.round(math.pow(c.toDouble, alpha) * 1e6)
+    }
+    val sumW = wMicro.values.sum // exact integer sum, order-independent
+    val fractions = wMicro.map { case (s, wm) =>
+      s -> math.min(1.0,
+        wm.toDouble / sumW.toDouble * budgetTokens.toDouble /
+          counts(s).toDouble)
+    }
+    stratifiedSample(df, idCol, stratumCol, fractions,
+      defaultFraction = 1.0, salt)
+  }
+
+  /** one bounded aggregation pass → per-stratum token totals on the driver.
+    * Null-safe and type-agnostic: a stratum of all-null counts sums to
+    * null (no rate derivable — dropped, so its rows pass whole via the
+    * default fraction), and non-string stratum columns key by their string
+    * form (stratifiedSample compares with ===, which coerces). Strata are
+    * sources/languages — bounded by construction, not data-scaled;
+    * `maxStrata` makes that contract crash-proof: past it the call fails
+    * fast with guidance instead of silently collecting an unbounded
+    * aggregate.
+    */
+  private def stratumTokenCounts(df: DataFrame, tokenCountCol: Column,
+      stratumCol: String, maxStrata: Int, op: String): Map[String, Long] = {
+    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
+    val rows = df.groupBy(col(stratumCol))
+      .agg(sum(tokenCountCol.cast("long")).as("_toks"))
+      .limit(maxStrata + 1) // bounds the collect even when the guard fires
+      .collect()
+    if (rows.length > maxStrata) throw new IllegalArgumentException(
+      s"$op: more than $maxStrata distinct values in " +
+        s"'$stratumCol' — per-stratum rates are derived on the driver, so " +
+        "the stratum column must be low-cardinality (sources, languages, " +
+        "snapshots); raise maxStrata deliberately or derive rates with a " +
+        "distributed join for data-scaled strata")
+    rows.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some(r.get(0).toString -> r.getLong(1))
+    }.toMap
   }
 
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining

@@ -187,4 +187,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(explicit.toSet == default.toSet)
     assert(explicit.forall(_._2.length == 2))
   }
+
+  test("temperatureMixture flattens shares by alpha and clamps small strata") {
+    import spark.implicits._
+    // big stratum 16x the tokens of the small one: natural shares 16/17 vs
+    // 1/17; alpha=0.5 flattens weights to 4:1
+    val docs = (0 until 1700).map { i =>
+      val stratum = if (i < 1600) "big" else "small"
+      (i.toLong, stratum, Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val tok = size(split(col("text"), "\\s+"))
+    val budget = 5000L
+    val sampled = Sampling.temperatureMixture(docs, "doc_id", tok, "lang",
+      alpha = 0.5, budgetTokens = budget, salt = "t")
+    val kept = sampled.groupBy("lang").agg(sum(tok).as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5 weights: sqrt(16000):sqrt(1000) = 4:1 -> big targets 4000
+    // of 16000 (rate .25), small targets 1000 of 1000 (rate 1, clamped)
+    assert(kept("small") == 1000L, s"small stratum clamps at keep-all: $kept")
+    assert(kept("big") > 2800 && kept("big") < 5200,
+      s"big stratum concentrates near 4000 tokens: $kept")
+    // alpha=1 reproduces natural proportions: every stratum keeps
+    // share*budget = toks*(budget/total) -> a uniform rate
+    val nat = Sampling.temperatureMixture(docs, "doc_id", tok, "lang",
+      alpha = 1.0, budgetTokens = budget, salt = "t")
+      .groupBy("lang").agg(sum(tok).as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = budget.toDouble / 17000.0
+    assert(math.abs(nat("big") - 16000 * rate) < 1600, nat.toString)
+    assert(math.abs(nat("small") - 1000 * rate) < 400, nat.toString)
+    // deterministic under re-run
+    val again = Sampling.temperatureMixture(docs, "doc_id", tok, "lang",
+      alpha = 0.5, budgetTokens = budget, salt = "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
