@@ -109,7 +109,8 @@ object ScaleBench {
     val extras = Seq("q61_session_windows", "q62_unigram_logprob",
       "q63_mixture_sample", "q64_kl_drift", "q65_bpe_token_count",
       "q66_winnowing", "q67_video_probe", "q68_tfidf_topk",
-      "q69_stratum_overlap", "q70_dup_spans", "q71_quality_classifier") ++
+      "q69_stratum_overlap", "q70_dup_spans", "q71_quality_classifier",
+      "q73_temperature_mixture") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))
