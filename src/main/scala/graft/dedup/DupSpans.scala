@@ -78,18 +78,32 @@ object DupSpans {
 
   /** texts with every duplicated span removed (tokens rejoined with single
     * spaces): the dedup ACTION over [[duplicatedSpans]]'s detection — keeps
-    * each document's non-duplicated words in order, dropping documents
-    * whose every word is covered
+    * each document's non-duplicated words in order, dropping ONLY documents
+    * whose every word is covered (a document with no tokens at all has
+    * nothing duplicated and survives as the empty string). Re-plans the
+    * text scan under three consumers — at corpus scale persist
+    * [[gramStarts]] and hand [[duplicatedSpansFromGrams]]'s output to the
+    * spans overload below instead.
     */
   def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minCount: Int = 2): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, n, minCount)
+      n: Int = 8, minCount: Int = 2): DataFrame =
+    stripDuplicatedSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, n, minCount))
+
+  /** [[stripDuplicatedSpans]] over pre-computed [[duplicatedSpans]] rows —
+    * the persisted-frame composition path (detection and removal each read
+    * the gram frame once instead of re-assembling it per consumer)
+    */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val cuts = spans
       .select(col(idCol).as("_graft_cut_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("_graft_cut"))
-    docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))
+    val toks = docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))
+    val kept = toks
       .select(col(idCol),
         posexplode(col("_graft_toks")).as(Seq("_graft_pos", "_graft_tok")))
-      .join(spans,
+      .join(cuts,
         col(idCol) === col("_graft_cut_id") &&
           col("_graft_pos").cast("long") === col("_graft_cut"),
         "left_anti")
@@ -98,6 +112,12 @@ object DupSpans {
         transform(array_sort(collect_list(
             struct(col("_graft_pos"), col("_graft_tok")))),
           s => s.getField("_graft_tok")), " ").as(textCol))
+    // zero-token docs emit no posexplode rows and would vanish from the
+    // agg; they have no duplicated span, so they must survive (as "")
+    toks.select(col(idCol), size(col("_graft_toks")).as("_graft_n"))
+      .join(kept, Seq(idCol), "left")
+      .filter(col(textCol).isNotNull || col("_graft_n") === 0)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
   /** one row per (doc, gram start): 0-based `pos` (long) + the n-word gram */

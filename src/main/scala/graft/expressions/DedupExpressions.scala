@@ -173,16 +173,19 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val nB = bytes.length
-    // char-start byte offsets (UTF-8: a char starts at every byte that is
-    // not a continuation byte 10xxxxxx), one extra slot for the end
+    // char-start byte offsets, one extra slot for the end. The walk must
+    // advance by the LEAD byte's declared length (UTF8String
+    // .numBytesForFirstByte — exactly what numChars/substring do), not by
+    // skipping continuation bytes: on malformed UTF-8 (a truncated
+    // multibyte lead followed by ASCII) the two disagree, and gram
+    // boundaries must match Spark's substring for the HOF/oracle parity.
     val offs = new Array[Int](nB + 1)
     var nChars = 0
     var b = 0
     while (b < nB) {
       offs(nChars) = b
       nChars += 1
-      b += 1
-      while (b < nB && (bytes(b) & 0xc0) == 0x80) b += 1
+      b += UTF8String.numBytesForFirstByte(bytes(b))
     }
     offs(nChars) = nB
     if (nChars < k + w - 1) return new GenericArrayData(Array.empty[Any])

@@ -108,8 +108,9 @@ object SamplingQueries {
              |    END AS thr
              |  FROM c LEFT JOIN tgt USING (lang))
              |SELECT d.doc_id, d.lang
-             |FROM documents d JOIN thr USING (lang)
-             |WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |FROM documents d LEFT JOIN thr USING (lang)
+             |WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             |  < coalesce(thr.thr, 'g')
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- temperature-based mixture sampling (mT5-style alpha-flattened
@@ -141,8 +142,9 @@ object SamplingQueries {
              |        / CAST(toks AS DOUBLE)) AS rate
              |    FROM w, sw))
              |SELECT d.doc_id, d.lang
-             |FROM documents d JOIN thr USING (lang)
-             |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |FROM documents d LEFT JOIN thr USING (lang)
+             |WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             |  < coalesce(thr.thr, 'g')
              |ORDER BY d.doc_id""".stripMargin))
   )
 }

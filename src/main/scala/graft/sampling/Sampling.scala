@@ -130,10 +130,16 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val counts = stratumTokenCounts(df, tokenCountCol, stratumCol,
       maxStrata, "temperatureMixture")
+    // BigInt: at the operator's own envelope (alpha near 1 over 100 TB
+    // corpora) a per-stratum micro-weight can exceed Long range and the
+    // sum certainly can; BigInt keeps the sum exact and order-independent,
+    // and BigInt→Double is correctly rounded (identical to the oracle's
+    // integer→DOUBLE cast at gate scale, where values fit 2^53)
     val wMicro = counts.collect { case (s, c) if c > 0 =>
-      s -> math.round(math.pow(c.toDouble, alpha) * 1e6)
+      s -> BigDecimal(math.pow(c.toDouble, alpha) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
     }
-    val sumW = wMicro.values.sum // exact integer sum, order-independent
+    val sumW = wMicro.values.sum
     val fractions = wMicro.map { case (s, wm) =>
       s -> math.min(1.0,
         wm.toDouble / sumW.toDouble * budgetTokens.toDouble /

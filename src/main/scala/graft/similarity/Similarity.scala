@@ -347,7 +347,11 @@ object Similarity {
     */
   def semDedupFromPairs(ids: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val pairKey = concat_ws(":", col("id1").cast("string"),
+    // length-prefixed pair key: a bare "id1:id2" concat is ambiguous for
+    // string ids that may themselves contain the delimiter ("a"+"b:c" vs
+    // "a:b"+"c" would collide and spuriously merge unrelated components)
+    val id1s = col("id1").cast("string")
+    val pairKey = concat(length(id1s).cast("string"), lit(":"), id1s,
       col("id2").cast("string"))
     val edges = pairs.select(col("id1").as("id"), pairKey.as("key"))
       .union(pairs.select(col("id2").as("id"), pairKey.as("key")))

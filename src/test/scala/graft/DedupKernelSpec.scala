@@ -217,6 +217,35 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("native winnowing kernel walks malformed UTF-8 like Spark's numChars") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xE4 declares a 3-byte sequence but is followed by ASCII: Spark's
+    // numChars/substring advance by the DECLARED length (1 char total for
+    // [0xE4,0x41]); a skip-continuation-bytes walk would count 2. The
+    // kernel must agree with Spark, so this 2-byte string is BELOW the
+    // k+w-1 floor and yields no fingerprints.
+    val bad = UTF8String.fromBytes(Array(0xe4.toByte, 0x41.toByte))
+    assert(bad.numChars() == 1)
+    val out = graft.expressions.WinnowExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 2, 1)
+      .nullSafeEval(bad)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.numElements() == 0, "declared-length walk: 1 char < k+w-1")
+    // and a malformed lead INSIDE a long string: char count (and thus the
+    // gram/window count) must still follow Spark's numChars
+    val mixed = UTF8String.fromBytes(
+      "abc".getBytes("UTF-8") ++ Array(0xe4.toByte) ++ "defgh".getBytes("UTF-8"))
+    val k = 2; val w = 2
+    val got = graft.expressions.WinnowExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), k, w)
+      .nullSafeEval(mixed)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.numElements() > 0)
+    // fingerprint count can never exceed the window count implied by
+    // Spark's own char accounting
+    assert(got.numElements() <= mixed.numChars() - k - w + 2, got.numElements().toString)
+  }
+
   test("chunked winnowing fingerprints equal the unchunked set (property)") {
     import spark.implicits._
     // random texts over a tiny alphabet (forces repeated grams and min

@@ -69,4 +69,25 @@ class DupSpansSpec extends AnyFunSuite {
       .collect()
     assert(got.isEmpty)
   }
+
+  test("zero-token documents survive the strip (nothing was duplicated)") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),   // fully duplicated: dropped
+      (3L, "   "),                        // whitespace-only: no tokens
+      (4L, "unique words only here")      // untouched
+    ).toDF("doc_id", "text")
+    val got = DupSpans.stripDuplicatedSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "", 4L -> "unique words only here"), got.toString)
+  }
+
+  test("precomputed-spans overload matches the convenience entry") {
+    val df = Seq(
+      (1L, "alpha one two three four beta"),
+      (2L, "one two three four gamma delta")).toDF("doc_id", "text")
+    val spans = DupSpans.duplicatedSpans(df, "doc_id", "text", n = 4)
+    val viaSpans = DupSpans.stripDuplicatedSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSpans == Map(1L -> "alpha beta", 2L -> "gamma delta"))
+  }
 }

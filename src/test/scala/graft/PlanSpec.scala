@@ -291,8 +291,9 @@ class PlanSpec extends AnyFunSuite {
     val p = e.toString
     assert(p.contains("BroadcastHashJoin"), "weights must broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"), "no token-keyed sort-merge:\n" + p)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
-      p) // the 1-row totals crossJoin broadcasts
+    // the 1-row totals crossJoin must plan as a broadcast nested loop,
+    // never a real (shuffled) cartesian over the token counts
+    assert(!p.contains("CartesianProduct"), p)
     assert(e.collect { case f: FileSourceScanExec => f }.isEmpty,
       "all branches must read the persisted token frame:\n" + p)
     assert(e.collect { case c: InMemoryTableScanExec => c }.size >= 2, p)
