@@ -52,6 +52,48 @@ object ClusterQueries {
              |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key)
              |SELECT doc_id, min(comp) AS cluster_rep FROM lbl
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // ---- leakage-safe split: every member of a near-dup component lands
+    // on the same side (the split-level complement of decontamination)
+    Q("q74_leakage_safe_split",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = Parallelism.ensure(t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = docs.select(col("doc_id").as("id"),
+          explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
+        graft.sampling.Sampling.groupSplit(
+            Clusterize.connectedComponents(banded)
+              .select(col("id").as("doc_id"), col("component").as("group")),
+            "group", testFraction = 0.2, salt = "split")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |signed AS (
+             |  SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig
+             |  FROM docs),
+             |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+             |bh AS (
+             |  SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+             |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS key
+             |  FROM banded),
+             |lbl AS (
+             |  SELECT doc_id, doc_id AS comp FROM (SELECT DISTINCT doc_id FROM bh)
+             |  UNION
+             |  SELECT b2.doc_id, l.comp
+             |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key),
+             |grp AS (SELECT doc_id, min(comp) AS grp FROM lbl GROUP BY doc_id)
+             |SELECT doc_id, grp AS "group",
+             |  CASE WHEN substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8)
+             |      < printf('%08x', CAST(trunc(0.2 * 4294967296.0) AS BIGINT))
+             |    THEN 'test' ELSE 'train' END AS split
+             |FROM grp ORDER BY doc_id""".stripMargin))
   )
 }

@@ -149,6 +149,24 @@ object Sampling {
       defaultFraction = 1.0, salt)
   }
 
+  /** Leakage-safe train/eval split: assign every member of a near-dup
+    * COMPONENT (from `Clusterize.connectedComponents`, `Similarity
+    * .semDedup`, or any (id, group) frame) to the same side, so a
+    * near-duplicate of a training document can never land in the eval
+    * slice — the split-level complement of decontamination (q44 checks
+    * against a FIXED benchmark; this keeps a corpus's own split honest).
+    * The side comes from the deterministic hash draw of the GROUP key, so
+    * the assignment is reproducible and a group's side never changes as
+    * members are added. Pure per-row projection — no shuffle beyond
+    * whatever produced the groups.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, testFraction: Double,
+      salt: String): DataFrame =
+    df.withColumn("split",
+      when(hashDraw(col(groupCol), salt) <
+          lit(fractionThreshold(testFraction)), lit("test"))
+        .otherwise(lit("train")))
+
   /** one bounded aggregation pass → per-stratum token totals on the driver.
     * Null-safe and type-agnostic: a stratum of all-null counts sums to
     * null (no rate derivable — dropped, so its rows pass whole via the

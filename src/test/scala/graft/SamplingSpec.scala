@@ -222,4 +222,24 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("groupSplit keeps every member of a group on the same side") {
+    import spark.implicits._
+    val members = (0L until 300L).map(i => (i, s"g${i % 40}"))
+      .toDF("doc_id", "group")
+    val split = Sampling.groupSplit(members, "group", testFraction = 0.25,
+      salt = "s")
+    val sides = split.groupBy("group")
+      .agg(countDistinct(col("split")).as("n")).collect().map(_.getLong(1))
+    assert(sides.forall(_ == 1L), "a group must never straddle the split")
+    val frac = split.filter(col("split") === "test").count().toDouble / 300.0
+    assert(frac > 0.05 && frac < 0.5, s"test share ~0.25, got $frac")
+    // deterministic and stable as members arrive: the side depends only on
+    // the group key
+    val one = Sampling.groupSplit(Seq((999L, "g7")).toDF("doc_id", "group"),
+      "group", 0.25, "s").select("split").head.getString(0)
+    val inFull = split.filter(col("group") === "g7")
+      .select("split").head.getString(0)
+    assert(one == inFull)
+  }
 }
