@@ -286,10 +286,15 @@ object Similarity {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("a.v").as("v1"),
         col("b.id").as("id2"), col("b.v").as("v2"))
-      .distinct()
+    // verify BEFORE deduplicating: a pair sharing several buckets scores
+    // its (cheap, native-kernel) cosine once per shared bucket, but the
+    // distinct then exchanges only the surviving (id1, id2) rows — not
+    // every candidate with both 64-dim vectors in tow, which is what
+    // dominates the shuffle at corpus scale
     cand.withColumn("cos", cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"))
+      .distinct()
   }
 
   /** ANN top-k via multi-table hyperplane LSH: candidates = corpus rows
