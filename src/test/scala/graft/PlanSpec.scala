@@ -197,6 +197,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), "no aggregate in the sampling plan:\n" + p)
   }
 
+  test("q73 temperature mixture plans as a pure per-row filter") {
+    val p = plan("q73_temperature_mixture")
+    assert(!p.contains("Join"), "thresholds are literals, not a joined table:\n" + p)
+    assert(!p.contains("HashAggregate"), "no aggregate in the sampling plan:\n" + p)
+  }
+
   test("q64 KL drift joins marginals by broadcast") {
     val p = plan("q64_kl_drift")
     // the sf0.001 vocabulary fits the auto-broadcast threshold; at
