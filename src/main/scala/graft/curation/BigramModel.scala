@@ -1,0 +1,76 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus-bigram conditional language model — one order up from the
+  * unigram proxy ([[UnigramModel]]): a document's score is the mean
+  * negative log of P(w₂|w₁) = c(w₁,w₂) / c(w₁·) over its adjacent token
+  * pairs, the standard next step in the CCNet-style perplexity-filter
+  * ladder (unigram ranks "rare words", the bigram ranks "improbable word
+  * ORDER" — shuffled or machine-mangled text scores high even when every
+  * word is common).
+  *
+  * Scale shape mirrors q62 one level up: ONE pair shuffle builds the
+  * bigram counts; the context totals derive from the already-aggregated
+  * bigram table (no second corpus pass); scoring joins the pairs to the
+  * model — broadcast when it fits (`broadcastModel = false` falls back to
+  * a pair-keyed shuffle join for web-scale bigram tables). Hand
+  * [[bigramLogProbPairs]] a persisted pair frame to scan and tokenize the
+  * corpus exactly once.
+  *
+  * Determinism: per-pair log-probs quantize to integer micro-nats BEFORE
+  * summing (the q62 trick), so per-document sums are exact integer
+  * arithmetic. Self-scoring a corpus needs no smoothing — every scored
+  * bigram is in the model by construction; documents with < 2 tokens have
+  * no bigram and drop out (mirroring q62's zero-token drop).
+  */
+object BigramModel {
+
+  /** (idCol, n_bigrams, neg_logp_micro, avg_neg_logp) per document */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame =
+    bigramLogProbPairs(pairRows(docs, idCol, textCol), idCol, broadcastModel)
+
+  /** one row per adjacent token pair: (idCol, w1, w2), empty tokens
+    * stripped before pairing
+    */
+  def pairRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+          .as("_graft_toks"))
+      .filter(size(col("_graft_toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("_graft_toks")) - 2),
+          j => struct(element_at(col("_graft_toks"), j + 1).as("w1"),
+            element_at(col("_graft_toks"), j + 2).as("w2"))))
+          .as("_graft_bg"))
+      .select(col(idCol), col("_graft_bg.w1").as("w1"),
+        col("_graft_bg.w2").as("w2"))
+
+  /** [[bigramLogProb]] over pre-exploded (id, w1, w2) rows — hand a
+    * PERSISTED frame to feed the count build and the scoring join from one
+    * tokenization
+    */
+  def bigramLogProbPairs(pairs: DataFrame, idCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // context totals from the aggregated bigram table, not the corpus:
+    // c(w1·) = Σ_w2 c(w1,w2) — no second pass over the pairs
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lp = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("c1").cast("double") / col("c2").cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    val model = if (broadcastModel) broadcast(lp) else lp
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("neg_logp_micro"))
+      .select(col(idCol), col("n_bigrams"), col("neg_logp_micro"),
+        (col("neg_logp_micro").cast("double") / 1e6 /
+          col("n_bigrams").cast("double")).as("avg_neg_logp"))
+  }
+}

@@ -430,6 +430,37 @@ object CurationQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              |  CAST(sum(weight_micro) AS BIGINT) AS score_micro
              |FROM tok JOIN w USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- bigram conditional LM: improbable word ORDER, one level up from
+    // the q62 unigram proxy; persisted pair frame → one text scan
+    Q("q75_bigram_logprob",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.curation.BigramModel
+          .pairRows(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.curation.BigramModel.bigramLogProbPairs(pairs, "doc_id")
+          .select(col("doc_id"), col("n_bigrams"), col("neg_logp_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'w1': toks[CAST(i AS INT)], 'w2': toks[CAST(i+1 AS INT)]})) AS u
+             |  FROM t WHERE len(toks) >= 2),
+             |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+             |lp AS (SELECT w1, w2,
+             |    CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+             |  FROM c2 JOIN c1 USING (w1))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(lp_micro) AS BIGINT) AS neg_logp_micro
+             |FROM p JOIN lp USING (w1, w2)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

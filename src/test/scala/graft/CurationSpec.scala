@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.curation.{Bm25, Decontaminate, Pipeline, QualitySignals, Redact}
+import graft.curation.{BigramModel, Bm25, Decontaminate, Pipeline, QualitySignals, Redact}
 
 /** Curation-operator semantics not covered by the oracle gate: the clean
   * decontaminated corpus, repetition edge cases, banding of negatives, and
@@ -206,5 +206,26 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // both 3-doc grams tie; the (count desc, gram asc) cut is deterministic
     assert(top.toSeq == Seq(("end of file", 3L), ("the end of", 3L)))
+  }
+
+  test("bigram LM: deterministic word order scores zero, shuffled order scores high") {
+    // context "a" has two successors: c(a,.) = 3 with (a,b)x2 and (a,c)x1,
+    // so P(b|a) = 2/3 and P(c|a) = 1/3; context "b" is deterministic
+    // ((b,a) only) and contributes exactly 0 micro-nats
+    val df = Seq(
+      (1L, "a b a b"),            // pairs: ab, ba, ab
+      (2L, "a c")                 // pair: ac
+    ).toDF("doc_id", "text")
+    val got = BigramModel.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 3 && got(2L)._1 == 1, got.toString)
+    val lnAb = math.round(math.log(3.0 / 2.0) * 1e6)
+    val lnAc = math.round(math.log(3.0 / 1.0) * 1e6)
+    assert(got(1L)._2 == 2 * lnAb, got.toString)   // ba is deterministic: 0
+    assert(got(2L)._2 == lnAc, got.toString)
+    // sub-2-token docs drop out
+    val tiny = BigramModel.bigramLogProb(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(tiny.isEmpty)
   }
 }
