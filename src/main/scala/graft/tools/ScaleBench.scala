@@ -110,7 +110,8 @@ object ScaleBench {
       "q63_mixture_sample", "q64_kl_drift", "q65_bpe_token_count",
       "q66_winnowing", "q67_video_probe", "q68_tfidf_topk",
       "q69_stratum_overlap", "q70_dup_spans", "q71_quality_classifier",
-      "q73_temperature_mixture") ++
+      "q73_temperature_mixture", "q74_leakage_safe_split",
+      "q75_bigram_logprob") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))
