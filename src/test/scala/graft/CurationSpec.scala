@@ -228,4 +228,74 @@ class CurationSpec extends AnyFunSuite {
       Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(tiny.isEmpty)
   }
+
+  test("BPE merges: classic low/lower/lowest fixture, deterministic ties") {
+    // word freqs: low x3, lower x1, lowest x1 — round-1 counts (l,o)=5 and
+    // (o,w)=5 tie, (l,o) wins on l_sym order; then (lo,w)=5, (low,</w>)=3,
+    // (lowe? no: (low,e)=2), and at all-1 ties (lowe,r) wins on r_sym
+    val df = Seq((1L, "low lower low lowest low")).toDF("doc_id", "text")
+    val got = graft.curation.BpeMerges.learnMerges(df, "text", rounds = 5)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "</w>", "low</w>", 3L),
+      (4, "low", "e", "lowe", 2L),
+      (5, "lowe", "r", "lower", 1L)), got.mkString("\n"))
+  }
+
+  test("BPE merge application is greedy left-to-right (overlap + adjacency)") {
+    // 'aaaaaa' under (a,a) must become [aa,aa,aa], not [aa,a,aa,a] — the
+    // single-space-join replace bug misses every second occurrence (shared
+    // delimiter), which would surface in the round-2/3 counts
+    val df = Seq((1L, "aaaaaa")).toDF("doc_id", "text")
+    val got = graft.curation.BpeMerges.learnMerges(df, "text", rounds = 3)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", "a", 5L),        // 5 adjacent pairs in a^6
+      ("aa", "aa", 2L),      // greedy: [aa,aa,aa,</w>]
+      ("aa", "</w>", 1L)),   // tie (aaaa,aa)=(aa,</w>)=1 → l_sym order
+      got.mkString("\n"))
+  }
+
+  test("BPE merges stop early when the vocab runs out of pairs") {
+    val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    // pairs: (a,b)=3 → ab; (ab,</w>)=3 → ab</w>; then single-symbol words
+    val got = graft.curation.BpeMerges.learnMerges(df, "text", rounds = 10)
+      .collect()
+    assert(got.length == 2, got.mkString("\n"))
+  }
+
+  test("DSIR weights separate target-like from raw-like documents") {
+    // target docs are all 'wiki', raw docs all 'web'; a held-out wiki-like
+    // doc must out-weight a web-like one, and n_grams = unigrams + bigrams
+    val df = Seq(
+      (1L, "wiki wiki wiki", true),
+      (2L, "wiki wiki wiki", true),
+      (3L, "web web web", false),
+      (4L, "web web web", false),
+      (5L, "wiki wiki wiki", false),  // wiki-looking raw doc
+      (6L, "a b c", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = graft.curation.Dsir.importanceWeights(
+        df, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(6L)._1 == 5, got.toString)         // 3 unigrams + 2 bigrams
+    assert(got(5L)._2 > got(3L)._2, got.toString) // wiki-like ≫ web-like
+    assert(got(1L)._2 == got(5L)._2, got.toString) // same text, same weight
+  }
+
+  test("DSIR weights are exact integers: partition-order invariant") {
+    val rows = (0L until 64L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}", i % 4 == 0))
+    val df = rows.toDF("doc_id", "text", "is_t")
+    def run(parts: Int): Map[Long, Long] =
+      graft.curation.Dsir.importanceWeights(
+          df.repartition(parts), "doc_id", "text", col("is_t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(1) == run(13))
+  }
 }

@@ -327,4 +327,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q76 DSIR: persisted gram frame, broadcast lambda table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val e = exec("q76_dsir_weights")
+    val p = e.toString
+    // the 256-row λ table joins the gram stream by broadcast, never a
+    // gram-keyed sort-merge; the 1-row totals crossJoin stays a broadcast
+    // nested loop, not a real cartesian
+    assert(p.contains("BroadcastHashJoin"), "λ table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "bucket counts must partial-agg:\n" + p)
+    // both the distribution estimate and the scoring join read the
+    // persisted bucket frame: one scan + gram-hash of the corpus
+    assert(e.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "all branches must read the persisted bucket frame:\n" + p)
+    assert(e.collect { case c: InMemoryTableScanExec => c }.size >= 2, p)
+  }
 }
