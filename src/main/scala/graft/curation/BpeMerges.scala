@@ -55,7 +55,7 @@ object BpeMerges {
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    words.select(
+    words.select(col("word"),
       concat(lit("  "),
         array_join(transform(sequence(lit(1), length(col("word"))), i =>
           substring(col("word"), i, lit(1)).cast("string")), "  "),
@@ -70,17 +70,48 @@ object BpeMerges {
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
-    var v = vocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val (learned, vFinal) = mergeLoop(vocab(docs, textCol), rounds)
+    vFinal.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(learned, 1), mergeSchema)
+  }
+
+  /** Encode the corpus with the merges learned from it: per-document word
+    * and BPE-token counts under the final symbol vocabulary — token-budget
+    * estimation with the actual tokenizer instead of a regex proxy. The
+    * final (word → symbols) vocab joins the exploded corpus words; set
+    * `broadcastVocab = false` for corpora whose distinct-word table
+    * outgrows a broadcast.
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int, broadcastVocab: Boolean = true): DataFrame = {
+    val (_, vFinal) = mergeLoop(vocab(docs, textCol), rounds)
+    val nSyms = vFinal.select(col("word"),
+      size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"))
+    val lookup = if (broadcastVocab) broadcast(nSyms) else nSyms
+    val out = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .join(lookup, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
+    out
+  }
+
+  /** K merge rounds over an initial vocab; returns the learned merges and
+    * the PERSISTED final vocab (caller unpersists)
+    */
+  private def mergeLoop(v0: DataFrame, rounds: Int): (Seq[Row], DataFrame) = {
+    var v = v0.persist(StorageLevel.MEMORY_AND_DISK)
     v.count() // materialize so each round reuses, not re-plans, the scan
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = topPair(v)
-      top match {
+      topPair(v) match {
         case Some((a, b, cnt)) =>
           learned += Row(r, a, b, a + b, cnt)
-          val next = v.select(
+          val next = v.select(col("word"),
               regexp_replace(col("repr"),
                 lit(java.util.regex.Pattern.quote(s" $a  $b ")),
                 lit(java.util.regex.Matcher.quoteReplacement(s" $a$b ")))
@@ -94,9 +125,7 @@ object BpeMerges {
       }
       r += 1
     }
-    v.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(learned.toSeq, 1), mergeSchema)
+    (learned.toSeq, v)
   }
 
   /** corpus-weighted adjacent-pair counts over the current vocab */
@@ -126,9 +155,38 @@ object BpeMerges {
     * replace on the same double-space encoding.
     */
   def oracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { k =>
+      s"""SELECT $k AS merge_round, l_sym, r_sym, l_sym || r_sym AS merged,
+         |  cnt AS pair_count FROM t$k""".stripMargin
+    }
+    s"""WITH ${mergeCtes(rounds)}
+       |SELECT CAST(merge_round AS INTEGER) AS merge_round, l_sym, r_sym,
+       |  merged, pair_count FROM (
+       |${unions.mkString("\nUNION ALL\n")})
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** DuckDB replica of [[encodeTokenCounts]]: the same merge-round chain,
+    * then the corpus word stream joined to the final vocab's symbol counts.
+    */
+  def encodeOracleSql(rounds: Int): String =
+    s"""WITH ${mergeCtes(rounds)},
+       |nsym AS (SELECT word,
+       |    CAST(len(regexp_split_to_array(trim(repr), '  ')) AS BIGINT) AS n_syms
+       |  FROM w$rounds),
+       |tok AS (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS bpe_tokens
+       |FROM tok JOIN nsym USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** w0..wK / p_k / t_k CTE chain shared by both oracles */
+  private def mergeCtes(rounds: Int): String = {
     val w0 =
       """w0 AS (
-        |  SELECT '  ' || array_to_string(list_transform(range(1, len(word)+1),
+        |  SELECT word, '  ' || array_to_string(list_transform(range(1, len(word)+1),
         |      i -> substr(word, CAST(i AS INT), 1)), '  ') || '  </w>  ' AS repr,
         |    freq
         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -145,19 +203,11 @@ object BpeMerges {
          |  GROUP BY u.l, u.r),
          |t$k AS (SELECT l_sym, r_sym, cnt FROM p$k
          |  ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
-         |w$k AS (SELECT replace(repr, ' ' || l_sym || '  ' || r_sym || ' ',
+         |w$k AS (SELECT word, replace(repr, ' ' || l_sym || '  ' || r_sym || ' ',
          |    ' ' || l_sym || r_sym || ' ') AS repr, freq
          |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
     }
-    val unions = (1 to rounds).map { k =>
-      s"""SELECT $k AS merge_round, l_sym, r_sym, l_sym || r_sym AS merged,
-         |  cnt AS pair_count FROM t$k""".stripMargin
-    }
-    s"""WITH $w0,
-       |${stages.mkString(",\n")}
-       |SELECT CAST(merge_round AS INTEGER) AS merge_round, l_sym, r_sym,
-       |  merged, pair_count FROM (
-       |${unions.mkString("\nUNION ALL\n")})
-       |ORDER BY merge_round""".stripMargin
+    s"""$w0,
+       |${stages.mkString(",\n")}""".stripMargin
   }
 }

@@ -522,6 +522,17 @@ object CurationQueries {
         graft.curation.BpeMerges.learnMerges(t.documents, "text", rounds = 8)
           .orderBy(col("merge_round"))
       },
-      Some(graft.curation.BpeMerges.oracleSql(8)))
+      Some(graft.curation.BpeMerges.oracleSql(8))),
+
+    // ---- token-budget counting under the LEARNED tokenizer: encode the
+    // corpus with its own first-8 BPE merges (vs q65's regex proxy)
+    Q("q79_bpe_encode",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.BpeMerges
+          .encodeTokenCounts(t.documents, "doc_id", "text", rounds = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.curation.BpeMerges.encodeOracleSql(8)))
   )
 }

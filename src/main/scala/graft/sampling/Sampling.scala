@@ -230,6 +230,34 @@ object Sampling {
         floor((col("cum_after") - col("n_tokens")) / capacity).cast("long"))
       .drop("cum_after")
   }
+
+  /** Gumbel-top-k weighted sampling WITHOUT replacement (Vieira 2014; the
+    * resampling step of DSIR): drawing the k rows with the largest
+    * `log w_i + G_i` — G_i a standard Gumbel — is an exact sample of k
+    * distinct rows with probabilities ∝ w_i. One pass, no sequential state:
+    * the classic weighted-reservoir alternative (A-ES) needs a driver-side
+    * heap; this is a per-row key + a distributed top-k (TakeOrdered — each
+    * partition contributes ≤ k candidates, no global sort).
+    *
+    * Determinism: the Gumbel is content-addressed — u from the row id's
+    * salted md5 (8 hex chars → (u32 + 0.5) / 2^32, exact dyadic double) —
+    * and quantized to integer micro-nats, so the selection key
+    * `log-weight-micro + gumbel-micro` is exact integer arithmetic, stable
+    * under re-partitioning, re-runs, and engines.
+    *
+    * @param logWeightMicro log-weight column in integer micro-nats (e.g.
+    *                       [[graft.curation.Dsir]] `weight_micro`)
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightMicro: Column,
+      k: Int, salt: String): DataFrame = {
+    val u32 = conv(hashDraw(col(idCol), salt), 16, 10).cast("double")
+    val u = (u32 + 0.5) / 4294967296.0
+    val key = logWeightMicro.cast("long") +
+      round(-log(-log(u)) * 1e6).cast("long")
+    df.withColumn("key_micro", key)
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+  }
 }
 
 /** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the

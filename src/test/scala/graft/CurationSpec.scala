@@ -269,6 +269,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == 2, got.mkString("\n"))
   }
 
+  test("BPE encode counts tokens under the learned merges") {
+    // after 5 merges on low/lower/lowest (see fixture above): low → 1
+    // symbol (low</w>), lower → 2 (lower, </w>), lowest → 4 (lowe, s, t,
+    // </w>); doc = 5 words, 3·1 + 2 + 4 = 9 BPE tokens
+    val df = Seq((1L, "low lower low lowest low")).toDF("doc_id", "text")
+    val got = graft.curation.BpeMerges
+      .encodeTokenCounts(df, "doc_id", "text", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L, 9L)), got.mkString("\n"))
+  }
+
   test("DSIR weights separate target-like from raw-like documents") {
     // target docs are all 'wiki', raw docs all 'web'; a held-out wiki-like
     // doc must out-weight a web-like one, and n_grams = unigrams + bigrams

@@ -242,4 +242,23 @@ class SamplingSpec extends AnyFunSuite {
       .select("split").head.getString(0)
     assert(one == inFull)
   }
+
+  test("gumbelTopK: k distinct rows, weight-dominated, partition-invariant") {
+    import spark.implicits._
+    // weights 100 nats apart dwarf the Gumbel noise (~[-2,+5] nats): the
+    // top-10 must be exactly the 10 heaviest rows
+    val df = (0L until 50L).map(i => (i, i * 100L * 1000000L))
+      .toDF("id", "w_micro")
+    val top = Sampling.gumbelTopK(df, "id", col("w_micro"), 10, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == (40L until 50L).toSet, top.toString)
+    // equal weights: selection is content-addressed — stable under
+    // re-partitioning and re-runs
+    val eq = (0L until 200L).map(i => (i, 0L)).toDF("id", "w_micro")
+    def run(parts: Int): Seq[Long] =
+      Sampling.gumbelTopK(eq.repartition(parts), "id", col("w_micro"), 25, "t")
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val a = run(1)
+    assert(a == run(17) && a.size == 25 && a.distinct.size == 25)
+  }
 }
