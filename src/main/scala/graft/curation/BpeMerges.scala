@@ -86,16 +86,22 @@ object BpeMerges {
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int, broadcastVocab: Boolean = true): DataFrame = {
     val (_, vFinal) = mergeLoop(vocab(docs, textCol), rounds)
+    // swap the cached full vocab (word, repr, freq) for the smaller
+    // (word, n_syms) projection the encode join actually needs, so only
+    // that frame stays session-cached (the gate-query persist convention;
+    // ScaleBench/tests clear it via clearCache)
     val nSyms = vFinal.select(col("word"),
-      size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"))
+        size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nSyms.count()
+    vFinal.unpersist()
     val lookup = if (broadcastVocab) broadcast(nSyms) else nSyms
-    val out = docs
+    docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .join(lookup, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
-    out
   }
 
   /** K merge rounds over an initial vocab; returns the learned merges and
@@ -182,7 +188,12 @@ object BpeMerges {
        |FROM tok JOIN nsym USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** w0..wK / p_k / t_k CTE chain shared by both oracles */
+  /** w0..wK / p_k / t_k CTE chain shared by both oracles. An exhausted
+    * vocab (t_k empty before round K) must leave w_k = w_{k-1}, matching
+    * the Scala early stop — hence the LEFT JOIN + CASE, never a CROSS JOIN
+    * (which would collapse every later w_k, and the encode oracle with it,
+    * to zero rows).
+    */
   private def mergeCtes(rounds: Int): String = {
     val w0 =
       """w0 AS (
@@ -203,9 +214,11 @@ object BpeMerges {
          |  GROUP BY u.l, u.r),
          |t$k AS (SELECT l_sym, r_sym, cnt FROM p$k
          |  ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
-         |w$k AS (SELECT word, replace(repr, ' ' || l_sym || '  ' || r_sym || ' ',
-         |    ' ' || l_sym || r_sym || ' ') AS repr, freq
-         |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+         |w$k AS (SELECT word,
+         |    CASE WHEN l_sym IS NULL THEN repr
+         |      ELSE replace(repr, ' ' || l_sym || '  ' || r_sym || ' ',
+         |        ' ' || l_sym || r_sym || ' ') END AS repr, freq
+         |  FROM w${k - 1} LEFT JOIN t$k ON true)""".stripMargin
     }
     s"""$w0,
        |${stages.mkString(",\n")}""".stripMargin

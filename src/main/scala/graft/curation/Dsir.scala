@@ -45,6 +45,21 @@ object Dsir {
           concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>")))
 
+  /** The exploded (id, is_target, bucket) feature stream — one row per
+    * gram, bucketed by md5-hex prefix. PERSIST this before handing it to
+    * [[importanceWeightsBuckets]] and the corpus is scanned and gram-hashed
+    * exactly once under both consumers (the `UnigramModel` token-frame
+    * pattern); the inline convenience entry below plans the scan twice.
+    */
+  def bucketRows(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, hexChars: Int = 2): DataFrame = {
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    docs.select(col(idCol), isTarget.as("is_target"),
+        explode(grams(toks)).as("gram"))
+      .select(col(idCol), col("is_target"),
+        substring(md5(col("gram")), 1, hexChars).as("bucket"))
+  }
+
   /** (idCol, n_grams, weight_micro) per document — `weight_micro` is the
     * exact integer micro-nat importance weight (sum of quantized per-bucket
     * log-ratios). Documents with zero tokens are dropped (no features).
@@ -54,16 +69,10 @@ object Dsir {
     * @param hexChars  md5-hex-prefix length; bucket space = 16^hexChars
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, hexChars: Int = 2): DataFrame = {
-    val nBuckets = math.pow(16, hexChars)
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
-    val bucketed = docs
-      .select(col(idCol), isTarget.as("is_target"),
-        explode(grams(toks)).as("gram"))
-      .select(col(idCol), col("is_target"),
-        substring(md5(col("gram")), 1, hexChars).as("bucket"))
-    importanceWeightsBuckets(bucketed, idCol, "bucket", "is_target", nBuckets)
-  }
+      isTarget: Column, hexChars: Int = 2): DataFrame =
+    importanceWeightsBuckets(
+      bucketRows(docs, idCol, textCol, isTarget, hexChars),
+      idCol, "bucket", "is_target", math.pow(16, hexChars))
 
   /** [[importanceWeights]] over already-exploded (id, bucket, is_target)
     * rows — hand this a PERSISTED bucket frame and the corpus is scanned
@@ -92,4 +101,37 @@ object Dsir {
       .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("weight_micro"))
       .select(col(idCol), col("n_grams"), col("weight_micro"))
   }
+
+  /** DuckDB CTE chain shared by every DSIR oracle (q76/q78): `documents` →
+    * per-doc weights as `w(doc_id, n_grams, weight_micro)`. Kept in ONE
+    * place so the Scala and SQL formulations can only desync in one spot.
+    *
+    * @param targetsSql SQL list literal of target source ids,
+    *                   e.g. `"'src0','src1','src2'"`
+    */
+  def oracleCtes(targetsSql: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, source IN ($targetsSql) AS is_t,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, is_t,
+       |    unnest(t || list_transform(range(1, len(t)),
+       |      i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])) AS gram
+       |  FROM tok),
+       |b AS (SELECT doc_id, is_t, substr(md5(gram), 1, 2) AS bucket FROM g),
+       |c AS (SELECT bucket,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
+       |  FROM b GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+       |    CAST(sum(rc) AS BIGINT) AS rt FROM c),
+       |lam AS (SELECT bucket,
+       |    CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0))
+       |              - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 256.0)))
+       |         * 1e6) AS BIGINT) AS lam
+       |  FROM c CROSS JOIN tot),
+       |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(lam) AS BIGINT) AS weight_micro
+       |  FROM b JOIN lam USING (bucket) GROUP BY doc_id)""".stripMargin
 }

@@ -470,49 +470,18 @@ object CurationQueries {
     Q("q76_dsir_weights",
       (s, d) => {
         val t = Tables(s, d)
-        val toks = org.apache.spark.sql.functions.filter(
-          TextFunctions.tokens(col("text")), x => x =!= "")
-        val bigramArr = when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - 2), i =>
-              concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
-        val bucketed = t.documents
-          .select(col("doc_id"),
-            col("source").isin("src0", "src1", "src2").as("is_target"),
-            explode(concat(toks, bigramArr)).as("gram"))
-          .select(col("doc_id"), col("is_target"),
-            substring(md5(col("gram")), 1, 2).as("bucket"))
+        val bucketed = graft.curation.Dsir
+          .bucketRows(t.documents, "doc_id", "text",
+            col("source").isin("src0", "src1", "src2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.curation.Dsir
           .importanceWeightsBuckets(bucketed, "doc_id", "bucket",
             "is_target", nBuckets = 256.0)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
-             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, is_t,
-             |    unnest(t || list_transform(range(1, len(t)),
-             |      i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])) AS gram
-             |  FROM tok),
-             |b AS (SELECT doc_id, is_t, substr(md5(gram), 1, 2) AS bucket FROM g),
-             |c AS (SELECT bucket,
-             |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
-             |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
-             |  FROM b GROUP BY bucket),
-             |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
-             |    CAST(sum(rc) AS BIGINT) AS rt FROM c),
-             |lam AS (SELECT bucket,
-             |    CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0))
-             |              - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 256.0)))
-             |         * 1e6) AS BIGINT) AS lam
-             |  FROM c CROSS JOIN tot)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             |  CAST(sum(lam) AS BIGINT) AS weight_micro
-             |FROM b JOIN lam USING (bucket)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH ${graft.curation.Dsir.oracleCtes("'src0','src1','src2'")}
+              |SELECT doc_id, n_grams, weight_micro FROM w
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- distributed BPE merge induction: first 8 merge rules learned
     // from the corpus (one corpus scan, then per-round vocab-only shuffles)

@@ -153,37 +153,19 @@ object SamplingQueries {
     Q("q78_gumbel_topk",
       (s, d) => {
         val t = Tables(s, d)
-        val weights = graft.curation.Dsir.importanceWeights(
-          t.documents, "doc_id", "text",
-          col("source").isin("src0", "src1", "src2"))
+        // persisted bucket frame: one corpus scan under both DSIR consumers
+        val bucketed = graft.curation.Dsir
+          .bucketRows(t.documents, "doc_id", "text",
+            col("source").isin("src0", "src1", "src2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val weights = graft.curation.Dsir.importanceWeightsBuckets(
+          bucketed, "doc_id", "bucket", "is_target", nBuckets = 256.0)
         Sampling.gumbelTopK(weights, "doc_id", col("weight_micro"),
             k = 100, salt = "g1")
           .select(col("doc_id"), col("weight_micro"), col("key_micro"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
-             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, is_t,
-             |    unnest(t || list_transform(range(1, len(t)),
-             |      i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])) AS gram
-             |  FROM tok),
-             |b AS (SELECT doc_id, is_t, substr(md5(gram), 1, 2) AS bucket FROM g),
-             |c AS (SELECT bucket,
-             |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
-             |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
-             |  FROM b GROUP BY bucket),
-             |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
-             |    CAST(sum(rc) AS BIGINT) AS rt FROM c),
-             |lam AS (SELECT bucket,
-             |    CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0))
-             |              - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 256.0)))
-             |         * 1e6) AS BIGINT) AS lam
-             |  FROM c CROSS JOIN tot),
-             |w AS (SELECT doc_id, CAST(sum(lam) AS BIGINT) AS weight_micro
-             |  FROM b JOIN lam USING (bucket) GROUP BY doc_id),
+      Some(s"""WITH ${graft.curation.Dsir.oracleCtes("'src0','src1','src2'")},
              |keyed AS (SELECT doc_id, weight_micro,
              |    weight_micro + CAST(round(-ln(-ln(
              |      (CAST(list_sum(list_transform(range(1, 9), i ->
