@@ -421,6 +421,16 @@ object TextDedupQueries {
              |SELECT doc_id, min(wpos) AS span_start, max(wpos) AS span_end,
              |  CAST(count(*) AS BIGINT) AS span_words
              |FROM isl GROUP BY doc_id, grp
-             |ORDER BY doc_id, span_start""".stripMargin))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
+    // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle
+    Q("q80_cdc_chunks",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.CdcChunks.chunks(t.documents, "doc_id", "text")
+          .orderBy(col("doc_id"), col("chunk_seq"))
+      },
+      Some(graft.dedup.CdcChunks.oracleSql))
   )
 }

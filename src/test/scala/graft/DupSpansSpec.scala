@@ -90,4 +90,45 @@ class DupSpansSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaSpans == Map(1L -> "alpha beta", 2L -> "gamma delta"))
   }
+
+  private def cdc(rows: Seq[(Long, String)]) =
+    graft.dedup.CdcChunks.chunks(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_seq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+
+  test("CDC chunks tile the document exactly") {
+    // varied text: thousands of distinct windows so the 1/64 boundary
+    // residue is hit many times (a short repeating unit can tile the whole
+    // doc into one chunk if none of its few distinct windows hits)
+    val text = (1 to 400).map(i => s"tok$i word$i").mkString(" ")
+    val got = cdc(Seq((1L, text)))
+    assert(got.length > 1, s"expected multiple chunks, got ${got.length}")
+    // contiguous tiling: starts follow ends, lengths sum to the text
+    assert(got.head._3 == 1L)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4, s"gap between $a and $b")
+    case _ => }
+    assert(got.map(_._4).sum == text.length)
+  }
+
+  test("CDC boundaries are shift-resistant: a prefix edit only moves chunk 1") {
+    val base = (1 to 300).map(i => s"item$i value${i * 7}").mkString(" ")
+    val edited = "INSERTED-PREFIX " + base
+    val a = cdc(Seq((1L, base))).map(_._5)
+    val b = cdc(Seq((1L, edited))).map(_._5)
+    assert(a.length > 2, s"fixture too short: ${a.length} chunks")
+    // every chunk after the first is content-addressed past the edit:
+    // identical hash sequence (fixed-size chunking would shift them all)
+    assert(a.drop(1).toSeq == b.drop(1).toSeq,
+      s"tails differ:\n${a.mkString(",")}\n${b.mkString(",")}")
+  }
+
+  test("CDC short and empty documents") {
+    val got = cdc(Seq((1L, "tiny"), (2L, "")))
+    // sub-window doc: one whole-text chunk; empty doc: dropped
+    assert(got.toSeq == Seq((1L, 0, 1L, 4L,
+      java.security.MessageDigest.getInstance("MD5").digest("tiny".getBytes)
+        .map("%02x".format(_)).mkString)))
+  }
 }

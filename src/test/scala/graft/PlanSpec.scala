@@ -328,6 +328,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q80 CDC chunking is pure per-row: no exchange before the sort") {
+    val p = plan("q80_cdc_chunks")
+    // the chunker itself must not shuffle: the only exchanges allowed are
+    // the gate's final global ORDER BY (rangepartitioning) and the
+    // Parallelism.ensure roundrobin guard (a no-op on well-partitioned
+    // large inputs; present here because sf0.001 is one row group)
+    val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
+    assert(exchanges.count(_ == "Exchange rangepartitioning") == 1 &&
+        exchanges.forall(e => e == "Exchange rangepartitioning" ||
+          e == "Exchange RoundRobinPartitioning"),
+      s"unexpected exchanges $exchanges:\n" + p)
+    // `*(n)` is the executedPlan rendering of a WholeStageCodegen span
+    assert(p.contains("*("), "codegen spans expected:\n" + p)
+  }
+
   test("q76 DSIR: persisted gram frame, broadcast lambda table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
