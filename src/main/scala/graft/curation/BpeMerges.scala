@@ -70,8 +70,8 @@ object BpeMerges {
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (learned, vFinal) = mergeLoop(vocab(docs, textCol), rounds)
-    vFinal.unpersist()
+    val (learned, _, cleanup) = mergeLoop(vocab(docs, textCol), rounds)
+    cleanup()
     spark.createDataFrame(
       spark.sparkContext.parallelize(learned, 1), mergeSchema)
   }
@@ -85,7 +85,7 @@ object BpeMerges {
     */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int, broadcastVocab: Boolean = true): DataFrame = {
-    val (_, vFinal) = mergeLoop(vocab(docs, textCol), rounds)
+    val (_, vFinal, cleanup) = mergeLoop(vocab(docs, textCol), rounds)
     // swap the cached full vocab (word, repr, freq) for the smaller
     // (word, n_syms) projection the encode join actually needs, so only
     // that frame stays session-cached (the gate-query persist convention;
@@ -94,7 +94,7 @@ object BpeMerges {
         size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     nSyms.count()
-    vFinal.unpersist()
+    cleanup()
     val lookup = if (broadcastVocab) broadcast(nSyms) else nSyms
     docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
@@ -104,34 +104,44 @@ object BpeMerges {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
   }
 
-  /** K merge rounds over an initial vocab; returns the learned merges and
-    * the PERSISTED final vocab (caller unpersists)
+  /** K merge rounds over an initial vocab; returns the learned merges, the
+    * PERSISTED final vocab, and a cleanup thunk that unpersists everything
+    * still cached (call it after materializing whatever you derive from the
+    * final vocab).
+    *
+    * One Spark job per round: each round's topPair action is what
+    * materializes the lazily-persisted vocab (no extra count() jobs), and a
+    * round's PARENT vocab is only unpersisted after the round's own cache
+    * is live — dropping it earlier would cascade a recompute chain back to
+    * the corpus scan.
     */
-  private def mergeLoop(v0: DataFrame, rounds: Int): (Seq[Row], DataFrame) = {
+  private def mergeLoop(v0: DataFrame, rounds: Int)
+      : (Seq[Row], DataFrame, () => Unit) = {
     var v = v0.persist(StorageLevel.MEMORY_AND_DISK)
-    v.count() // materialize so each round reuses, not re-plans, the scan
+    var parent: DataFrame = null
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      topPair(v) match {
+      topPair(v) match { // action: v's cache is live past this point
         case Some((a, b, cnt)) =>
           learned += Row(r, a, b, a + b, cnt)
-          val next = v.select(col("word"),
+          if (parent != null) parent.unpersist()
+          parent = v
+          v = v.select(col("word"),
               regexp_replace(col("repr"),
                 lit(java.util.regex.Pattern.quote(s" $a  $b ")),
                 lit(java.util.regex.Matcher.quoteReplacement(s" $a$b ")))
                 .as("repr"),
               col("freq"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          v.unpersist()
-          v = next
         case None => exhausted = true
       }
       r += 1
     }
-    (learned.toSeq, v)
+    val (vv, pp) = (v, parent)
+    (learned.toSeq, vv,
+      () => { vv.unpersist(); if (pp != null) pp.unpersist() })
   }
 
   /** corpus-weighted adjacent-pair counts over the current vocab */
