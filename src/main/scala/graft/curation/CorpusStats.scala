@@ -1,0 +1,64 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus-distribution audits. The first is the classic Zipf rank-frequency
+  * check: a healthy natural-language slice has log-frequency falling
+  * ~linearly in log-rank with slope ≈ −1; machine-generated or boilerplate-
+  * heavy slices flatten or step. Running it per source/per shard is a cheap
+  * drift alarm for a 100 TB ingestion pipeline.
+  *
+  * Scale shape: one corpus-token shuffle builds the per-group vocabulary
+  * (partial-agg map-side combine); the ranking window and the least-squares
+  * fold then run on the VOCABULARY (≤ `topN` rows per group), not the
+  * corpus, so the window's per-group sort is bounded by construction.
+  *
+  * Determinism: ln(rank) and ln(freq) quantize to integer micro-nats per
+  * term (the q62/q64 convention) BEFORE the regression sums, so all five
+  * sums are exact integers; the final slope divides two in-range longs with
+  * one rounded double division, identical on any IEEE engine.
+  */
+object CorpusStats {
+
+  /** Least-squares slope of ln(freq) on ln(rank) over each group's `topN`
+    * most frequent tokens: (groupCol, n_types, slope_micro). Rank ties
+    * break by token string so the fit set is total-ordered. Groups with one
+    * distinct token (degenerate regression) report slope 0.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val vocab = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("_graft_tok"))
+      .groupBy(col(groupCol), col("_graft_tok"))
+      .agg(count(lit(1)).as("_graft_freq"))
+    val ranked = vocab
+      .withColumn("_graft_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("_graft_freq").desc, col("_graft_tok"))))
+      .filter(col("_graft_rank") <= topN)
+      .select(col(groupCol),
+        round(log(col("_graft_rank").cast("double")) * 1000000.0d)
+          .cast("long").as("_graft_lr"),
+        round(log(col("_graft_freq").cast("double")) * 1000000.0d)
+          .cast("long").as("_graft_lf"))
+    ranked
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("_graft_lr")).as("_graft_sx"),
+        sum(col("_graft_lf")).as("_graft_sy"),
+        sum(col("_graft_lr") * col("_graft_lf")).as("_graft_sxy"),
+        sum(col("_graft_lr") * col("_graft_lr")).as("_graft_sxx"))
+      .select(col(groupCol), col("n_types"),
+        expr("""CASE WHEN n_types * _graft_sxx - _graft_sx * _graft_sx = 0
+               |  THEN CAST(0 AS BIGINT)
+               |  ELSE CAST(round(1000000.0 *
+               |    CAST(n_types * _graft_sxy - _graft_sx * _graft_sy AS DOUBLE) /
+               |    CAST(n_types * _graft_sxx - _graft_sx * _graft_sx AS DOUBLE))
+               |    AS BIGINT) END""".stripMargin).as("slope_micro"))
+  }
+}

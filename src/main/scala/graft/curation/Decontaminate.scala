@@ -43,6 +43,38 @@ object Decontaminate {
       .groupBy(idCol).agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Fuzzy passage-level contamination via winnowing fingerprints
+    * ([[graft.dedup.Winnowing]]): where [[contaminationHits]] needs a whole
+    * word n-gram to match verbatim, the winnowed fingerprint set is
+    * guaranteed to fire on ANY shared character substring of length
+    * ≥ k + w − 1 — the "quote was lightly reworded / re-tokenized"
+    * leakage that exact n-gram screens miss.
+    *
+    * Per corpus document (bench members excluded by the caller's split):
+    * `n_fp` distinct fingerprints, `n_shared` of them that also occur
+    * anywhere in the benchmark, and `shared_ppm` = parts-per-million
+    * shared (exact integer division — engine-portable, no floats).
+    *
+    * Scale shape: mirrors the n-gram screen — the benchmark fingerprint
+    * set is benchmark-sized, so it broadcasts; corpus fingerprints are a
+    * per-row kernel pipeline ([[graft.expressions.WinnowExpr]]) and the
+    * only corpus shuffle is the final per-document count. The 100 TB
+    * corpus is never joined shuffle-to-shuffle.
+    */
+  def winnowContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    import graft.dedup.Winnowing
+    val benchFps = Winnowing.fingerprints(bench, idCol, textCol, k, w)
+      .select(col("fingerprint")).distinct()
+      .withColumn("_graft_hit", lit(1L))
+    Winnowing.fingerprints(corpus, idCol, textCol, k, w)
+      .join(broadcast(benchFps), Seq("fingerprint"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("_graft_hit"), lit(0L))).as("n_shared"))
+      .withColumn("shared_ppm", expr("(n_shared * 1000000) div n_fp"))
+  }
+
   /** The clean corpus: documents with zero benchmark n-gram overlap (and not
     * benchmark members themselves). Anti-join against the flagged set — the
     * corpus passes through with its full schema intact.

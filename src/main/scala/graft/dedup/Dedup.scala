@@ -287,6 +287,64 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Incremental (new-batch-vs-corpus) dedup — the production shape at
+    * 100 TB: the standing corpus is never re-deduped against itself; each
+    * arriving batch is screened against it. Per batch document:
+    * `verdict` ∈ exact_dup (byte-identical text exists in the corpus) >
+    * near_dup (MinHash-LSH candidate verified at Jaccard ≥ threshold) >
+    * new, plus `match_id` = the smallest matching corpus id (−1 when new).
+    *
+    * Scale shape: the batch is the small side by construction, so its text
+    * hashes and band hashes BROADCAST and the corpus streams through two
+    * scans (hash probe + shingle/band probe) with no corpus shuffle; the
+    * candidate set is batch-bounded, so the Jaccard verify joins a
+    * broadcast candidate frame against the corpus shingles. Run with
+    * `maxBucketSize`-style pre-screens upstream if the corpus has
+    * degenerate exact-dup groups (exact verdicts short-circuit those here).
+    */
+  def incrementalVerdicts(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val bIds = batch.select(col(idCol).as("_graft_bid"))
+    val bHash = batch.select(col(idCol).as("_graft_bid"),
+      md5(col(textCol)).as("_graft_h"))
+    val cHash = graft.operators.Parallelism.ensure(
+        corpus.select(col(idCol).as("_graft_cid"), col(textCol)))
+      .select(col("_graft_cid"), md5(col(textCol)).as("_graft_h"))
+    val exact = cHash.join(broadcast(bHash), "_graft_h")
+      .groupBy("_graft_bid").agg(min("_graft_cid").as("_graft_exact"))
+    val bDocs = batch
+      .select(col(idCol).as("_graft_bid"), shingles(col(textCol), shingleLen).as("_graft_bsh"))
+      .filter(size(col("_graft_bsh")) > 0)
+    val cDocs = graft.operators.Parallelism.ensure(
+        corpus.select(col(idCol).as("_graft_cid"), col(textCol)))
+      .select(col("_graft_cid"), shingles(col(textCol), shingleLen).as("_graft_csh"))
+      .filter(size(col("_graft_csh")) > 0)
+    val bBand = bDocs.select(col("_graft_bid"),
+      explode(minhashBands(col("_graft_bsh"), numHashes, bands)).as("_graft_bh"))
+    val cBand = cDocs.select(col("_graft_cid"),
+      explode(minhashBands(col("_graft_csh"), numHashes, bands)).as("_graft_bh"))
+    val cand = cBand.join(broadcast(bBand), "_graft_bh")
+      .select(col("_graft_bid"), col("_graft_cid")).distinct()
+    val near = cDocs
+      .join(broadcast(cand.join(broadcast(bDocs), "_graft_bid")), "_graft_cid")
+      .withColumn("_graft_inter",
+        size(array_intersect(col("_graft_bsh"), col("_graft_csh"))))
+      .withColumn("_graft_j", col("_graft_inter").cast("double") /
+        (size(col("_graft_bsh")) + size(col("_graft_csh")) - col("_graft_inter")))
+      .filter(col("_graft_j") >= threshold)
+      .groupBy("_graft_bid").agg(min("_graft_cid").as("_graft_near"))
+    bIds
+      .join(broadcast(exact), Seq("_graft_bid"), "left")
+      .join(broadcast(near), Seq("_graft_bid"), "left")
+      .select(col("_graft_bid").as(idCol),
+        when(col("_graft_exact").isNotNull, lit("exact_dup"))
+          .when(col("_graft_near").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("_graft_exact"), col("_graft_near"), lit(-1L))
+          .as("match_id"))
+  }
+
   /** All-pairs n-gram Jaccard via shingle explode + equi-join (exact but
     * quadratic in matching pairs — use the LSH variant at scale).
     */

@@ -502,6 +502,44 @@ object CurationQueries {
           .encodeTokenCounts(t.documents, "doc_id", "text", rounds = 8)
           .orderBy(col("doc_id"))
       },
-      Some(graft.curation.BpeMerges.encodeOracleSql(8)))
+      Some(graft.curation.BpeMerges.encodeOracleSql(8))),
+
+    // ---- Zipf rank-frequency audit: per-source least-squares slope of
+    // ln(freq) on ln(rank) over the top-100 vocabulary, integer micro-nats
+    Q("q83_zipf_slope",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.CorpusStats.zipfSlope(t.documents, "text", "source",
+            topN = 100)
+          .orderBy(col("source"))
+      },
+      Some("""WITH v AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT source, unnest(list_filter(
+             |      regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY source, tok),
+             |r AS (
+             |  SELECT source,
+             |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr,
+             |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS lf
+             |  FROM (
+             |    SELECT source, freq, row_number() OVER (PARTITION BY source
+             |      ORDER BY freq DESC, tok) AS rank
+             |    FROM v)
+             |  WHERE rank <= 100),
+             |a AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,
+             |    CAST(sum(lr * lf) AS BIGINT) AS sxy,
+             |    CAST(sum(lr * lr) AS BIGINT) AS sxx
+             |  FROM r GROUP BY source)
+             |SELECT source, n_types,
+             |  CASE WHEN n_types * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(round(1000000.0 *
+             |      CAST(n_types * sxy - sx * sy AS DOUBLE) /
+             |      CAST(n_types * sxx - sx * sx AS DOUBLE)) AS BIGINT) END
+             |    AS slope_micro
+             |FROM a ORDER BY source""".stripMargin))
   )
 }

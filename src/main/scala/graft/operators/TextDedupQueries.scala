@@ -431,6 +431,125 @@ object TextDedupQueries {
         graft.dedup.CdcChunks.chunks(t.documents, "doc_id", "text")
           .orderBy(col("doc_id"), col("chunk_seq"))
       },
-      Some(graft.dedup.CdcChunks.oracleSql))
+      Some(graft.dedup.CdcChunks.oracleSql)),
+
+    // ---- fuzzy passage-level decontamination: winnowing fingerprints of
+    // the src0 "benchmark" slice, broadcast against the rest of the corpus
+    Q("q81_winnow_decontaminate",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = t.documents
+        graft.curation.Decontaminate.winnowContamination(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 5, w = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |    list_transform(range(0, len(text)-4), i ->
+             |      substr(md5(substr(text, CAST(i+1 AS INT), 5)), 1, 16)) AS hs
+             |  FROM documents WHERE len(text) >= 8),
+             |m AS (
+             |  SELECT doc_id, source,
+             |    list_transform(range(0, len(hs)-3), j ->
+             |      list_min(hs[CAST(j+1 AS INT):CAST(j+4 AS INT)])) AS mins
+             |  FROM h),
+             |fp AS (SELECT DISTINCT doc_id, source, fingerprint FROM (
+             |  SELECT doc_id, source, unnest(mins) AS fingerprint FROM m)),
+             |bench AS (SELECT DISTINCT fingerprint FROM fp WHERE source = 'src0'),
+             |corp AS (SELECT doc_id, fingerprint FROM fp WHERE source <> 'src0')
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             |  CAST(sum(CASE WHEN b.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  (CAST(sum(CASE WHEN b.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 1000000) // CAST(count(*) AS BIGINT) AS shared_ppm
+             |FROM corp c LEFT JOIN bench b USING (fingerprint)
+             |GROUP BY c.doc_id
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- int8 absmax embedding quantization: per-row SQ8 reconstruction
+    // stats in exact integer micro units (4x memory cut before ANN serving)
+    Q("q82_sq8_quant",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.Quantize.sq8Stats(t.embeddings, "vec_id", "embedding")
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) AS am FROM v),
+             |s AS (SELECT vec_id, v, am, am / 127.0 AS sc FROM a),
+             |e AS (SELECT vec_id, am,
+             |  list_transform(v, x -> CAST(round(abs(x -
+             |    (CASE WHEN sc = 0 THEN 0.0
+             |          ELSE greatest(least(round(x / sc), 127.0), -127.0) END) * sc)
+             |    * 1000000.0) AS BIGINT)) AS errm
+             |  FROM s)
+             |SELECT vec_id,
+             |  CAST(round(am * 1000000.0) AS BIGINT) AS absmax_micro,
+             |  CAST(list_max(errm) AS BIGINT) AS max_err_micro,
+             |  CAST(list_sum(errm) AS BIGINT) AS sum_err_micro
+             |FROM e ORDER BY vec_id""".stripMargin)),
+
+    // ---- incremental batch-vs-corpus dedup: src19 is "today's crawl",
+    // screened against the standing corpus (exact hash, then LSH near-dup)
+    Q("q84_incremental_dedup",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = t.documents
+        Dedup.incrementalVerdicts(
+            docs.filter(col("source") =!= "src19"),
+            docs.filter(col("source") === "src19"),
+            "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH all_docs AS (
+              |  SELECT doc_id, source, text,
+              |    list_distinct(list_transform(range(1, len(t)-1),
+              |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, source, text,
+              |        regexp_split_to_array(text, '\\s+') AS t FROM documents)
+              |  WHERE len(t) >= 3),
+              |b AS (SELECT doc_id, text, sh FROM all_docs
+              |      WHERE source = 'src19' AND len(sh) > 0),
+              |c AS (SELECT doc_id, text, sh FROM all_docs
+              |      WHERE source <> 'src19' AND len(sh) > 0),
+              |exact AS (
+              |  SELECT b.doc_id AS batch_id, min(c.doc_id) AS exact_match
+              |  FROM b JOIN c ON md5(b.text) = md5(c.text) GROUP BY 1),
+              |bsig AS (SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig FROM b),
+              |csig AS (SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig FROM c),
+              |bbh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM bsig)),
+              |cbh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM csig)),
+              |cand AS (
+              |  SELECT DISTINCT bbh.doc_id AS batch_id, cbh.doc_id AS corpus_id
+              |  FROM bbh JOIN cbh ON bbh.band = cbh.band AND bbh.bhash = cbh.bhash),
+              |near AS (
+              |  SELECT batch_id, min(corpus_id) AS near_match FROM (
+              |    SELECT cand.batch_id, cand.corpus_id,
+              |      CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+              |        / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS j
+              |    FROM cand JOIN b ON b.doc_id = cand.batch_id
+              |      JOIN c ON c.doc_id = cand.corpus_id)
+              |  WHERE j >= 0.5 GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+              |       ELSE 'new' END AS verdict,
+              |  coalesce(e.exact_match, n.near_match, -1) AS match_id
+              |FROM documents d
+              |  LEFT JOIN exact e ON e.batch_id = d.doc_id
+              |  LEFT JOIN near n ON n.batch_id = d.doc_id
+              |WHERE d.source = 'src19'
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

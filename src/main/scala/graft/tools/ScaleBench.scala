@@ -112,7 +112,9 @@ object ScaleBench {
       "q69_stratum_overlap", "q70_dup_spans", "q71_quality_classifier",
       "q73_temperature_mixture", "q74_leakage_safe_split",
       "q75_bigram_logprob", "q76_dsir_weights", "q77_bpe_merges",
-      "q78_gumbel_topk", "q79_bpe_encode", "q80_cdc_chunks") ++
+      "q78_gumbel_topk", "q79_bpe_encode", "q80_cdc_chunks",
+      "q81_winnow_decontaminate", "q82_sq8_quant", "q83_zipf_slope",
+      "q84_incremental_dedup") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))

@@ -361,4 +361,43 @@ class PlanSpec extends AnyFunSuite {
       "all branches must read the persisted bucket frame:\n" + p)
     assert(e.collect { case c: InMemoryTableScanExec => c }.size >= 2, p)
   }
+
+  test("q81 winnow decontamination broadcasts the benchmark fingerprint set") {
+    val p = plan("q81_winnow_decontaminate")
+    // the corpus fingerprint stream probes a broadcast benchmark set; the
+    // only corpus shuffle is the per-document count (partial-agg'd)
+    assert(p.contains("BroadcastHashJoin"), "bench fps must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "per-doc counts must partial-agg:\n" + p)
+  }
+
+  test("q82 sq8 quantization is pure per-row: no exchange before the sort") {
+    val p = plan("q82_sq8_quant")
+    val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
+    assert(exchanges == Seq("Exchange rangepartitioning"),
+      s"per-row quantization must not shuffle, got $exchanges:\n" + p)
+    assert(p.contains("*("), "codegen spans expected:\n" + p)
+  }
+
+  test("q83 zipf slope windows the vocabulary, not the corpus") {
+    val p = plan("q83_zipf_slope")
+    // corpus tokens partial-agg into (source, token) counts BEFORE any
+    // exchange; the ranking window then sorts vocab-sized groups only
+    assert(p.contains("partial_"), "token counts must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "window must consume the aggregated vocabulary:\n" + p)
+  }
+
+  test("q84 incremental dedup broadcasts every batch-side frame") {
+    val p = plan("q84_incremental_dedup")
+    // the standing corpus streams through broadcast probes (hash, band,
+    // candidate-verify); no corpus-keyed sort-merge join anywhere
+    assert(p.contains("BroadcastHashJoin"), "batch side must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
