@@ -50,6 +50,51 @@ object BigramModel {
       .select(col(idCol), col("_graft_bg.w1").as("w1"),
         col("_graft_bg.w2").as("w2"))
 
+  /** Interpolated Kneser–Ney smoothed bigram scoring (Kneser & Ney 1995;
+    * the KenLM default) — unlike the raw conditional ([[bigramLogProb]]),
+    * the smoothed model is usable for scoring text the model was NOT
+    * trained on: every probability interpolates with the continuation
+    * unigram P_cont(w₂) = N₁₊(·w₂)/N₁₊(··), so unseen CONTEXTS degrade
+    * gracefully instead of dividing by zero.
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)
+    *
+    * Every model quantity (c₂, c₁, follower-type and continuation-type
+    * counts, total bigram types) derives from the aggregated bigram table —
+    * no extra corpus pass; the absolute discount subtraction needs no
+    * max(·,0) clamp because every scored bigram has c₂ ≥ 1 > d. Per-pair
+    * −ln P quantizes to integer micro-nats before the per-document sum
+    * (the q62/q75 convention). Scale shape identical to
+    * [[bigramLogProbPairs]]: one pair shuffle, model joins by broadcast
+    * (or pair-keyed shuffle with `broadcastModel = false`), the 1-row
+    * type-total crossJoin is a broadcast.
+    *
+    * Returns (idCol, n_bigrams, kn_neg_logp_micro) per document.
+    */
+  def kneserNeyLogProbPairs(pairs: DataFrame, idCol: String,
+      discount: Double = 0.75, broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1"))
+    val ncont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val ntypes = c2.agg(count(lit(1)).as("nt"))
+    val p =
+      (col("c2").cast("double") - lit(discount)) / col("c1").cast("double") +
+        lit(discount) * col("n1").cast("double") / col("c1").cast("double") *
+          (col("nc").cast("double") / col("nt").cast("double"))
+    val lp = c2.join(c1, Seq("w1")).join(ncont, Seq("w2"))
+      .crossJoin(broadcast(ntypes))
+      .select(col("w1"), col("w2"),
+        round(-log(p) * 1e6).cast("long").as("kn_micro"))
+    val model = if (broadcastModel) broadcast(lp) else lp
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("kn_micro")).as("kn_neg_logp_micro"))
+  }
+
   /** [[bigramLogProb]] over pre-exploded (id, w1, w2) rows — hand a
     * PERSISTED frame to feed the count build and the scoring join from one
     * tokenization

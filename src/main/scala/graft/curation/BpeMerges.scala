@@ -84,7 +84,27 @@ object BpeMerges {
     * outgrows a broadcast.
     */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int, broadcastVocab: Boolean = true): DataFrame = {
+      rounds: Int, broadcastVocab: Boolean = true): DataFrame =
+    encodeCountsBy(docs, idCol, textCol, rounds, broadcastVocab)
+
+  /** Per-group tokenizer fertility under the learned merges: for each value
+    * of `groupCol` (language, source, shard), total corpus words, total BPE
+    * tokens, and `fertility_ppm` = BPE tokens per word in parts-per-million
+    * (exact integer division). A tokenizer trained on a skewed mixture
+    * over-segments the under-represented languages — this is the standard
+    * per-language fairness audit for a multilingual tokenizer, run with the
+    * actual learned merges rather than a proxy.
+    */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      rounds: Int, broadcastVocab: Boolean = true): DataFrame =
+    encodeCountsBy(docs, groupCol, textCol, rounds, broadcastVocab)
+      .withColumn("fertility_ppm", expr("(bpe_tokens * 1000000) div n_words"))
+
+  /** shared encode pipeline: corpus words joined to the final vocab's
+    * symbol counts, aggregated by the named key column
+    */
+  private def encodeCountsBy(docs: DataFrame, key: String,
+      textCol: String, rounds: Int, broadcastVocab: Boolean): DataFrame = {
     val (_, vFinal, cleanup) = mergeLoop(vocab(docs, textCol), rounds)
     // swap the cached full vocab (word, repr, freq) for the smaller
     // (word, n_syms) projection the encode join actually needs, so only
@@ -97,10 +117,10 @@ object BpeMerges {
     cleanup()
     val lookup = if (broadcastVocab) broadcast(nSyms) else nSyms
     docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(col(key), explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .join(lookup, Seq("word"))
-      .groupBy(col(idCol))
+      .groupBy(col(key))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
   }
 
@@ -197,6 +217,24 @@ object BpeMerges {
        |  CAST(sum(n_syms) AS BIGINT) AS bpe_tokens
        |FROM tok JOIN nsym USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replica of [[fertilityByGroup]]: the encode pipeline aggregated
+    * by `groupCol` with the exact-integer ppm division.
+    */
+  def fertilityOracleSql(rounds: Int, groupCol: String): String =
+    s"""WITH ${mergeCtes(rounds)},
+       |nsym AS (SELECT word,
+       |    CAST(len(regexp_split_to_array(trim(repr), '  ')) AS BIGINT) AS n_syms
+       |  FROM w$rounds),
+       |tok AS (SELECT $groupCol, unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS bpe_tokens,
+       |  (CAST(sum(n_syms) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM tok JOIN nsym USING (word)
+       |GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
 
   /** w0..wK / p_k / t_k CTE chain shared by both oracles. An exhausted
     * vocab (t_k empty before round K) must leave w_k = w_{k-1}, matching

@@ -540,6 +540,56 @@ object CurationQueries {
              |      CAST(n_types * sxy - sx * sy AS DOUBLE) /
              |      CAST(n_types * sxx - sx * sx AS DOUBLE)) AS BIGINT) END
              |    AS slope_micro
-             |FROM a ORDER BY source""".stripMargin))
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- interpolated Kneser–Ney smoothed bigram scoring (the KenLM
+    // default): usable on unseen text, unlike the raw conditional q75;
+    // shares q75's persisted pair frame (one tokenization for both)
+    Q("q85_kneser_ney",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.curation.BigramModel
+          .pairRows(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.curation.BigramModel.kneserNeyLogProbPairs(pairs, "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'w1': toks[CAST(i AS INT)], 'w2': toks[CAST(i+1 AS INT)]})) AS u
+             |  FROM t WHERE len(toks) >= 2),
+             |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM p GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+             |    CAST(count(*) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+             |nc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM c2 GROUP BY w2),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2),
+             |m AS (SELECT w1, w2,
+             |    CAST(round(-ln(
+             |      (CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) +
+             |        0.75 * CAST(n1 AS DOUBLE) / CAST(c1 AS DOUBLE) *
+             |          (CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+             |    ) * 1e6) AS BIGINT) AS kn_micro
+             |  FROM c2 JOIN c1 USING (w1) JOIN nc USING (w2) CROSS JOIN nt)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(kn_micro) AS BIGINT) AS kn_neg_logp_micro
+             |FROM p JOIN m USING (w1, w2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-language tokenizer fertility under the learned BPE merges:
+    // the multilingual-tokenizer fairness audit (over-segmentation shows
+    // up as a high fertility_ppm for under-represented languages)
+    Q("q86_bpe_fertility",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.BpeMerges
+          .fertilityByGroup(t.documents, "lang", "text", rounds = 8)
+          .orderBy(col("lang"))
+      },
+      Some(graft.curation.BpeMerges.fertilityOracleSql(8, "lang")))
   )
 }

@@ -550,6 +550,31 @@ object TextDedupQueries {
               |  LEFT JOIN exact e ON e.batch_id = d.doc_id
               |  LEFT JOIN near n ON n.batch_id = d.doc_id
               |WHERE d.source = 'src19'
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- hard-negative mining (DPR/Contriever recipe): nearest neighbors
+    // with a DIFFERENT label — the contrastive-training near-misses
+    Q("q87_hard_negatives",
+      (s, d) => {
+        val t = Tables(s, d)
+        Similarity.hardNegativesTopK(
+            t.embeddings.filter(col("vec_id") < 10), t.embeddings,
+            "vec_id", "embedding", "label", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+             |    AND q.label <> c.label)
+             |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -83,6 +83,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each query row, the k nearest corpus rows whose LABEL
+    * differs from the query's — the near-misses that teach an embedding
+    * model its decision boundary, where random negatives teach nothing.
+    * Same scale shape as [[cosineTopK]]: queries broadcast, the corpus is
+    * scanned once and never shuffled, the label filter rides the broadcast
+    * join condition, and the rank is the bounded top-k aggregate.
+    */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("_graft_qlab"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("_graft_clab"))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id")
+          && col("_graft_qlab") =!= col("_graft_clab"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic ±1 hyperplane components: parity of the first hex nibble
     * of md5("plane:j:i"). Same formula is reproducible in the SQL oracle.
     */

@@ -392,6 +392,33 @@ class PlanSpec extends AnyFunSuite {
       "window must consume the aggregated vocabulary:\n" + p)
   }
 
+  test("q85 kneser-ney joins the model by broadcast, type total by BNLJ") {
+    val p = plan("q85_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"), "model must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "1-row type total must broadcast, not cartesian:\n" + p)
+    assert(p.contains("partial_"), "bigram counts must partial-agg:\n" + p)
+  }
+
+  test("q86 bpe fertility broadcasts the vocab lookup") {
+    val p = plan("q86_bpe_fertility")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), "group counts must partial-agg:\n" + p)
+  }
+
+  test("q87 hard negatives broadcast the query side, rank via bounded top-k") {
+    val p = plan("q87_hard_negatives")
+    // non-equi label/id condition → broadcast nested loop over the corpus
+    // scan (queries are the tiny side); ranking is the bounded aggregate,
+    // never a global window sort
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "bounded top-k, not a window:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q84 incremental dedup broadcasts every batch-side frame") {
     val p = plan("q84_incremental_dedup")
     // the standing corpus streams through broadcast probes (hash, band,
