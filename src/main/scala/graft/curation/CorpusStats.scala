@@ -24,6 +24,41 @@ import graft.text.TextFunctions
   */
 object CorpusStats {
 
+  /** Out-of-vocabulary audit: per group, the share of corpus word n-grams
+    * absent from a reference slice's n-gram vocabulary (the tokenizer's or
+    * embedding table's training data) — the coverage check run before
+    * committing a tokenizer to a new source. n = 1 audits single tokens;
+    * n = 2 audits bigram contexts (far more discriminative once the token
+    * vocabulary saturates). Returns (groupCol, n_grams, n_oov, oov_ppm)
+    * with exact integer ppm.
+    *
+    * Scale shape: the reference vocabulary is distinct-n-gram-sized and
+    * broadcasts; the corpus gram stream probes it with a broadcast left
+    * join (never shuffled), and the only exchange is the final per-group
+    * count (partial-agg'd). Token arrays bind to an attribute before the
+    * gram HOF (the repo-wide lambda gotcha).
+    */
+  def oovRate(docs: DataFrame, textCol: String, groupCol: String,
+      vocabDocs: DataFrame, vocabTextCol: String, n: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, tcol: String, extra: Seq[String]): DataFrame =
+      df.select(extra.map(col) :+
+          filter(TextFunctions.tokens(col(tcol)), t => t =!= lit(""))
+            .as("_graft_toks"): _*)
+        .select(extra.map(col) :+
+          explode(QualitySignals.ngrams(col("_graft_toks"), n))
+            .as("_graft_gram"): _*)
+    val vocab = grams(vocabDocs, vocabTextCol, Seq.empty)
+      .distinct()
+      .withColumn("_graft_in", lit(1L))
+    grams(docs, textCol, Seq(groupCol))
+      .join(broadcast(vocab), Seq("_graft_gram"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_graft_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_grams"))
+  }
+
   /** Least-squares slope of ln(freq) on ln(rank) over each group's `topN`
     * most frequent tokens: (groupCol, n_types, slope_micro). Rank ties
     * break by token string so the fit set is total-ordered. Groups with one

@@ -590,6 +590,32 @@ object CurationQueries {
           .fertilityByGroup(t.documents, "lang", "text", rounds = 8)
           .orderBy(col("lang"))
       },
-      Some(graft.curation.BpeMerges.fertilityOracleSql(8, "lang")))
+      Some(graft.curation.BpeMerges.fertilityOracleSql(8, "lang"))),
+
+    // ---- bigram OOV coverage audit: share of each source's word bigrams
+    // absent from the src0 reference slice's bigram vocabulary
+    Q("q90_oov_rate",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = t.documents
+        graft.curation.CorpusStats.oovRate(docs, "text", "source",
+            docs.filter(col("source") === "src0"), "text", n = 2)
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (
+             |  SELECT source, unnest(list_transform(range(1, len(toks)),
+             |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])) AS gram
+             |  FROM t WHERE len(toks) >= 2),
+             |v AS (SELECT DISTINCT gram, 1 AS hit FROM b WHERE source = 'src0')
+             |SELECT b.source, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN v.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  (CAST(sum(CASE WHEN v.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 1000000) // CAST(count(*) AS BIGINT) AS oov_ppm
+             |FROM b LEFT JOIN v USING (gram)
+             |GROUP BY b.source ORDER BY b.source""".stripMargin))
   )
 }

@@ -177,6 +177,31 @@ object SamplingQueries {
              |sel AS (SELECT doc_id, weight_micro, key_micro FROM keyed
              |  ORDER BY key_micro DESC, doc_id LIMIT 100)
              |SELECT doc_id, weight_micro, key_micro FROM sel
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic interleaved mixture order: per-language weights,
+    // overflow-safe exact integer sort keys, one per-stratum window
+    Q("q89_mixture_order",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.mixtureOrder(t.documents, "doc_id", "lang",
+            Map("en" -> 400000L, "de" -> 250000L, "es" -> 150000L,
+              "zh" -> 150000L),
+            salt = "ord", defaultWeightPpm = 50000L)
+          .select(col("doc_id"), col("lang"), col("rn"), col("sort_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, rn,
+             |  (rn // w) * 1000000000 + ((rn % w) * 1000000000) // w AS sort_key
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8),
+             |        CAST(doc_id AS VARCHAR)) AS BIGINT) AS rn,
+             |    CAST(CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 250000
+             |      WHEN 'es' THEN 150000 WHEN 'zh' THEN 150000
+             |      ELSE 50000 END AS BIGINT) AS w
+             |  FROM documents)
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -575,6 +575,47 @@ object TextDedupQueries {
              |  SELECT query_id, neighbor_id,
              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
              |  FROM scored) WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- embedding centroid drift per label vs the global centroid:
+    // exact integer micro sums (order-free), one partial-agg'd explode
+    Q("q88_centroid_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.EmbeddingStats
+          .centroidDrift(t.embeddings, "embedding", "label")
+          .orderBy(col("label"))
+      },
+      Some("""WITH x AS (
+             |  SELECT label, unnest(list_transform(range(1, len(embedding)+1),
+             |      i -> {'d': i,
+             |            'xm': CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             |                  * 1000000.0) AS BIGINT)})) AS u
+             |  FROM embeddings),
+             |g AS (SELECT label, u.d AS d, CAST(sum(u.xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM x GROUP BY label, u.d),
+             |gl AS (SELECT d, CAST(sum(s) AS BIGINT) AS gs,
+             |    CAST(sum(n) AS BIGINT) AS gn FROM g GROUP BY d),
+             |t AS (SELECT g.label, g.n,
+             |    CAST(round(((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * ((CAST(gl.gs AS DOUBLE) / 1000000.0) / CAST(gl.gn AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS dot_t,
+             |    CAST(round(((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * ((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS mm_t,
+             |    CAST(round(((CAST(gl.gs AS DOUBLE) / 1000000.0) / CAST(gl.gn AS DOUBLE))
+             |      * ((CAST(gl.gs AS DOUBLE) / 1000000.0) / CAST(gl.gn AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS gg_t
+             |  FROM g JOIN gl USING (d)),
+             |a AS (SELECT label, max(n) AS n_vecs, CAST(sum(dot_t) AS BIGINT) AS dot,
+             |    CAST(sum(mm_t) AS BIGINT) AS mm, CAST(sum(gg_t) AS BIGINT) AS gg
+             |  FROM t GROUP BY label)
+             |SELECT label, n_vecs,
+             |  CASE WHEN mm = 0 OR gg = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(round(1000000.0 * CAST(dot AS DOUBLE)
+             |      / sqrt(CAST(mm AS DOUBLE) * CAST(gg AS DOUBLE))) AS BIGINT) END
+             |    AS cos_micro
+             |FROM a ORDER BY label""".stripMargin))
   )
 }

@@ -107,6 +107,44 @@ object Sampling {
       defaultFraction = 1.0, salt)
   }
 
+  /** Deterministic interleaved mixture ORDER — the scheduling half of data
+    * mixing: given per-stratum weights (ppm), emit a sort key under which
+    * the strata interleave proportionally (a weight-w stratum contributes
+    * one row every 1e9/w key units), so a training loader reading the
+    * corpus in key order sees the mixture ratio in every prefix, not
+    * source-by-source. Row order within a stratum is a deterministic
+    * content-addressed shuffle (the md5 draw every sampler here uses).
+    *
+    * `sort_key = floor(rn · 1e9 / w)` computed as
+    * `(rn div w)·1e9 + ((rn mod w)·1e9) div w` — exact integer arithmetic
+    * with no overflow for any long `rn` (the naive `rn·1e9` overflows past
+    * 9.2e9 rows per stratum; the split form never multiplies two large
+    * numbers). Scale shape: ONE per-stratum window (skew bounded by the
+    * largest stratum); no global sort — the caller's writer sorts by the
+    * key, which is what a sharded training-data writer does anyway.
+    */
+  def mixtureOrder(df: DataFrame, idCol: String, stratumCol: String,
+      weightsPpm: Map[String, Long], salt: String,
+      defaultWeightPpm: Long = 1000000L): DataFrame = {
+    require(weightsPpm.values.forall(w => w > 0 && w <= 1000000000L),
+      "weights must be in (0, 1e9] ppm")
+    require(defaultWeightPpm > 0 && defaultWeightPpm <= 1000000000L,
+      "defaultWeightPpm must be in (0, 1e9]")
+    val draw = substring(
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8)
+    val w = weightsPpm.foldLeft(lit(defaultWeightPpm)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratumCol))
+          .orderBy(draw, col(idCol).cast("string"))).cast("long"))
+      .withColumn("_graft_w", w)
+      .withColumn("sort_key", expr(
+        "(rn div _graft_w) * 1000000000 + ((rn % _graft_w) * 1000000000) div _graft_w"))
+      .drop("_graft_w")
+  }
+
   /** Temperature-based mixture sampling — the mT5/XLM-R multilingual
     * mixing rule generalized to any stratum column: stratum weights are
     * token shares flattened by `alpha` (w_s ∝ toks_s^alpha; alpha = 1

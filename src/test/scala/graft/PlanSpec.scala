@@ -419,6 +419,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q88 centroid drift partial-aggs the explode, broadcasts the global dims") {
+    val p = plan("q88_centroid_drift")
+    assert(p.contains("partial_"), "per-dim sums must partial-agg:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "64-row global frame must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q89 mixture order is one per-stratum window, no join") {
+    val p = plan("q89_mixture_order")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "weights are a literal CASE, not a join:\n" + p)
+    val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.startsWith("lang")),
+      s"only the stratum window may shuffle, got $hashEx:\n" + p)
+  }
+
+  test("q90 oov audit broadcasts the reference vocabulary") {
+    val p = plan("q90_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), "per-group counts must partial-agg:\n" + p)
+  }
+
   test("q84 incremental dedup broadcasts every batch-side frame") {
     val p = plan("q84_incremental_dedup")
     // the standing corpus streams through broadcast probes (hash, band,
