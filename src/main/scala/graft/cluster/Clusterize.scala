@@ -361,6 +361,21 @@ object Clusterize {
         slice(sort_array(collect_list(col("clusterId"))), 1, 3).as("sample"))
       .orderBy("records", "values")
   }
+
+  /** Component-size histogram over a (member → component) assignment frame
+    * ([[connectedComponents]] output, `Similarity.semDedup` groups, …):
+    * (cluster_size, n_clusters) — the dedup data-card signal that sizes
+    * the near-dup mass and catches degenerate giant components (a too-lax
+    * banding collapses the corpus into one cluster; this is the alarm).
+    * Two partial-agg'd exchanges, both AFTER the corpus collapses to one
+    * row per member, then one row per component.
+    */
+  def componentSizeHistogram(cc: DataFrame,
+      componentCol: String = "component"): DataFrame =
+    cc.groupBy(col(componentCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }
 
 /** The three cluster tables of one match-key pool (Storage.java:159-187). */

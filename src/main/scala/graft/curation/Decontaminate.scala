@@ -75,6 +75,59 @@ object Decontaminate {
       .withColumn("shared_ppm", expr("(n_shared * 1000000) div n_fp"))
   }
 
+  /** Bloom-filter contamination screen — the fixed-memory scale path for
+    * [[contaminationHits]]: instead of broadcasting the benchmark's full
+    * distinct-gram set (strings), broadcast only the SET BIT POSITIONS of
+    * an `mBits`-bit Bloom filter with `kHashes` salted-md5 hashes
+    * ([[graft.text.TextFunctions.hashMod]]). A corpus gram is flagged iff
+    * all k of its positions are set — no false negatives ever (every true
+    * hit flags), false positives at the classic (1 − e^(−kn/m))^k rate.
+    * The audit columns make the trade explicit: per flagged document the
+    * Bloom hit count AND the exact hit count over the same grams
+    * (`fp_grams` = collision-only flags), so a deployment can size m
+    * before trusting Bloom-only screens at 100 TB.
+    *
+    * Scale shape: the corpus side never shuffles — each of the k probe
+    * positions is its own broadcast inner join (a gram survives only by
+    * matching ALL k), so the corpus stream thins at every join; the exact
+    * check joins the (tiny) Bloom survivors against the benchmark gram
+    * set; the only exchange is the per-document count of surviving grams.
+    * The position set is ≤ min(mBits, benchGrams·k) longs regardless of
+    * benchmark string sizes — the reason this beats the exact broadcast
+    * when the benchmark is large.
+    */
+  def bloomContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, mBits: Int = 1 << 20,
+      kHashes: Int = 3): DataFrame = {
+    require(mBits >= 2, s"mBits must be >= 2, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16,
+      s"kHashes must be in [1,16], got $kHashes")
+    val benchIds = bench.select(col(idCol)).distinct()
+    val benchGrams = docGrams(bench, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val setBits = (0 until kHashes).map(j =>
+        benchGrams.select(
+          graft.text.TextFunctions.hashMod(col("gram"), s"bf$j", mBits)
+            .as("pos")))
+      .reduce(_ unionAll _).distinct()
+    val probed = (0 until kHashes).foldLeft(
+        docGrams(corpus, idCol, textCol, n)
+          .join(broadcast(benchIds), Seq(idCol), "left_anti")) {
+      case (df, j) =>
+        df.withColumn(s"_graft_p$j",
+            graft.text.TextFunctions.hashMod(col("gram"), s"bf$j", mBits))
+          .join(broadcast(setBits.withColumnRenamed("pos", s"_graft_p$j")),
+            Seq(s"_graft_p$j"))
+    }
+    probed
+      .join(broadcast(benchGrams.withColumn("_graft_exact", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("bloom_grams"),
+        sum(coalesce(col("_graft_exact"), lit(0L))).as("exact_grams"))
+      .withColumn("fp_grams", col("bloom_grams") - col("exact_grams"))
+  }
+
   /** The clean corpus: documents with zero benchmark n-gram overlap (and not
     * benchmark members themselves). Anti-join against the flagged set — the
     * corpus passes through with its full schema intact.

@@ -52,8 +52,10 @@ object UnigramModel {
     * Empty-string tokens must already be filtered out.
     */
   def unigramLogProbTokens(tokenRows: DataFrame, idCol: String,
-      tokenCol: String, broadcastVocab: Boolean = true): DataFrame = {
-    val toks = tokenRows.select(col(idCol), col(tokenCol).as("token"))
+      tokenCol: String, broadcastVocab: Boolean = true,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = col(idCol) +: carryCols.map(col)
+    val toks = tokenRows.select(keys :+ col(tokenCol).as("token"): _*)
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val scored = vocab.crossJoin(broadcast(total))
@@ -62,11 +64,56 @@ object UnigramModel {
           .cast("long").as("lp_micro"))
     val lookup = if (broadcastVocab) broadcast(scored) else scored
     toks.join(lookup, Seq("token"))
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(sum(col("lp_micro")).as("neg_logp_micro"),
         count(lit(1)).as("n_tokens"))
-      .select(col(idCol), col("n_tokens"), col("neg_logp_micro"),
+      .select(keys ++ Seq(col("n_tokens"), col("neg_logp_micro"),
         (col("neg_logp_micro").cast("double") / 1e6 /
-          col("n_tokens").cast("double")).as("avg_neg_logp"))
+          col("n_tokens").cast("double")).as("avg_neg_logp")): _*)
+  }
+
+  /** CCNet-style perplexity bucketing: per `groupCol` (CCNet buckets per
+    * language — a score ordinary in German is exotic in English), rank
+    * documents by mean per-token negative log-prob and cut the ranking
+    * into `nBuckets` equal tiles; bucket 1 is the "head" (most ordinary
+    * language), the last tile the "tail" CCNet drops or down-weights.
+    *
+    * Determinism: the ranking key is `neg_logp_micro div n_tokens` — EXACT
+    * integer division of the exact micro-nat sum (non-negative, so
+    * truncation == floor on both engines) — tie-broken by id, so the ntile
+    * assignment is a pure function of the corpus.
+    *
+    * Scale shape: scoring is [[unigramLogProbTokens]] (one token shuffle +
+    * broadcast vocab); the bucketing window shuffles only the DOC-level
+    * score rows by group — skew bounded by the largest language, rows are
+    * 4 columns wide. Output: (id, group, n_tokens, ppl_micro_tok, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, nBuckets: Int = 10,
+      broadcastVocab: Boolean = true): DataFrame =
+    perplexityBucketsTokens(
+      docs.select(col(idCol), col(groupCol),
+          explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= ""),
+      idCol, "token", groupCol, nBuckets, broadcastVocab)
+
+  /** [[perplexityBuckets]] over already-exploded (id, group, token) rows —
+    * hand it a PERSISTED token frame so the raw text is scanned and
+    * tokenized once under both the vocabulary aggregate and the scoring
+    * join (the unpersisted convenience entry plans the scan twice).
+    */
+  def perplexityBucketsTokens(tokenRows: DataFrame, idCol: String,
+      tokenCol: String, groupCol: String, nBuckets: Int = 10,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    unigramLogProbTokens(tokenRows, idCol, tokenCol, broadcastVocab,
+        carryCols = Seq(groupCol))
+      .withColumn("ppl_micro_tok", expr("neg_logp_micro div n_tokens"))
+      .withColumn("bucket",
+        ntile(nBuckets).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("ppl_micro_tok"), col(idCol))))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("ppl_micro_tok"), col("bucket"))
   }
 }

@@ -94,6 +94,46 @@ object ClusterQueries {
              |  CASE WHEN substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8)
              |      < printf('%08x', CAST(trunc(0.2 * 4294967296.0) AS BIGINT))
              |    THEN 'test' ELSE 'train' END AS split
-             |FROM grp ORDER BY doc_id""".stripMargin))
+             |FROM grp ORDER BY doc_id""".stripMargin)),
+
+    // ---- near-dup component SIZE histogram (dedup data-card signal): the
+    // q30 components collapsed to (cluster_size, n_clusters) — catches a
+    // too-lax banding collapsing the corpus into one giant component
+    Q("q95_cluster_sizes",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = Parallelism.ensure(t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = docs.select(col("doc_id").as("id"),
+          explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
+        Clusterize.componentSizeHistogram(
+            Clusterize.connectedComponents(banded), "component")
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |signed AS (
+             |  SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig
+             |  FROM docs),
+             |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+             |bh AS (
+             |  SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+             |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS key
+             |  FROM banded),
+             |lbl AS (
+             |  SELECT doc_id, doc_id AS comp FROM (SELECT DISTINCT doc_id FROM bh)
+             |  UNION
+             |  SELECT b2.doc_id, l.comp
+             |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key),
+             |comp AS (SELECT doc_id, min(comp) AS cluster_rep FROM lbl GROUP BY doc_id),
+             |sizes AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+             |  FROM comp GROUP BY cluster_rep)
+             |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+             |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin))
   )
 }

@@ -22,6 +22,17 @@ object CurationQueries {
 
   private def thr(f: Double): String = Sampling.fractionThreshold(f)
 
+  /** DuckDB rendition of [[graft.text.TextFunctions.hashMod]]: the md5's
+    * first 8 hex digits parsed nibble-by-nibble to an unsigned 32-bit int,
+    * mod `m` (the q78 Gumbel oracle's parse, factored for the sketch
+    * oracles). `saltExpr`/`valExpr` are SQL expressions.
+    */
+  private def hashModSql(saltExpr: String, valExpr: String, m: Int): String =
+    s"""(list_sum(list_transform(range(1, 9), i ->
+       |      CAST(strpos('0123456789abcdef', substr(
+       |        md5($saltExpr || ':' || $valExpr), CAST(i AS INT), 1)) - 1
+       |        AS BIGINT) << CAST((8 - i) * 4 AS INT))) % $m)""".stripMargin
+
   /** one BM25 term contribution in DuckDB SQL, float op order mirroring
     * Bm25.score exactly (left-associative, same literal folds)
     */
@@ -616,6 +627,108 @@ object CurationQueries {
              |  (CAST(sum(CASE WHEN v.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |    * 1000000) // CAST(count(*) AS BIGINT) AS oov_ppm
              |FROM b LEFT JOIN v USING (gram)
-             |GROUP BY b.source ORDER BY b.source""".stripMargin))
+             |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
+    // ---- count-min sketch audit: the corpus's exact top-50 tokens probed
+    // against a 4x1024 CMS built from the same counts — est >= exact
+    // always; over_ppm quantifies the width's collision noise. Persisted
+    // vocabulary → the corpus-scale token aggregate runs once.
+    Q("q91_cms_audit",
+      (s, d) => {
+        val t = Tables(s, d)
+        val vocab = t.documents
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.curation.CmsSketch
+          .topKOverestimateCounts(vocab, "token", "cnt",
+            depth = 4, width = 16, topK = 50)
+          .orderBy(col("exact_cnt").desc, col("token"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT token FROM (
+             |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tok GROUP BY token),
+             |e AS (SELECT token, cnt, j,
+             |    ${hashModSql("'cms' || CAST(j AS VARCHAR)", "token", 16)} AS bucket
+             |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS j) _j),
+             |cells AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM e GROUP BY j, bucket),
+             |top AS (SELECT token FROM v ORDER BY cnt DESC, token LIMIT 50),
+             |probe AS (SELECT e.token, e.cnt, min(cells.c) AS est
+             |  FROM e JOIN top USING (token) JOIN cells USING (j, bucket)
+             |  GROUP BY e.token, e.cnt)
+             |SELECT token, cnt AS exact_cnt, CAST(est AS BIGINT) AS est_cnt,
+             |  ((est - cnt) * 1000000) // cnt AS over_ppm
+             |FROM probe ORDER BY exact_cnt DESC, token""".stripMargin)),
+
+    // ---- CCNet-style per-language perplexity bucketing: rank by the
+    // exact integer mean micro-nat score, cut into 10 ntiles per language
+    Q("q92_perplexity_buckets",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tokenRows = t.documents
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.curation.UnigramModel
+          .perplexityBucketsTokens(tokenRows, "doc_id", "token", "lang",
+            nBuckets = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, token FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |tot AS (SELECT sum(cnt) AS total FROM v),
+             |lp AS (SELECT token,
+             |    CAST(round(ln(CAST(total AS DOUBLE)/CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+             |  FROM v, tot),
+             |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(lp_micro) AS BIGINT) AS neg_logp_micro
+             |  FROM tok JOIN lp USING (token) GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, n_tokens,
+             |  neg_logp_micro // n_tokens AS ppl_micro_tok,
+             |  CAST(ntile(10) OVER (PARTITION BY lang
+             |    ORDER BY neg_logp_micro // n_tokens, doc_id) AS INTEGER) AS bucket
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- Bloom-filter decontamination audit: the fixed-memory screen vs
+    // the exact gram set over the same corpus — no false negatives by
+    // construction, fp_grams counts the collision-only flags
+    Q("q93_bloom_decontaminate",
+      (s, d) => {
+        val t = Tables(s, d)
+        val bench = Sampling.hashSample(t.documents, "doc_id", 0.05, "dc")
+        Decontaminate.bloomContamination(t.documents, bench,
+            "doc_id", "text", n = 3, mBits = 1 << 18, kHashes = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bench AS (SELECT doc_id FROM documents
+             |  WHERE substr(md5('dc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${thr(0.05)}'),
+             |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+             |grams AS (SELECT doc_id, unnest(list_distinct($grams3)) AS gram
+             |          FROM tok WHERE len(t) >= 3),
+             |bg AS (SELECT DISTINCT gram FROM grams
+             |       WHERE doc_id IN (SELECT doc_id FROM bench)),
+             |bits AS (SELECT DISTINCT pos FROM (
+             |  SELECT ${hashModSql("'bf' || CAST(j AS VARCHAR)", "gram", 1 << 18)} AS pos
+             |  FROM bg, (SELECT unnest([0, 1, 2]) AS j) _j)),
+             |cand AS (SELECT doc_id, gram FROM grams
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+             |    AND ${hashModSql("'bf0'", "gram", 1 << 18)} IN (SELECT pos FROM bits)
+             |    AND ${hashModSql("'bf1'", "gram", 1 << 18)} IN (SELECT pos FROM bits)
+             |    AND ${hashModSql("'bf2'", "gram", 1 << 18)} IN (SELECT pos FROM bits))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_grams,
+             |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS exact_grams,
+             |  CAST(count(*) AS BIGINT)
+             |    - CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS fp_grams
+             |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

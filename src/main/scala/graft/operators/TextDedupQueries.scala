@@ -616,6 +616,61 @@ object TextDedupQueries {
              |    ELSE CAST(round(1000000.0 * CAST(dot AS DOUBLE)
              |      / sqrt(CAST(mm AS DOUBLE) * CAST(gg AS DOUBLE))) AS BIGINT) END
              |    AS cos_micro
-             |FROM a ORDER BY label""".stripMargin))
+             |FROM a ORDER BY label""".stripMargin)),
+
+    // ---- ANN recall@k audit: per query and index CONFIG, how many of the
+    // exact top-5 (q27's plan) each LSH layout returns — the accept-or-
+    // retune gate for an ANN index (misses score a hard 0). Two layouts of
+    // the same 24 planes: 3 tables x 8 bits (tight buckets, fast, low
+    // recall) vs 6 tables x 4 bits (coarse buckets, more candidates,
+    // higher recall) — the audit IS how the trade is chosen.
+    Q("q94_ann_recall",
+      (s, d) => {
+        val t = Tables(s, d)
+        val q = t.embeddings.filter(col("vec_id") < 10)
+        val bf = Similarity.cosineTopK(q, t.embeddings, "vec_id", "embedding", 5)
+        def audit(bits: Int, label: String) =
+          Similarity.recallAtK(bf,
+              Similarity.annTopK(q, t.embeddings, "vec_id", "embedding", 5,
+                nPlanes = 24, dim = 64, bitsPerTable = bits),
+              "query_id", "neighbor_id", 5)
+            .withColumn("config", lit(label))
+        audit(8, "t3x8").unionByName(audit(4, "t6x4"))
+          .select(col("config"), col("query_id"), col("n_hit"),
+            col("recall_ppm"))
+          .orderBy(col("config"), col("query_id"))
+      },
+      Some(s"""WITH bf AS (
+             |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |  scored AS (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |      list_dot_product(q.v, c.v)
+             |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |    FROM scored) WHERE rank <= 5
+             |),
+             |ann1 AS (
+             |${annOracleSql(24, 64, 8, 5)}
+             |),
+             |ann2 AS (
+             |${annOracleSql(24, 64, 4, 5)}
+             |)
+             |SELECT 't3x8' AS config, bf.query_id,
+             |  CAST(count(ann1.neighbor_id) AS BIGINT) AS n_hit,
+             |  (CAST(count(ann1.neighbor_id) AS BIGINT) * 1000000) // 5 AS recall_ppm
+             |FROM bf LEFT JOIN ann1 ON bf.query_id = ann1.query_id
+             |  AND bf.neighbor_id = ann1.neighbor_id
+             |GROUP BY bf.query_id
+             |UNION ALL
+             |SELECT 't6x4' AS config, bf.query_id,
+             |  CAST(count(ann2.neighbor_id) AS BIGINT) AS n_hit,
+             |  (CAST(count(ann2.neighbor_id) AS BIGINT) * 1000000) // 5 AS recall_ppm
+             |FROM bf LEFT JOIN ann2 ON bf.query_id = ann2.query_id
+             |  AND bf.neighbor_id = ann2.neighbor_id
+             |GROUP BY bf.query_id
+             |ORDER BY config, query_id""".stripMargin))
   )
 }

@@ -104,6 +104,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k audit: the accept-or-retune gate run before trusting an ANN
+    * index at scale — per query, how many of the EXACT top-k neighbors
+    * (`exact`, e.g. [[cosineTopK]] on a held-out slice) the approximate
+    * path (`approx`, e.g. [[annTopK]] or [[ivfTopK]]) actually returned.
+    * `recall_ppm` is exact integer ppm of k. Queries the approx side
+    * missed entirely score 0 (left join), so a bucketing bug shows up as
+    * a hard zero, not a silently absent row.
+    *
+    * Scale shape: both inputs are queries×k rows (the ground-truth side is
+    * a SAMPLE of queries by construction — exact top-k over the full
+    * corpus is the expensive path being audited); the join and the
+    * per-query count are query-scale, never corpus-scale.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+      neighborCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    exact.select(col(queryCol), col(neighborCol))
+      .join(approx.select(col(queryCol), col(neighborCol))
+          .withColumn("_graft_hit", lit(1L)),
+        Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(coalesce(col("_graft_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr(s"(n_hit * 1000000) div $k"))
+  }
+
   /** Deterministic ±1 hyperplane components: parity of the first hex nibble
     * of md5("plane:j:i"). Same formula is reproducible in the SQL oracle.
     */

@@ -105,4 +105,16 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Salted-md5 bucket in [0, m): the independent hash family behind the
+    * count-min sketch and Bloom-filter operators. The draw is the md5's
+    * first 8 hex digits as an unsigned 32-bit int (the same prefix every
+    * sampler here uses), reduced mod m — engine-portable: the DuckDB
+    * oracles reproduce it with the nibble-parse
+    * `list_sum(list_transform(range(1,9), i -> (strpos('0123456789abcdef',
+    * substr(md5(s), i, 1)) - 1) << ((8-i)*4))) % m`.
+    */
+  def hashMod(value: Column, salt: String, m: Int): Column =
+    pmod(conv(substring(md5(concat(lit(salt + ":"), value.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(m.toLong))
 }

@@ -116,7 +116,8 @@ object ScaleBench {
       "q81_winnow_decontaminate", "q82_sq8_quant", "q83_zipf_slope",
       "q84_incremental_dedup", "q85_kneser_ney", "q86_bpe_fertility",
       "q87_hard_negatives", "q88_centroid_drift", "q89_mixture_order",
-      "q90_oov_rate") ++
+      "q90_oov_rate", "q91_cms_audit", "q92_perplexity_buckets",
+      "q93_bloom_decontaminate", "q94_ann_recall", "q95_cluster_sizes") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))

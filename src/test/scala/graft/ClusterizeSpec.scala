@@ -177,4 +177,14 @@ class ClusterizeSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       Set((1L, 1L, 1L), (2L, 1L, 1L)))
   }
+
+  test("componentSizeHistogram buckets component sizes") {
+    import spark.implicits._
+    // components: {1,2,3}, {4,5}, {6}, {7} → sizes 3,2,1,1
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("id", "component")
+    val got = Clusterize.componentSizeHistogram(cc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 2L), got.toString)
+  }
 }

@@ -309,4 +309,87 @@ class CurationSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(run(1) == run(13))
   }
+
+  test("CMS never underestimates; wide grid is exact, narrow grid collides") {
+    val toks = (0 until 200).map(i => s"tok${i % 40}").toDF("token")
+    // width far above the 40-token vocabulary: every estimate exact
+    val wide = graft.curation.CmsSketch
+      .topKOverestimate(toks, "token", depth = 4, width = 4096, topK = 40)
+      .collect()
+    assert(wide.length == 40)
+    wide.foreach(r => assert(r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt"),
+      r.toString))
+    // width 4 forces collisions: still never BELOW exact, and at least one
+    // estimate must absorb a colliding token's count
+    val narrow = graft.curation.CmsSketch
+      .topKOverestimate(toks, "token", depth = 2, width = 4, topK = 40)
+      .collect()
+    narrow.foreach(r => assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+      r.toString))
+    assert(narrow.exists(r => r.getAs[Long]("over_ppm") > 0L),
+      narrow.mkString("\n"))
+  }
+
+  test("CMS estimates are partition-order invariant") {
+    val toks = (0 until 300).map(i => s"w${i % 23}").toDF("token")
+    def run(parts: Int) = graft.curation.CmsSketch
+      .topKOverestimate(toks.repartition(parts), "token", 3, 8, 23)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(run(1) == run(7))
+  }
+
+  test("Bloom screen has no false negatives; tiny filter shows false positives") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "the quick brown fox went home early"),
+      (4L, "entirely disjoint words appear here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val exact = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.curation.Decontaminate
+      .bloomContamination(corpus, bench, "doc_id", "text", 3,
+        mBits = 1 << 16, kHashes = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("bloom_grams"), r.getAs[Long]("exact_grams")))).toMap
+    // every exactly-contaminated doc is flagged with the same exact count
+    exact.foreach { case (id, hits) =>
+      assert(bloom.contains(id), s"doc $id missed — false negative")
+      assert(bloom(id)._2 == hits, s"doc $id exact_grams ${bloom(id)} vs $hits")
+      assert(bloom(id)._1 >= hits, bloom(id).toString)
+    }
+    // an 8-bit filter saturated by a long benchmark doc flags everything:
+    // the disjoint doc 4 must now collide in as pure false positives
+    val bigBench = Seq((100L,
+      "the quick brown fox jumps high and keeps running far past every " +
+        "fence gate wall hedge ditch stream meadow barn silo")).toDF("doc_id", "text")
+    val tiny = graft.curation.Decontaminate
+      .bloomContamination(corpus, bigBench, "doc_id", "text", 3,
+        mBits = 8, kHashes = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fp_grams")).toMap
+    assert(tiny.getOrElse(4L, 0L) > 0L, tiny.toString)
+  }
+
+  test("perplexity buckets: balanced per-group tiles, rare-token docs in the tail") {
+    val docs = (
+      (1L to 8L).map(i => (i, "en", "common common common")) ++
+      Seq((9L, "en", "zzyzx qwfp vexing"),   // rare tokens → highest ppl
+          (10L, "en", "common common zzyzx")) ++
+      (11L to 15L).map(i => (i, "de", "der der der"))
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.curation.UnigramModel
+      .perplexityBuckets(docs, "doc_id", "text", "lang", nBuckets = 5)
+      .collect()
+    val en = got.filter(_.getString(1) == "en")
+    // 10 en docs into 5 tiles → exactly 2 per bucket
+    assert(en.groupBy(_.getAs[Int]("bucket")).forall(_._2.length == 2),
+      en.mkString("\n"))
+    // the all-rare doc lands in the last bucket, all-common docs in bucket 1
+    assert(en.find(_.getLong(0) == 9L).get.getAs[Int]("bucket") == 5)
+    assert(en.find(_.getLong(0) == 1L).get.getAs[Int]("bucket") == 1)
+    // de group tiles independently: 5 docs into 5 buckets of 1
+    val de = got.filter(_.getString(1) == "de")
+    assert(de.map(_.getAs[Int]("bucket")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
 }

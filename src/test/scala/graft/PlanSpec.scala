@@ -444,6 +444,76 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "per-group counts must partial-agg:\n" + p)
   }
 
+  test("q91 CMS audit scans the corpus once (persisted vocab), joins broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = exec("q91_cms_audit")
+    // the grid build and the top-k pick must BOTH read the persisted
+    // vocabulary — the corpus-scale token aggregate runs once, at cache build
+    assert(p.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"all branches must read the persisted vocab:\n$p")
+    assert(p.collect { case c: InMemoryTableScanExec => c }.size >= 2, p.toString)
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "grid must broadcast:\n" + s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q92 perplexity buckets: one text scan, broadcast vocab, group-keyed window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = exec("q92_perplexity_buckets")
+    assert(p.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"all branches must read the persisted token frame:\n$p")
+    assert(p.collect { case c: InMemoryTableScanExec => c }.size >= 2, p.toString)
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "vocab lookup must broadcast:\n" + s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("Window"), "per-group ntile window expected:\n" + s)
+    assert(s.contains("partial_"), "doc-level partial aggregation expected:\n" + s)
+  }
+
+  test("q93 bloom decontamination never shuffles the corpus gram stream") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val p = exec("q93_bloom_decontaminate")
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"),
+      "every probe join must broadcast:\n" + s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // bench-side builds (gram sets, bit positions) may shuffle — they are
+    // benchmark-sized and feed BroadcastExchanges; the CORPUS stream must
+    // reach the per-document aggregate without any non-doc_id exchange
+    val broadcastShuffleIds = p.collect { case b: BroadcastExchangeExec => b }
+      .flatMap(_.collect { case e: ShuffleExchangeExec => e.id }).toSet
+    val streamShuffles = p.collect {
+      case e: ShuffleExchangeExec if !broadcastShuffleIds.contains(e.id) => e
+    }
+    streamShuffles.foreach { e =>
+      assert(e.outputPartitioning.toString.contains("doc_id"),
+        s"corpus-stream exchange not keyed by doc_id: ${e.outputPartitioning}\n$s")
+    }
+  }
+
+  test("q94 ANN recall audit joins by broadcast, no cartesian anywhere") {
+    val p = plan("q94_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested loop allowed is the brute-force ground truth itself:
+    // the bounded query set broadcast (BuildLeft) against the corpus scan
+    val bnlj = "BroadcastNestedLoopJoin (\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "BuildLeft"),
+      s"non-broadcast-built nested loop: $bnlj\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), "per-query counts must partial-agg:\n" + p)
+  }
+
+  test("q95 cluster-size histogram partial-aggs both collapse stages") {
+    val p = plan("q95_cluster_sizes")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q84 incremental dedup broadcasts every batch-side frame") {
     val p = plan("q84_incremental_dedup")
     // the standing corpus streams through broadcast probes (hash, band,

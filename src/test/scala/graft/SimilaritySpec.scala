@@ -198,4 +198,23 @@ class SimilaritySpec extends AnyFunSuite {
     val kept = got.filter(_._3).map(_._1).toSet
     assert(kept.size == byRep.size)
   }
+
+  test("recallAtK counts hits per query; absent queries score a hard zero") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // full hit
+      (2L, 20L), (2L, 99L), (2L, 98L)    // 1 of 3; query 3 entirely absent
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1000000L)), got.toString)
+    assert(got(2L) == ((1L, 333333L)), got.toString)
+    assert(got(3L) == ((0L, 0L)), got.toString)
+    // approx extras never inflate recall past 1e6
+    assert(got.values.forall(_._2 <= 1000000L))
+  }
 }
