@@ -118,4 +118,37 @@ object BigramModel {
         (col("neg_logp_micro").cast("double") / 1e6 /
           col("n_bigrams").cast("double")).as("avg_neg_logp"))
   }
+
+  /** Per-group bigram conditional entropy rate H(w₂|w₁) =
+    * Σ_xy c(xy)/N · ln(c(x·)/c(xy)) in exact integer micro-nats per
+    * bigram — the corpus DIVERSITY audit (Shannon 1951's printed-English
+    * estimate, run per source): template-generated or boilerplate-heavy
+    * slices score near 0 (next token predictable), diverse prose scores
+    * high. The complement of the per-document repetition signals: this is
+    * the property of the SLICE, not the document.
+    *
+    * `pairs` is a (groupCol, w1, w2) frame ([[pairRows]] with the group
+    * column as id) — hand it a persisted frame when other bigram consumers
+    * share it. Every ln is quantized per DISTINCT (group, bigram) before
+    * the exact integer weighted sum, so distributed order never matters;
+    * the aggregates partial-agg map-side and shuffle at most the distinct
+    * bigram vocabulary per group.
+    */
+  def conditionalEntropy(pairs: DataFrame, groupCol: String): DataFrame = {
+    val cxy = pairs.groupBy(col(groupCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val cx = cxy.groupBy(col(groupCol), col("w1"))
+      .agg(sum(col("cxy")).as("cx"))
+    cxy.join(cx, Seq(groupCol, "w1"))
+      .select(col(groupCol), col("cxy"),
+        (col("cxy") *
+          round(log(col("cx").cast("double") / col("cxy").cast("double")) * 1e6)
+            .cast("long")).as("_graft_term_micro"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cxy")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_graft_term_micro")).as("_graft_h_micro"))
+      .select(col(groupCol), col("n_bigrams"), col("n_distinct"),
+        expr("_graft_h_micro div n_bigrams").as("cond_entropy_micro"))
+  }
 }

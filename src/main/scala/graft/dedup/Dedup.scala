@@ -369,6 +369,71 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (Chaudhuri,
+    * Ganti & Kaushik, ICDE 2006 "SSJoin"; Bayardo, Ma & Srikant, WWW 2007
+    * "Scaling Up All Pairs Similarity Search") — the lossless scale path
+    * between [[allPairsJaccard]] (exact, quadratic) and
+    * [[nearDuplicatesMinhashLsh]] (near-linear, approximate): any pair with
+    * n-gram Jaccard >= threshold is guaranteed in the output, yet candidates
+    * come from an equi-join on a small PREFIX of each shingle set.
+    *
+    * The filter: order the shingle universe rarest-first (document
+    * frequency asc, shingle asc — a total order). Two sets a, b with
+    * J(a,b) >= t overlap in at least ceil(t·|a|) elements, so an
+    * intersection avoiding the first |a| − ceil(t·|a|) + 1 elements of a
+    * would fit inside a's remaining ceil(t·|a|) − 1 elements —
+    * contradiction; hence every qualifying pair shares a shingle within
+    * both prefixes. Prefix shingles are each document's RAREST, so the
+    * candidate join's per-key fan-out is bounded by the document frequency
+    * of rare shingles — the published AllPairs skew argument (frequent
+    * shingles never enter an index at high t).
+    *
+    * Scale shape: one vocabulary aggregate (token shuffle, partial-agg'd),
+    * one per-doc window to rank shingles (doc shuffle, skew bounded by the
+    * longest document), the prefix equi-join, then exact verification of
+    * candidate pairs only via array_intersect on the two bound shingle
+    * arrays. No all-pairs stage anywhere; `threshold` is enforced with
+    * exact integer ppm arithmetic (inter·1e6 >= t_ppm·union).
+    */
+  def prefixFilterJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("w"))
+    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // p = n - ceil(t*n) + 1; the 1e-9 slack keeps a ceil() landing on an
+    // exact integer from under-sizing the prefix (larger prefix = more
+    // candidates, never a miss)
+    val prefix = words.join(dfreq, "w")
+      .withColumn("_graft_rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      .filter(col("_graft_rank") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("w"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("_graft_sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("_graft_sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("_graft_sh1"), col("_graft_sh2")))
+          .cast("long").as("inter"),
+        (size(col("_graft_sh1")) + size(col("_graft_sh2"))).cast("long").as("_graft_ns"))
+      .withColumn("_graft_union", col("_graft_ns") - col("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("_graft_union"))
+      .select(col("id1"), col("id2"), col("inter"),
+        expr("(inter * 1000000) div _graft_union").as("jac_ppm"))
+  }
+
   /** 16-bit SimHash over the token multiset. Bit b is set when the sum of
     * ±1 votes (per-token md5 bit b) is positive. Pure per-row arithmetic on
     * hex nibbles — no UDF, portable to the SQL oracle.

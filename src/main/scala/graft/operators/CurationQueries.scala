@@ -729,6 +729,139 @@ object CurationQueries {
              |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS exact_grams,
              |  CAST(count(*) AS BIGINT)
              |    - CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS fp_grams
-             |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- HyperLogLog distinct-gram audit: 64-register sketch vs the exact
+    // distinct count over the same 3-gram stream — rho histogram plus the
+    // milli-quantized estimate and its signed error
+    Q("q97_hll_audit",
+      (s, d) => {
+        val t = Tables(s, d)
+        val grams = t.documents
+          .select(explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("gram"))
+        graft.curation.HllSketch.distinctAudit(grams, "gram")
+          .orderBy(col("rho"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+             |g AS (SELECT unnest(list_distinct($grams3)) AS gram
+             |      FROM tok WHERE len(t) >= 3),
+             |h AS (SELECT list_sum(list_transform(range(1, 16), i ->
+             |        CAST(strpos('0123456789abcdef', substr(
+             |          md5('hll:' || gram), CAST(i AS INT), 1)) - 1 AS BIGINT)
+             |          << CAST((15 - i) * 4 AS INT))) AS h
+             |      FROM g),
+             |r AS (SELECT h >> 54 AS reg,
+             |        55 - length(ltrim(bin(h % 18014398509481984), '0')) AS rho
+             |      FROM h),
+             |regs AS (SELECT t.reg, coalesce(m.rho, 0) AS rho
+             |  FROM (SELECT unnest(range(0, 64)) AS reg) t
+             |  LEFT JOIN (SELECT reg, max(rho) AS rho FROM r GROUP BY reg) m
+             |  USING (reg)),
+             |ex AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g),
+             |sm AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INT)) AS BIGINT) AS snum,
+             |  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+             |  FROM regs),
+             |est AS (SELECT n_exact, snum,
+             |  CASE WHEN ((CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)) * CAST(36028797018963968.0 AS DOUBLE)) / CAST(snum AS DOUBLE) <= 160.0
+             |            AND v > 0
+             |       THEN CAST(round((CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))) * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+             |       ELSE CAST(round(((CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)) * CAST(36028797018963968.0 AS DOUBLE)) / CAST(snum AS DOUBLE) * 1000.0) AS BIGINT)
+             |  END AS est_milli
+             |  FROM sm, ex)
+             |SELECT rho, CAST(count(*) AS BIGINT) AS n_regs, n_exact, snum,
+             |  est_milli,
+             |  ((est_milli - n_exact * 1000) * 1000000) // (n_exact * 1000) AS err_ppm
+             |FROM regs, est
+             |GROUP BY rho, n_exact, snum, est_milli
+             |ORDER BY rho""".stripMargin)),
+
+    // ---- reciprocal-rank fusion of BM25 and query-term-overlap rankings:
+    // exact integer contributions 10^9 div (60 + rank); both lists are
+    // TakeOrdered top-100 cuts, so the fusion joins bounded frames
+    Q("q98_rrf_fusion",
+      (s, d) => {
+        val t = Tables(s, d)
+        val terms = Seq("spark", "join", "merge", "window")
+        val bm25 = Bm25.score(t.documents, "doc_id", "text", terms)
+          .select(col("doc_id"),
+            round(col("score") * 10000).cast("long").as("score_q"))
+        val overlap = t.documents
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_graft_t"))
+          .select(col("doc_id"),
+            terms.map(w => when(array_contains(col("_graft_t"), w), 1L)
+              .otherwise(0L)).reduce(_ + _).as("overlap"))
+        graft.curation.RankFusion.rrfFuse(Seq(
+            "bm25" -> graft.curation.RankFusion.topRanked(bm25, "doc_id", "score_q", 100),
+            "overlap" -> graft.curation.RankFusion.topRanked(overlap, "doc_id", "overlap", 100)),
+          "doc_id")
+          .orderBy(col("rrf_nano").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+             |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             |  CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+             |  CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
+             |  CAST(len(list_filter(t, w -> w = 'merge')) AS BIGINT) AS tf_merge,
+             |  CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
+             |  FROM tok),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+             |  CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             |  CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+             |  CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+             |  FROM tf),
+             |sc AS (SELECT doc_id, CAST(round((
+             |${Seq("spark", "join", "merge", "window").map(bm25Contrib).mkString("\n    + ")}
+             |  ) * 10000) AS BIGINT) AS score_q,
+             |  CAST((CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+             |  FROM tf, stats),
+             |bm AS (SELECT doc_id, CAST(row_number() OVER
+             |    (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_bm25
+             |  FROM sc QUALIFY rank_bm25 <= 100),
+             |ov AS (SELECT doc_id, CAST(row_number() OVER
+             |    (ORDER BY overlap DESC, doc_id) AS BIGINT) AS rank_overlap
+             |  FROM sc QUALIFY rank_overlap <= 100)
+             |SELECT doc_id, rank_bm25, rank_overlap,
+             |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1 END)
+             |    + (CASE WHEN rank_overlap IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS in_lists,
+             |  CAST(coalesce(1000000000 // (60 + rank_bm25), 0)
+             |    + coalesce(1000000000 // (60 + rank_overlap), 0) AS BIGINT) AS rrf_nano
+             |FROM bm FULL OUTER JOIN ov USING (doc_id)
+             |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- per-source bigram conditional entropy rate (exact integer
+    // micro-nats): the slice-level diversity audit — template slices
+    // score near zero, diverse prose high
+    Q("q99_cond_entropy",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.curation.BigramModel
+          .pairRows(t.documents, "source", "text")
+        graft.curation.BigramModel.conditionalEntropy(pairs, "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |b AS (
+             |  SELECT source, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'w1': toks[CAST(i AS INT)], 'w2': toks[CAST(i+1 AS INT)]})) AS u
+             |  FROM t WHERE len(toks) >= 2),
+             |p AS (SELECT source, u.w1 AS w1, u.w2 AS w2 FROM b),
+             |c2 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS cxy
+             |  FROM p GROUP BY source, w1, w2),
+             |c1 AS (SELECT source, w1, CAST(sum(cxy) AS BIGINT) AS cx
+             |  FROM c2 GROUP BY source, w1),
+             |tm AS (SELECT source, cxy,
+             |    cxy * CAST(round(ln(CAST(cx AS DOUBLE) / CAST(cxy AS DOUBLE)) * 1e6) AS BIGINT) AS term_micro
+             |  FROM c2 JOIN c1 USING (source, w1))
+             |SELECT source, CAST(sum(cxy) AS BIGINT) AS n_bigrams,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(term_micro) AS BIGINT) // CAST(sum(cxy) AS BIGINT) AS cond_entropy_micro
+             |FROM tm GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -671,6 +671,54 @@ object TextDedupQueries {
              |FROM bf LEFT JOIN ann2 ON bf.query_id = ann2.query_id
              |  AND bf.neighbor_id = ann2.neighbor_id
              |GROUP BY bf.query_id
-             |ORDER BY config, query_id""".stripMargin))
+             |ORDER BY config, query_id""".stripMargin)),
+
+    // ---- prefix-filtering EXACT Jaccard self-join (SSJoin/AllPairs):
+    // lossless, so the oracle is the plain all-pairs formulation — the
+    // hash match PROVES the prefix filter dropped no qualifying pair
+    Q("q96_prefix_jaccard",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.prefixFilterJaccard(t.documents, "doc_id", "text",
+            shingleLen = 3, threshold = 0.5)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, len(sh) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
+              |      FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2)
+              |SELECT id1, id2, inter,
+              |  (inter * 1000000) // (s1.n + s2.n - inter) AS jac_ppm
+              |FROM i JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+              |WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- embedding covariance audit (PCA/whitening prep): one-pass
+    // outer-product Aggregator, d(d+1)/2 integer numerators, no row blowup
+    Q("q100_embedding_cov",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.EmbeddingStats
+          .covarianceAudit(t.embeddings, "embedding", dim = 64)
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH v AS (SELECT list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |idx AS (SELECT i, j
+             |  FROM (SELECT unnest(range(0, 64)) AS i) a,
+             |       (SELECT unnest(range(0, 64)) AS j) b
+             |  WHERE i <= j),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |sums AS (SELECT i, CAST(sum(q[CAST(i + 1 AS INT)]) AS BIGINT) AS s
+             |  FROM v, (SELECT unnest(range(0, 64)) AS i) _i GROUP BY i),
+             |pr AS (SELECT i, j,
+             |    CAST(sum(q[CAST(i + 1 AS INT)] * q[CAST(j + 1 AS INT)]) AS BIGINT) AS p
+             |  FROM v, idx GROUP BY i, j)
+             |SELECT pr.i, pr.j, n, n * p - a.s * b.s AS cov_num
+             |FROM pr JOIN sums a ON a.i = pr.i JOIN sums b ON b.i = pr.j, st
+             |ORDER BY pr.i, pr.j""".stripMargin))
   )
 }

@@ -54,4 +54,96 @@ object EmbeddingStats {
             .cast("long"))
           .as("cos_micro"))
   }
+
+  /** Exact (quantized) covariance matrix of an embedding column — the
+    * PCA/whitening prep audit: per pair of dimensions (i <= j) the
+    * population-covariance NUMERATOR  n·Σxᵢxⱼ − Σxᵢ·Σxⱼ  over
+    * milli-quantized components, all integer arithmetic.
+    *
+    * Scale shape: ONE pass, no row blowup — a typed Aggregator carries the
+    * d + d(d+1)/2 running sums as its buffer, so each partition contributes
+    * one partial state to the exchange regardless of row count (a
+    * posexplode-squared formulation would shuffle d²/2 rows PER VECTOR).
+    * The d(d+1)/2-row result explodes from the single finished state.
+    *
+    * Determinism: components quantize to milli ints at the scan; every
+    * distributed sum is exact integer arithmetic (order-free). Magnitudes:
+    * |x| <= 4 → products <= 1.6e7, so the Σxᵢxⱼ accumulator stays exact to
+    * ~5e11 rows; beyond that shard the input and combine numerators
+    * per-shard (documented contract, audit-scale operator).
+    */
+  def covarianceAudit(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val quant = emb.select(
+      transform(col(vecCol).cast(ArrayType(DoubleType)),
+        x => round(x * lit(1000.0d)).cast("long")).as("q"))
+    implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val agg = new OuterProductAgg(dim)
+    // Dataset[Buf] flattens the case class to top-level columns (n, s, p)
+    val state = quant.as[Seq[Long]].select(agg.toColumn).toDF()
+    // flat upper-triangle index -> (i, j), same loop order as the kernel
+    val iIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val jIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < dim) { var j = i; while (j < dim) { iIdx += i; jIdx += j; j += 1 }; i += 1 }
+    state
+      .select(col("n"), col("s"), posexplode(col("p")).as(Seq("_graft_k", "_graft_pk")))
+      .select(
+        element_at(typedLit(iIdx.toSeq), col("_graft_k") + 1).cast("long").as("i"),
+        element_at(typedLit(jIdx.toSeq), col("_graft_k") + 1).cast("long").as("j"),
+        col("n"),
+        (col("n") * col("_graft_pk") -
+          element_at(col("s"), element_at(typedLit(iIdx.toSeq), col("_graft_k") + 1) + 1) *
+          element_at(col("s"), element_at(typedLit(jIdx.toSeq), col("_graft_k") + 1) + 1))
+          .as("cov_num"))
+  }
+}
+
+/** mergeable outer-product accumulator: (count, per-dim sums, upper-triangle
+  * product sums) — partial-aggregates map-side like any Spark aggregate
+  */
+final class OuterProductAgg(d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], OuterProductAgg.Buf, OuterProductAgg.Buf] {
+  import OuterProductAgg.Buf
+  private val np = d * (d + 1) / 2
+
+  override def zero: Buf = Buf(0L, new Array[Long](d), new Array[Long](np))
+
+  override def reduce(b: Buf, v: Seq[Long]): Buf = {
+    require(v.length == d, s"expected dim $d, got ${v.length}")
+    val arr = v.toArray
+    val s = b.s
+    val p = b.p
+    var i = 0
+    var k = 0
+    while (i < d) {
+      s(i) += arr(i)
+      var j = i
+      while (j < d) { p(k) += arr(i) * arr(j); k += 1; j += 1 }
+      i += 1
+    }
+    Buf(b.n + 1, s, p)
+  }
+
+  override def merge(x: Buf, y: Buf): Buf = {
+    val s = x.s.clone()
+    val p = x.p.clone()
+    var i = 0
+    while (i < d) { s(i) += y.s(i); i += 1 }
+    var k = 0
+    while (k < np) { p(k) += y.p(k); k += 1 }
+    Buf(x.n + y.n, s, p)
+  }
+
+  override def finish(r: Buf): Buf = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Buf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object OuterProductAgg {
+  final case class Buf(n: Long, s: Array[Long], p: Array[Long])
 }
