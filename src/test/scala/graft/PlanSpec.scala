@@ -522,4 +522,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q96 prefix-filter jaccard: candidates from equi-joins, never all pairs") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = exec("q96_prefix_jaccard")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on prefix shingles:\n" + s)
+    assert(s.contains("partial_"), "df counts must partial-agg:\n" + s)
+    // the shingle frame is persisted: prefix build + both verify probes
+    // must reuse it instead of re-shingling the corpus
+    assert(p.collect { case c: InMemoryTableScanExec => c }.size >= 3, s)
+  }
+
+  test("q97 hll audit: bounded register aggregate, broadcast summary") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = exec("q97_hll_audit")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_"),
+      "register max-agg must partial-agg (m-bounded exchange):\n" + s)
+    // the 64-row register frame is persisted; summary + histogram reuse it
+    assert(p.collect { case c: InMemoryTableScanExec => c }.size >= 2, s)
+  }
+
+  test("q98 rrf fusion: TakeOrdered list cuts, no global corpus window") {
+    val p = plan("q98_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-list top-100 must plan as TakeOrdered (bounded heap), not a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q99 conditional entropy partial-aggs the bigram counts") {
+    val p = plan("q99_cond_entropy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "bigram counts must partial-agg:\n" + p)
+  }
+
+  test("q100 covariance audit: one pass, constant-size partial state") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = exec("q100_embedding_cov")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // the ONLY exchange is the single-group merge of d+d(d+1)/2-long
+    // aggregator states — never vector rows or exploded pairs
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected exactly one exchange:\n$s")
+    assert(s.contains("partial_") || s.contains("ObjectHashAggregate") ||
+      s.contains("SortAggregate"), s)
+  }
 }
