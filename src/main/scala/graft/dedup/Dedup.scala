@@ -369,6 +369,55 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** MinHash Jaccard-ESTIMATE audit over the LSH candidate pairs: per
+    * candidate, the sketch estimate (matching signature components / k, in
+    * ppm) against the exact shingle-set Jaccard — the per-pair complement
+    * of the q94-style recall audit, and the evidence for choosing k
+    * (E[matches/k] = J, σ = sqrt(J(1−J)/k); k=16 is a ±12ppt band at
+    * J=0.5, which this audit makes concrete before a deployment trusts
+    * sketch-only verdicts at 100 TB, where exact verification of every
+    * candidate is the dominant cost).
+    *
+    * Scale shape: identical to [[nearDuplicatesMinhashLsh]] — candidates
+    * from the band-bucket equi-join, signatures computed once per doc
+    * (native kernel), per-pair work is two bound-array scalars (component
+    * match count, array_intersect). No all-pairs stage.
+    */
+  def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(col("doc_id"),
+      explode(lshBandHashes(col("sig"), bands, numHashes / bands)).as("bhash"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.bhash") === col("y.bhash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("_graft_sh1"),
+        col("sig").as("_graft_sg1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("_graft_sh2"),
+        col("sig").as("_graft_sg2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(filter(zip_with(col("_graft_sg1"), col("_graft_sg2"),
+          (a, b) => a === b), x => x)).cast("long").as("matches"),
+        size(array_intersect(col("_graft_sh1"), col("_graft_sh2")))
+          .cast("long").as("_graft_inter"),
+        (size(col("_graft_sh1")) + size(col("_graft_sh2"))).cast("long")
+          .as("_graft_ns"))
+      .select(col("id1"), col("id2"), col("matches"),
+        expr(s"(matches * 1000000) div $numHashes").as("est_ppm"),
+        expr("(_graft_inter * 1000000) div (_graft_ns - _graft_inter)")
+          .as("jac_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("jac_ppm"))
+  }
+
   /** EXACT Jaccard similarity self-join via prefix filtering (Chaudhuri,
     * Ganti & Kaushik, ICDE 2006 "SSJoin"; Bayardo, Ma & Srikant, WWW 2007
     * "Scaling Up All Pairs Similarity Search") — the lossless scale path
@@ -390,10 +439,20 @@ object Dedup {
     *
     * Scale shape: one vocabulary aggregate (token shuffle, partial-agg'd),
     * one per-doc window to rank shingles (doc shuffle, skew bounded by the
-    * longest document), the prefix equi-join, then exact verification of
-    * candidate pairs only via array_intersect on the two bound shingle
-    * arrays. No all-pairs stage anywhere; `threshold` is enforced with
-    * exact integer ppm arithmetic (inter·1e6 >= t_ppm·union).
+    * longest document), the prefix equi-join WITH the AllPairs length
+    * filter fused into the join condition (J >= t forces
+    * t <= |a|/|b| <= 1/t, so size-incompatible pairs never leave the
+    * join), then exact verification of candidate pairs only via
+    * array_intersect on the two bound shingle arrays. No all-pairs stage
+    * anywhere; `threshold` is enforced with exact integer ppm arithmetic
+    * (inter·1e6 >= t_ppm·union).
+    *
+    * Threshold guidance (the published AllPairs trade-off): the prefix is
+    * the (1−t)·|s|+1 RAREST shingles, so candidate volume scales with the
+    * document frequency of each doc's (1−t)-quantile shingle — high
+    * thresholds (near-dup detection, t >= ~0.7) keep prefixes short and
+    * rare; low thresholds degrade toward the all-pairs join by
+    * construction (use LSH + verify there instead).
     */
   def prefixFilterJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double): DataFrame = {
@@ -416,9 +475,12 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
       .filter(col("_graft_rank") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
-      .select(col("doc_id"), col("w"))
+      .select(col("doc_id"), col("n"), col("w"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id")
+          // length filter: J(a,b) >= t needs t*|b| <= |a| and t*|a| <= |b|
+          && col("a.n") * lit(1000000L) >= lit(tPpm) * col("b.n")
+          && col("b.n") * lit(1000000L) >= lit(tPpm) * col("a.n"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     cands

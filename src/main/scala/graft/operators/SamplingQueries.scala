@@ -202,6 +202,30 @@ object SamplingQueries {
              |      WHEN 'es' THEN 150000 WHEN 'zh' THEN 150000
              |      ELSE 50000 END AS BIGINT) AS w
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- repeat-factor (multi-epoch) upsampling: 2.4 epochs of src0,
+    // 0.5 of src1, 1.0 elsewhere — fractional epochs via the
+    // content-addressed draw, per-row explode, no shuffle
+    Q("q102_repeat_upsample",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.repeatUpsample(t.documents, "doc_id", "source",
+            Map("src0" -> 2400L, "src1" -> 500L), defaultMilli = 1000L,
+            salt = "up")
+          .select(col("doc_id"), col("source"), col("copy_idx"))
+          .orderBy(col("doc_id"), col("copy_idx"))
+      },
+      Some(s"""SELECT doc_id, source, unnest(range(1, nc + 1)) AS copy_idx
+             |FROM (
+             |  SELECT doc_id, source,
+             |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+             |    + (CASE WHEN substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             |        < (CASE source WHEN 'src0' THEN '${thr(0.4)}'
+             |           WHEN 'src1' THEN '${thr(0.5)}' ELSE '${thr(0.0)}' END)
+             |       THEN 1 ELSE 0 END) AS nc
+             |  FROM documents) _t
+             |WHERE nc > 0
+             |ORDER BY doc_id, copy_idx""".stripMargin))
   )
 }

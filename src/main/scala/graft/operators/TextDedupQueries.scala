@@ -680,7 +680,7 @@ object TextDedupQueries {
       (s, d) => {
         val t = Tables(s, d)
         Dedup.prefixFilterJaccard(t.documents, "doc_id", "text",
-            shingleLen = 3, threshold = 0.5)
+            shingleLen = 3, threshold = 0.8)
           .orderBy(col("id1"), col("id2"))
       },
       Some(s"""WITH $shinglesCte,
@@ -692,7 +692,7 @@ object TextDedupQueries {
               |SELECT id1, id2, inter,
               |  (inter * 1000000) // (s1.n + s2.n - inter) AS jac_ppm
               |FROM i JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-              |WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)
+              |WHERE inter * 1000000 >= 800000 * (s1.n + s2.n - inter)
               |ORDER BY id1, id2""".stripMargin)),
 
     // ---- embedding covariance audit (PCA/whitening prep): one-pass
@@ -719,6 +719,88 @@ object TextDedupQueries {
              |  FROM v, idx GROUP BY i, j)
              |SELECT pr.i, pr.j, n, n * p - a.s * b.s AS cov_num
              |FROM pr JOIN sums a ON a.i = pr.i JOIN sums b ON b.i = pr.j, st
-             |ORDER BY pr.i, pr.j""".stripMargin))
+             |ORDER BY pr.i, pr.j""".stripMargin)),
+
+    // ---- SSL-prototypes pruning: rank by cosine to own-label centroid,
+    // flag the most prototypical fifth (integer-exact q88 scheme)
+    Q("q101_prototype_prune",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.EmbeddingStats
+          .prototypicalityPrune(t.embeddings, "vec_id", "embedding", "label",
+            keepOneIn = 5)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT vec_id, label, unnest(list_transform(range(1, len(embedding)+1),
+             |      i -> {'d': i,
+             |            'xm': CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             |                  * 1000000.0) AS BIGINT)})) AS u
+             |  FROM embeddings),
+             |g AS (SELECT label, u.d AS d, CAST(sum(u.xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM x GROUP BY label, u.d),
+             |t AS (SELECT x.vec_id, x.label,
+             |    CAST(round(CAST(u.xm AS DOUBLE) / 1000000.0
+             |      * ((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * 1000000000.0) AS BIGINT) AS dot_t,
+             |    u.xm * u.xm AS xx_t,
+             |    CAST(round(((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * ((CAST(g.s AS DOUBLE) / 1000000.0) / CAST(g.n AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS mm_t,
+             |    g.n
+             |  FROM x JOIN g ON g.label = x.label AND g.d = u.d),
+             |a AS (SELECT vec_id, label, CAST(sum(dot_t) AS BIGINT) AS dot,
+             |    CAST(sum(xx_t) AS BIGINT) AS xx, CAST(sum(mm_t) AS BIGINT) AS mm,
+             |    max(n) AS n
+             |  FROM t GROUP BY vec_id, label),
+             |sc AS (SELECT vec_id, label, n,
+             |    CASE WHEN xx = 0 OR mm = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(round(1000000.0 * CAST(dot AS DOUBLE)
+             |        / sqrt(CAST(xx AS DOUBLE) * CAST(mm AS DOUBLE))) AS BIGINT) END
+             |      AS cos_micro
+             |  FROM a)
+             |SELECT vec_id, label, cos_micro,
+             |  CASE WHEN CAST(row_number() OVER (PARTITION BY label
+             |      ORDER BY cos_micro DESC, vec_id) AS BIGINT) <= n // 5
+             |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS prune
+             |FROM sc ORDER BY vec_id""".stripMargin)),
+
+    // ---- MinHash estimate-vs-exact audit on the LSH candidates: the
+    // per-pair evidence for the signature length k (est within
+    // sqrt(J(1-J)/k) of exact)
+    Q("q103_minhash_estimate",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.minhashEstimateAudit(t.documents, "doc_id", "text",
+            shingleLen = 3, numHashes = 16, bands = 4)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |signed AS (
+              |  SELECT doc_id, sh, ${Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |banded AS (
+              |  SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM banded),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+              |    AND a.doc_id < b.doc_id),
+              |v AS (SELECT id1, id2,
+              |    CAST(len(list_filter(range(1, 17),
+              |      i -> d1.sig[CAST(i AS INT)] = d2.sig[CAST(i AS INT)])) AS BIGINT) AS matches,
+              |    CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT) AS inter,
+              |    CAST(len(d1.sh) + len(d2.sh) AS BIGINT) AS ns
+              |  FROM cand JOIN signed d1 ON d1.doc_id = id1
+              |    JOIN signed d2 ON d2.doc_id = id2)
+              |SELECT id1, id2, matches,
+              |  (matches * 1000000) // 16 AS est_ppm,
+              |  (inter * 1000000) // (ns - inter) AS jac_ppm,
+              |  (matches * 1000000) // 16 - (inter * 1000000) // (ns - inter) AS err_ppm
+              |FROM v ORDER BY id1, id2""".stripMargin))
   )
 }

@@ -296,6 +296,45 @@ object Sampling {
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** Repeat-factor (multi-epoch) upsampling: materialize each stratum at a
+    * FRACTIONAL epoch count — the standard move when a mixture solve asks
+    * for e.g. 2.4 epochs of a rare high-quality source against 0.5 of a
+    * dominant one (Llama/GPT-style data recipes). Every row emits
+    * floor(r) copies, plus one more iff its content-addressed draw falls
+    * under frac(r) — so the realized rate converges to r per stratum while
+    * staying deterministic per ROW (re-runs, re-partitionings, and engines
+    * agree on exactly which rows carry the extra epoch).
+    *
+    * Repeat factors are integer MILLI-epochs (2400 = 2.4 epochs), keeping
+    * the fractional part an exact [[fractionThreshold]] comparison.
+    * `copy_idx` (1-based) distinguishes the epochs downstream (e.g. for
+    * epoch-aware shuffling or curriculum interleaving).
+    *
+    * Scale shape: pure per-row work — a literal CASE picks the stratum's
+    * factor, the draw is one md5, and the explode emits at most
+    * ceil(max r) rows per input row; no shuffle, no driver state.
+    */
+  def repeatUpsample(df: DataFrame, idCol: String, stratumCol: String,
+      repeatsMilli: Map[String, Long], defaultMilli: Long,
+      salt: String): DataFrame = {
+    require((repeatsMilli.values ++ Seq(defaultMilli)).forall(_ >= 0L),
+      "repeat factors must be >= 0 milli-epochs")
+    def wholeOf(m: Long) = lit(m / 1000L)
+    def thrOf(m: Long) = lit(fractionThreshold((m % 1000L) / 1000.0))
+    val whole = repeatsMilli.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, m)) => acc.when(col(stratumCol) === stratum, wholeOf(m))
+    }.otherwise(wholeOf(defaultMilli))
+    val thr = repeatsMilli.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, m)) => acc.when(col(stratumCol) === stratum, thrOf(m))
+    }.otherwise(thrOf(defaultMilli))
+    df.withColumn("_graft_nc",
+        whole + when(hashDraw(col(idCol), salt) < thr, 1L).otherwise(0L))
+      .filter(col("_graft_nc") > 0L)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("_graft_nc"))))
+      .drop("_graft_nc")
+  }
 }
 
 /** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the

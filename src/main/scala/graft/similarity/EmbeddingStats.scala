@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -53,6 +54,60 @@ object EmbeddingStats {
             sqrt(col("_graft_mm").cast("double") * col("_graft_gg").cast("double")))
             .cast("long"))
           .as("cos_micro"))
+  }
+
+  /** SSL-prototypes data pruning (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws"): rank every vector by cosine to its OWN label's
+    * centroid and flag the most prototypical fifth — the pruning metric
+    * that beats random keeps when data outgrows the model (easy,
+    * redundant examples go first). The q88 integer-quantization scheme
+    * makes the ranking engine-exact: components quantize to micro ints at
+    * the scan, centroid sums are exact integers, and every per-dimension
+    * product rounds to an integer BEFORE the distributed sum, so float
+    * summation order never exists; ties break on the vector id.
+    *
+    * Scale shape: one label-keyed explode aggregate for centroids (at most
+    * labels × dims partial rows per partition), centroids broadcast back,
+    * per-vector dot/norm terms partial-agg by vec id, then ONE label-keyed
+    * rank window (skew bounded by the largest label — the operator's
+    * honest cost; a per-label TakeOrdered would lose the full ranking the
+    * prune fraction needs).
+    */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, keepOneIn: Int = 5): DataFrame = {
+    require(keepOneIn >= 2, s"keepOneIn must be >= 2, got $keepOneIn")
+    val comps = emb.select(col(idCol), col(labelCol),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("_graft_d", "_graft_x")))
+      .select(col(idCol), col(labelCol), col("_graft_d"),
+        round(col("_graft_x") * 1000000.0d).cast("long").as("_graft_xm"))
+    val centroid = comps.groupBy(col(labelCol), col("_graft_d"))
+      .agg(sum(col("_graft_xm")).as("s"), count(lit(1)).as("n"))
+    val md: Column = (col("s").cast("double") / 1000000.0d) / col("n").cast("double")
+    val terms = comps.join(broadcast(centroid), Seq(labelCol, "_graft_d"))
+      .select(col(idCol), col(labelCol),
+        round(col("_graft_xm").cast("double") / 1000000.0d * md * 1000000000.0d)
+          .cast("long").as("_graft_dot"),
+        (col("_graft_xm") * col("_graft_xm")).as("_graft_xx"),
+        round(md * md * 1000000.0d).cast("long").as("_graft_mm"),
+        col("n"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("_graft_dot")).as("_graft_dot"),
+        sum(col("_graft_xx")).as("_graft_xx"),
+        sum(col("_graft_mm")).as("_graft_mm"),
+        max(col("n")).as("_graft_n"))
+      .select(col(idCol), col(labelCol), col("_graft_n"),
+        when(col("_graft_xx") === 0L || col("_graft_mm") === 0L, lit(0L))
+          .otherwise(round(lit(1000000.0d) * col("_graft_dot").cast("double") /
+            sqrt(col("_graft_xx").cast("double") * col("_graft_mm").cast("double")))
+            .cast("long"))
+          .as("cos_micro"))
+    terms
+      .withColumn("_graft_rank", row_number().over(
+        Window.partitionBy(col(labelCol))
+          .orderBy(col("cos_micro").desc, col(idCol))))
+      .select(col(idCol), col(labelCol), col("cos_micro"),
+        when(col("_graft_rank") <= expr(s"_graft_n div $keepOneIn"), lit(1L))
+          .otherwise(lit(0L)).as("prune"))
   }
 
   /** Exact (quantized) covariance matrix of an embedding column — the

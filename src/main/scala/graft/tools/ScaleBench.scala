@@ -117,7 +117,10 @@ object ScaleBench {
       "q84_incremental_dedup", "q85_kneser_ney", "q86_bpe_fertility",
       "q87_hard_negatives", "q88_centroid_drift", "q89_mixture_order",
       "q90_oov_rate", "q91_cms_audit", "q92_perplexity_buckets",
-      "q93_bloom_decontaminate", "q94_ann_recall", "q95_cluster_sizes") ++
+      "q93_bloom_decontaminate", "q94_ann_recall", "q95_cluster_sizes",
+      "q96_prefix_jaccard", "q97_hll_audit", "q98_rrf_fusion",
+      "q99_cond_entropy", "q100_embedding_cov", "q101_prototype_prune",
+      "q102_repeat_upsample", "q103_minhash_estimate") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))
