@@ -47,11 +47,16 @@ object Bench {
       try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // best of 2 timed passes per query: transient box contention inflates a
+    // single pass by 5-30x (observed r6/r8); min-of-2 keeps the honest cost
     qs.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
   }
 

@@ -18,17 +18,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a µs timestamp.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (vectorized reader rejects it; read nanos
+    * as long and convert), timestamp[us] WITHOUT timezone (Spark reads
+    * TIMESTAMP_NTZ, which `unix_micros` et al. reject), or a plain
+    * session-tz TIMESTAMP. Normalize all three to TimestampType µs so every
+    * event-time operator sees one type. The NTZ→TZ cast is epoch-preserving
+    * because every graft session pins spark.sql.session.timeZone=UTC.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t("events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

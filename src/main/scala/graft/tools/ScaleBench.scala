@@ -89,16 +89,16 @@ object ScaleBench {
       Map("vec_id" -> (maxOf("embeddings", "vec_id") + 1L))), "embeddings")
     // events replicate by shifting BOTH id domains: 10x users over the same
     // time range (per-user event spans unchanged — the realistic growth for
-    // user-keyed session/window operators). ts is written as
-    // TIMESTAMP(MICROS): every event-time oracle already pre-truncates the
-    // source's TIMESTAMP(NANOS) to µs (the Spark reader's precision), so
-    // Spark and DuckDB see identical values on the replicated dir — which
-    // also makes it a valid target for the full 67-query oracle gate.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(replicate(read("events"),
-      Map("event_id" -> (maxOf("events", "event_id") + 1L),
-        "user_id" -> (maxOf("events", "user_id") + 1L)))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events")
+    // user-keyed session/window operators). ts goes through Tables.events'
+    // normalization (nanos-long / TIMESTAMP_NTZ / TIMESTAMP across testdata
+    // generations) and is written back as session-tz TIMESTAMP(MICROS), so
+    // Spark and DuckDB see identical µs values on the replicated dir — which
+    // also makes it a valid target for the full oracle gate.
+    val ev = graft.Tables(spark, src).events
+    write(replicate(ev,
+      Map("event_id" -> (ev.agg(max(col("event_id"))).head.getLong(0) + 1L),
+        "user_id" -> (ev.agg(max(col("user_id"))).head.getLong(0) + 1L))),
+      "events")
 
     // non-headline operator slopes (round-7 verdict #2, extended to the
     // round-8 operators), timed at 1x and Nx in the SAME JVM so the pair
