@@ -27,6 +27,15 @@ object TextFunctions {
         concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** all word n-grams in document order, duplicates INCLUDED (the
+    * type-token-ratio / diversity unit; [[shingles]] distincts for dedup)
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** token count */
   def tokenCount(text: Column): Column = size(tokens(text))
 
