@@ -496,6 +496,63 @@ object Dedup {
         expr("(inter * 1000000) div _graft_union").as("jac_ppm"))
   }
 
+  /** Exact set-containment self-join: emit (contained_id, container_id) for
+    * every ordered pair with C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ t — the
+    * near-subset detector (quotes, excerpts, page-of-a-book duplication)
+    * that Jaccard misses whenever the container is much longer than the
+    * contained document.
+    *
+    * Prefix filtering adapts losslessly from [[prefixFilterJaccard]]: if b
+    * shares none of a's (|a| − ⌈t·|a|⌉ + 1)-gram prefix, the intersection is
+    * at most ⌈t·|a|⌉ − 1 < t·|a| — true for ANY choice of prefix grams, so
+    * rarest-first ordering affects only candidate volume, never recall. The
+    * asymmetry vs Jaccard: only the CONTAINED side can be prefixed; the
+    * container side must index its full gram set (a subset relation says
+    * nothing about which of b's grams are shared), and the only size filter
+    * is |b| ≥ t·|a|. Candidate volume therefore scales with the document
+    * frequency of each doc's (1−t)-quantile gram — fine for high thresholds
+    * (t ≥ ~0.7); for low thresholds fall back to LSH + containment-verify.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("w"))
+    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefix = words.join(dfreq, "w")
+      .withColumn("_graft_rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      .filter(col("_graft_rank") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("n"), col("w"))
+    val cands = prefix.as("a").join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id")
+          // C(a→b) >= t needs t*|a| <= inter <= |b|
+          && col("b.n") * lit(1000000L) >= lit(tPpm) * col("a.n"))
+      .select(col("a.doc_id").as("contained_id"),
+        col("b.doc_id").as("container_id"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("contained_id"),
+        col("sh").as("_graft_sh1")), "contained_id")
+      .join(docs.select(col("doc_id").as("container_id"),
+        col("sh").as("_graft_sh2")), "container_id")
+      .select(col("contained_id"), col("container_id"),
+        size(array_intersect(col("_graft_sh1"), col("_graft_sh2")))
+          .cast("long").as("inter"),
+        size(col("_graft_sh1")).cast("long").as("_graft_n1"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("_graft_n1"))
+      .select(col("contained_id"), col("container_id"), col("inter"),
+        expr("(inter * 1000000) div _graft_n1").as("cont_ppm"))
+  }
+
   /** 16-bit SimHash over the token multiset. Bit b is set when the sum of
     * ±1 votes (per-token md5 bit b) is positive. Pure per-row arithmetic on
     * hex nibbles — no UDF, portable to the SQL oracle.

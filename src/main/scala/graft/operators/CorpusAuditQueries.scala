@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.PassageDedup
+import graft.dedup.{Dedup, PassageDedup}
+import graft.similarity.Projection
 import graft.text.TextFunctions
 
 /** Round-9 corpus-engineering operators: passage-level (sub-document)
@@ -123,5 +124,117 @@ object CorpusAuditQueries {
              |  CAST(count(DISTINCT g) AS BIGINT) AS types,
              |  (CAST(count(DISTINCT g) AS BIGINT) * 1000000)
              |    // CAST(count(*) AS BIGINT) AS ttr_ppm
-             |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin)))
+             |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin)),
+
+    // ---- JL sign projection 64->16: exact integer arithmetic, per-row
+    // HOFs, LCG signs reproduced verbatim in the oracle
+    Q("q106_jl_projection",
+      (s, d) => {
+        val t = Tables(s, d)
+        Projection.signProjection(t.embeddings, "vec_id", "embedding",
+            outDim = 16)
+          .orderBy(col("vec_id"), col("j"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+             |  FROM embeddings),
+             |u AS (SELECT vec_id, unnest(list_transform(range(0, 16),
+             |    j -> {'j': j,
+             |      'c': list_sum(list_transform(range(1, len(xq) + 1), i ->
+             |        CASE WHEN ((1103515245 * ((i-1) * 16 + j + 1) + 12345)
+             |            // 65536) % 2 = 1
+             |          THEN xq[i] ELSE -xq[i] END))})) AS s
+             |  FROM v)
+             |SELECT vec_id, CAST(s.j AS BIGINT) AS j, CAST(s.c AS BIGINT) AS comp
+             |FROM u ORDER BY vec_id, j""".stripMargin)),
+
+    // ---- exact set-containment self-join (near-subset detection): the
+    // oracle is the naive all-pairs formulation, so the hash match PROVES
+    // the contained-side prefix filter lossless
+    Q("q107_containment_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.containmentJoin(t.documents, "doc_id", "text",
+            shingleLen = 3, threshold = 0.8)
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT contained_id, container_id, inter,
+              |  (inter * 1000000) // s1.n AS cont_ppm
+              |FROM i JOIN sz s1 ON s1.doc_id = contained_id
+              |WHERE inter * 1000000 >= 800000 * s1.n
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ---- exact distributed quantiles by histogram refinement (no
+    // per-group sort, no approx): type-1 rank semantics, integer cents
+    Q("q108_exact_quantiles",
+      (s, d) => {
+        val t = Tables(s, d)
+        Quantiles.exactQuantiles(
+            t.lineitem.select(col("l_returnflag").as("g"),
+              expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+            "g", "cents", qsPpm = Seq(500000L, 900000L, 990000L))
+          .orderBy(col("g"), col("q_ppm"))
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem),
+             |r AS (SELECT g, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+             |q AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT)
+             |    AS q_ppm)
+             |SELECT g, q_ppm, n, (q_ppm * n + 999999) // 1000000 AS rank,
+             |  min(CASE WHEN rn >= (q_ppm * n + 999999) // 1000000
+             |    THEN v END) AS value
+             |FROM r, q GROUP BY g, q_ppm, n ORDER BY g, q_ppm""".stripMargin)),
+
+    // ---- vocabulary coverage curve via the distributed prefix-sum scan
+    // (rank + cumulative token mass over the frequency-sorted vocabulary,
+    // no single-partition window): min rank covering 50/90/99% of tokens
+    Q("q109_coverage_curve",
+      (s, d) => {
+        import s.implicits._
+        val t = Tables(s, d)
+        val vocab = t.documents
+          .select(explode(TextFunctions.tokens(col("text"))).as("tk"))
+          .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+          .withColumn("one", lit(1L))
+        val ranked = PrefixSum.runningTotals(vocab,
+            Seq(col("c").desc, col("tk")), Seq("c", "one"), numPartitions = 8)
+          .withColumnRenamed("cum_c", "cum_tokens")
+          .withColumnRenamed("cum_one", "rank")
+        val total = vocab.agg(sum(col("c")).as("total"))
+        val pcts = Seq(50, 90, 99).toDF("pct")
+        ranked.crossJoin(broadcast(total)).crossJoin(broadcast(pcts))
+          .filter(col("cum_tokens") * 100 >= col("pct") * col("total"))
+          .groupBy(col("pct"))
+          .agg(min(col("rank")).as("rank"),
+            min_by(col("tk"), col("rank")).as("token"),
+            min_by(col("cum_tokens"), col("rank")).as("cum_tokens"),
+            max(col("total")).as("total_tokens"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+'))
+             |    AS tk FROM documents),
+             |v AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tok
+             |  GROUP BY tk),
+             |r AS (SELECT tk, c,
+             |    CAST(sum(c) OVER (ORDER BY c DESC, tk
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |    CAST(row_number() OVER (ORDER BY c DESC, tk) AS BIGINT) AS rank
+             |  FROM v),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v),
+             |p AS (SELECT unnest([50, 90, 99]) AS pct)
+             |SELECT pct, min(rank) AS rank, arg_min(tk, rank) AS token,
+             |  arg_min(cum_tokens, rank) AS cum_tokens,
+             |  CAST(max(total) AS BIGINT) AS total_tokens
+             |FROM r, tot, p WHERE cum_tokens * 100 >= pct * total
+             |GROUP BY pct ORDER BY pct""".stripMargin)))
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics: value at rank ⌈q·n⌉ (type-1 /
+  * discrete quantile, 1-based ascending) per group, by iterative histogram
+  * refinement — the scalable alternative to the per-group sort that exact
+  * medians naively require (a window sort puts each group's every row
+  * through one task; percentile_approx trades exactness away).
+  *
+  * Each round buckets every active search's remaining [lo, hi] value range
+  * into `bins` equi-width integer cells with ONE partial-aggregated pass
+  * over the (persisted) fact table, narrows each search to the cell
+  * containing its target rank, and repeats until the cell population fits
+  * `smallEnough`; the terminal in-cell selection sorts one bounded
+  * collect_list per search. O(log_bins(valueRange)) passes total — at
+  * 100 TB with 64 bins and cent-valued money columns that is ≤ 6 passes,
+  * each a map-side-combined aggregate, never a full shuffle of the facts.
+  *
+  * Search state lives on the driver: one row per (group, quantile) —
+  * bounded by construction for profiling workloads (groups are flags /
+  * sources / languages), made crash-proof by `maxSearches` exactly like
+  * `Sampling.mixtureSample`'s stratum guard.
+  *
+  * Values must be integer-valued longs (quantize money upstream — the q49
+  * integer-cents scheme); groups must be strings.
+  */
+object Quantiles {
+
+  private case class Search(g: String, qPpm: Long, n: Long, rank: Long,
+      var lo: Long, var hi: Long, var r: Long, var done: Boolean)
+
+  /** g, q_ppm, n, rank, value — exact value at rank ⌈q_ppm·n/1e6⌉ per group */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qsPpm: Seq[Long], bins: Int = 64, smallEnough: Int = 8192,
+      maxSearches: Int = 100000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(smallEnough >= 1, s"smallEnough must be >= 1")
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1e6] ppm, got $qsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = base.groupBy($"g")
+        .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+        .collect()
+      require(stats.length.toLong * qsPpm.size <= maxSearches,
+        s"${stats.length} groups x ${qsPpm.size} quantiles exceeds " +
+          s"maxSearches=$maxSearches; exact quantiles keep per-search state " +
+          "on the driver — raise the cap only if that product is truly bounded")
+      val searches = stats.flatMap { row =>
+        val (g, n) = (row.getString(0), row.getLong(1))
+        val (lo, hi) = (row.getLong(2), row.getLong(3))
+        qsPpm.map { q =>
+          val rank = (q * n + 999999L) / 1000000L
+          // a group already small enough skips refinement entirely
+          Search(g, q, n, rank, lo, hi, rank, done = n <= smallEnough)
+        }
+      }
+
+      // refinement rounds: one aggregate pass each, all searches advance
+      var guard = 0
+      while (searches.exists(s => !s.done && s.lo < s.hi) && guard < 64) {
+        guard += 1
+        val active = searches.filter(s => !s.done && s.lo < s.hi)
+        val spec = spark.createDataFrame(active.toSeq
+            .map(s => (s.g, s.qPpm, s.lo, s.hi)))
+          .toDF("g", "q_ppm", "lo", "hi")
+        val counts = base.join(broadcast(spec), Seq("g"))
+          .filter($"v" >= $"lo" && $"v" <= $"hi")
+          .withColumn("w", expr(s"(hi - lo + $bins) div $bins"))
+          .groupBy($"g", $"q_ppm", expr("(v - lo) div w").as("cell"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getLong(1)))
+          .map { case (k, rs) =>
+            k -> rs.map(r => r.getLong(2) -> r.getLong(3)).sortBy(_._1)
+          }
+        active.foreach { s =>
+          val cells = counts((s.g, s.qPpm))
+          val w = (s.hi - s.lo + bins) / bins
+          var cum = 0L
+          var i = 0
+          while (cum + cells(i)._2 < s.r) { cum += cells(i)._2; i += 1 }
+          val (cell, c) = cells(i)
+          s.r -= cum
+          s.lo = s.lo + cell * w
+          s.hi = math.min(s.hi, s.lo + w - 1)
+          if (c <= smallEnough) s.done = true
+        }
+      }
+      require(guard < 64, "quantile refinement failed to converge")
+
+      val (direct, terminal) = searches.partition(s => s.lo == s.hi)
+      val directDf = spark.createDataFrame(direct.toSeq
+          .map(s => (s.g, s.qPpm, s.n, s.rank, s.lo)))
+        .toDF("g", "q_ppm", "n", "rank", "value")
+      if (terminal.isEmpty) directDf
+      else {
+        // terminal in-cell selection: population <= smallEnough per search
+        val spec = spark.createDataFrame(terminal.toSeq
+            .map(s => (s.g, s.qPpm, s.n, s.rank, s.lo, s.hi, s.r)))
+          .toDF("g", "q_ppm", "n", "rank", "lo", "hi", "r")
+        val picked = base.join(broadcast(spec), Seq("g"))
+          .filter($"v" >= $"lo" && $"v" <= $"hi")
+          .groupBy($"g", $"q_ppm", $"n", $"rank", $"r")
+          .agg(sort_array(collect_list($"v")).as("vs"))
+          .select($"g", $"q_ppm", $"n", $"rank",
+            element_at($"vs", $"r".cast("int")).as("value"))
+        directDf.unionByName(picked)
+      }
+    } finally base.unpersist()
+  }
+}

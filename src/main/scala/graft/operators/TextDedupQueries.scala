@@ -25,7 +25,7 @@ object TextDedupQueries {
   /** DuckDB: distinct 3-word shingles per document (mirrors
     * TextFunctions.shingles).
     */
-  private val shinglesCte =
+  private[operators] val shinglesCte =
     """docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
