@@ -96,4 +96,56 @@ object CorpusStats {
                |    CAST(n_types * _graft_sxx - _graft_sx * _graft_sx AS DOUBLE))
                |    AS BIGINT) END""".stripMargin).as("slope_micro"))
   }
+
+  /** Top-k collocations by pointwise mutual information over ADJACENT word
+    * pairs: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with bigram
+    * probability over total bigram count and unigram probabilities over
+    * total token count — the classic collocation extractor (multi-word
+    * expressions, named entities) and a tokenizer-merge-candidate signal.
+    * `minCount` suppresses the low-frequency PMI explosion (a hapax pair
+    * of two hapax words maxes PMI by definition).
+    *
+    * Output: (w1, w2, c12, pmi_micro), top `k` by (pmi desc, w1, w2) — a
+    * bounded TakeOrdered, never a global sort.
+    *
+    * Scale shape: one bigram-count shuffle (partial-agg'd) + one
+    * unigram-count shuffle; the unigram table joins back onto the bigram
+    * table (vocabulary-sized, broadcast when small). The ln runs on one
+    * integer ratio and rounds to micro-nats (the q62/q83 convention) — the
+    * only float op in the operator.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("_graft_w"))
+    val bigrams = toks
+      .select(explode(TextFunctions.ngrams(col("_graft_w"), 2)).as("_graft_bg"))
+      .select(split(col("_graft_bg"), " ").getItem(0).as("w1"),
+        split(col("_graft_bg"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val unigrams = toks
+      .select(explode(col("_graft_w")).as("_graft_tok"))
+      .groupBy(col("_graft_tok")).agg(count(lit(1)).as("_graft_c"))
+    val nuTotal = unigrams.agg(sum(col("_graft_c")).as("nu"))
+    // the bigram probability base must be ALL bigrams, not just the
+    // >= minCount survivors — count from the corpus directly
+    val nbTotal = toks.select(
+      sum(greatest(size(col("_graft_w")) - 1, lit(0)).cast("long")).as("nb"))
+    bigrams
+      .join(unigrams.select(col("_graft_tok").as("w1"),
+        col("_graft_c").as("c1")), "w1")
+      .join(unigrams.select(col("_graft_tok").as("w2"),
+        col("_graft_c").as("c2")), "w2")
+      .crossJoin(broadcast(nuTotal))
+      .crossJoin(broadcast(nbTotal))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("""CAST(round(ln((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE)) /
+               |  ((CAST(c1 AS DOUBLE) / CAST(nu AS DOUBLE)) *
+               |   (CAST(c2 AS DOUBLE) / CAST(nu AS DOUBLE)))) * 1000000.0)
+               |  AS BIGINT)""".stripMargin).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

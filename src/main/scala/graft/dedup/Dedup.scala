@@ -510,11 +510,20 @@ object Dedup {
     * container side must index its full gram set (a subset relation says
     * nothing about which of b's grams are shared), and the only size filter
     * is |b| ≥ t·|a|. Candidate volume therefore scales with the document
-    * frequency of each doc's (1−t)-quantile gram — fine for high thresholds
-    * (t ≥ ~0.7); for low thresholds fall back to LSH + containment-verify.
+    * frequency of each doc's (1−t)-quantile gram — fine when per-doc rare
+    * grams are globally rare (natural corpora); a corpus where most docs
+    * share large gram blocks (the salted 10× ScaleBench replication shares
+    * ~40% of shingles across all replicas — BENCH_sf1 documents the
+    * resulting 72× slope) degrades toward the inverted-index all-pairs
+    * count. `maxDf` bounds that worst case: prefix entries with document
+    * frequency above the cap generate no candidates, which can only miss a
+    * pair if EVERY gram of the contained doc's prefix is above-cap — the
+    * operator stays exact with `maxDf = None` (the gate setting, proven by
+    * the all-pairs oracle hash match).
     */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, threshold: Double): DataFrame = {
+      shingleLen: Int, threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -526,11 +535,12 @@ object Dedup {
     val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("w"))
     val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val prefix = words.join(dfreq, "w")
+    val prefix0 = words.join(dfreq, "w")
       .withColumn("_graft_rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
       .filter(col("_graft_rank") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
+    val prefix = maxDf.fold(prefix0)(cap => prefix0.filter(col("df") <= cap))
       .select(col("doc_id"), col("n"), col("w"))
     val cands = prefix.as("a").join(words.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id")

@@ -53,6 +53,9 @@ object PassageDedup {
       .select(col("doc_id"), posexplode(col("ps")).as(Seq("idx", "passage")))
       .withColumn("h", md5(col("passage")))
       .withColumn("_key", col("doc_id") * lit(1L << 20) + col("idx"))
+      // consumed twice (owner aggregate + join back): persist so the
+      // split/md5 pipeline runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // owner of each distinct passage = min (doc_id, idx); partial-agg'd
     val owners = passages.groupBy(col("h")).agg(min(col("_key")).as("_owner"))
     passages.join(owners, "h")

@@ -134,6 +134,63 @@ object ClusterQueries {
              |sizes AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
              |  FROM comp GROUP BY cluster_rep)
              |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-             |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin))
+             |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // ---- best-of-cluster representative selection: instead of min-id
+    // (q72's SemDeDup convention), keep each near-dup component's HIGHEST
+    // QUALITY member (TTR ppm, tiebreak min doc_id) — the curation upgrade
+    // that keeps the cleanest copy of every boilerplate family. One
+    // partial-agg'd max(struct) per component after CC; quality is per-row.
+    Q("q113_cluster_representative",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = Parallelism.ensure(t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"),
+            TextFunctions.tokens(col("text")).as("w"))
+          .filter(size(col("sh")) > 0)
+        val banded = docs.select(col("doc_id").as("id"),
+          explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
+        val quality = docs.select(col("doc_id"),
+          expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div size(w)")
+            .as("q_ppm"))
+        Clusterize.connectedComponents(banded)
+          .join(quality, col("id") === col("doc_id"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct(col("q_ppm"), (-col("doc_id")).as("_negid"))).as("_best"))
+          .select(col("component"), (-col("_best._negid")).as("rep_doc_id"),
+            col("_best.q_ppm").as("rep_q_ppm"), col("cluster_size"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |signed AS (
+             |  SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig
+             |  FROM docs),
+             |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+             |bh AS (
+             |  SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+             |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS key
+             |  FROM banded),
+             |lbl AS (
+             |  SELECT doc_id, doc_id AS comp FROM (SELECT DISTINCT doc_id FROM bh)
+             |  UNION
+             |  SELECT b2.doc_id, l.comp
+             |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key),
+             |comp AS (SELECT doc_id, min(comp) AS component FROM lbl GROUP BY doc_id),
+             |q AS (SELECT doc_id,
+             |    (CAST(len(list_distinct(t)) AS BIGINT) * 1000000) // CAST(len(t) AS BIGINT) AS q_ppm
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents))
+             |SELECT component,
+             |  arg_max(c.doc_id,
+             |    CAST(q.q_ppm AS HUGEINT) * 8796093022208 - c.doc_id) AS rep_doc_id,
+             |  CAST(max(q.q_ppm) AS BIGINT) AS rep_q_ppm,
+             |  CAST(count(*) AS BIGINT) AS cluster_size
+             |FROM comp c JOIN q ON q.doc_id = c.doc_id
+             |GROUP BY component ORDER BY component""".stripMargin))
   )
 }

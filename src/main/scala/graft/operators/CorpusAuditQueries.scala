@@ -236,5 +236,113 @@ object CorpusAuditQueries {
              |  arg_min(cum_tokens, rank) AS cum_tokens,
              |  CAST(max(total) AS BIGINT) AS total_tokens
              |FROM r, tot, p WHERE cum_tokens * 100 >= pct * total
-             |GROUP BY pct ORDER BY pct""".stripMargin)))
+             |GROUP BY pct ORDER BY pct""".stripMargin)),
+
+    // ---- PMI collocations: top-20 adjacent pairs by pointwise mutual
+    // information (min count 5) — multi-word-expression / tokenizer-merge
+    // candidates; the ln rounds to micro-nats, everything else integer
+    Q("q112_pmi_collocations",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.CorpusStats
+          .pmiCollocations(t.documents, "text", minCount = 5L, k = 20)
+      },
+      Some("""WITH ws AS (SELECT regexp_split_to_array(text, '\s+') AS w
+             |    FROM documents),
+             |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+             |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws)),
+             |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+             |u AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(w) AS t FROM ws) GROUP BY 1),
+             |nut AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM u),
+             |nbt AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS nb
+             |  FROM ws)
+             |SELECT w1, w2, c12,
+             |  CAST(round(ln((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE)) /
+             |    ((CAST(c1.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+             |     (CAST(c2.c AS DOUBLE) / CAST(nu AS DOUBLE)))) * 1000000.0)
+             |    AS BIGINT) AS pmi_micro
+             |FROM b JOIN u c1 ON c1.tok = b.w1 JOIN u c2 ON c2.tok = b.w2,
+             |  nut, nbt
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ---- dedup threshold sweep: pairs + docs-removed at each candidate
+    // Jaccard threshold from ONE prefix-filtered pair pass at the loosest
+    // (0.5) — the tuning audit run before committing a near-dup threshold.
+    // "removed" = the higher id of each qualifying pair (pair relation,
+    // not transitive closure — the closure view is q95's histogram)
+    Q("q114_dedup_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val t = Tables(s, d)
+        val pairs = Dedup.prefixFilterJaccard(t.documents, "doc_id", "text",
+          shingleLen = 3, threshold = 0.5)
+        val thresholds = Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+          .toDF("t_ppm")
+        thresholds.join(pairs, lit(true), "left")
+          .groupBy(col("t_ppm"))
+          .agg(
+            count(when(col("jac_ppm") >= col("t_ppm"), 1)).as("n_pairs"),
+            countDistinct(when(col("jac_ppm") >= col("t_ppm"), col("id2")))
+              .as("n_docs_removed"))
+          .orderBy(col("t_ppm"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2,
+              |    (inter * 1000000) // (s1.n + s2.n - inter) AS jac_ppm
+              |  FROM i JOIN sz s1 ON s1.doc_id = id1
+              |    JOIN sz s2 ON s2.doc_id = id2
+              |  WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)),
+              |t AS (SELECT CAST(unnest([500000, 600000, 700000, 800000,
+              |    900000]) AS BIGINT) AS t_ppm)
+              |SELECT t_ppm,
+              |  CAST(count(CASE WHEN jac_ppm >= t_ppm THEN 1 END) AS BIGINT)
+              |    AS n_pairs,
+              |  CAST(count(DISTINCT CASE WHEN jac_ppm >= t_ppm THEN id2 END)
+              |    AS BIGINT) AS n_docs_removed
+              |FROM t LEFT JOIN pr ON TRUE
+              |GROUP BY t_ppm ORDER BY t_ppm""".stripMargin)),
+
+    // ---- cross-source duplication matrix: which sources copy which —
+    // near-dup pairs at 0.5 collapsed to unordered source pairs (the
+    // provenance data-card view; within-source rows are src_a = src_b)
+    Q("q115_cross_source_dups",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = Dedup.prefixFilterJaccard(t.documents, "doc_id", "text",
+          shingleLen = 3, threshold = 0.5)
+        val src = t.documents.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id1"), col("source").as("_s1")), "id1")
+          .join(src.select(col("doc_id").as("id2"), col("source").as("_s2")), "id2")
+          .select(least(col("_s1"), col("_s2")).as("src_a"),
+            greatest(col("_s1"), col("_s2")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2
+              |  FROM i JOIN sz s1 ON s1.doc_id = id1
+              |    JOIN sz s2 ON s2.doc_id = id2
+              |  WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter))
+              |SELECT least(d1.source, d2.source) AS src_a,
+              |  greatest(d1.source, d2.source) AS src_b,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM pr JOIN documents d1 ON d1.doc_id = pr.id1
+              |  JOIN documents d2 ON d2.doc_id = pr.id2
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

@@ -120,7 +120,12 @@ object ScaleBench {
       "q93_bloom_decontaminate", "q94_ann_recall", "q95_cluster_sizes",
       "q96_prefix_jaccard", "q97_hll_audit", "q98_rrf_fusion",
       "q99_cond_entropy", "q100_embedding_cov", "q101_prototype_prune",
-      "q102_repeat_upsample", "q103_minhash_estimate") ++
+      "q102_repeat_upsample", "q103_minhash_estimate",
+      "q104_passage_dedup", "q105_softdedup_weights", "q106_jl_projection",
+      "q107_containment_join", "q108_exact_quantiles", "q109_coverage_curve",
+      "q110_padding_waste", "q111_ngram_diversity", "q112_pmi_collocations",
+      "q113_cluster_representative", "q114_dedup_threshold_sweep",
+      "q115_cross_source_dups") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
       s"1x($src) extras"))

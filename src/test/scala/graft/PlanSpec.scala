@@ -573,4 +573,31 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("partial_") || s.contains("ObjectHashAggregate") ||
       s.contains("SortAggregate"), s)
   }
+
+  test("q104 passage dedup: owner via partial-agg groupBy, never a hash window") {
+    val p = plan("q104_passage_dedup")
+    assert(!p.contains("Window"),
+      "first-occurrence ownership must not sort whole dup groups:\n" + p)
+    assert(p.contains("partial_"), "owner min must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q106 JL projection is pure per-row: no exchange before the sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = exec("q106_jl_projection")
+    // allowed exchanges: the final ORDER BY's range partitioner and
+    // Parallelism.ensure's round-robin (single-row-group testdata parquet);
+    // nothing may shuffle BY KEY — the projection itself is per-row
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(e => e.outputPartitioning.toString.contains("range") ||
+        e.outputPartitioning.toString.contains("RoundRobin"))
+    assert(shuffles.isEmpty,
+      s"projection must not shuffle vectors by key:\n$p")
+  }
+
+  test("q107 containment join: candidates from equi-joins, never all pairs") {
+    val p = plan("q107_containment_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
