@@ -103,6 +103,56 @@ object StreamingIngest {
       }
   }
 
+  final case class PassageVerdict(docId: Long, idx: Int, kept: Boolean)
+
+  /** Streaming passage-level dedup — the stateful twin of
+    * `PassageDedup.dedupPassages`: each arriving document splits into the
+    * SAME word-window passages as the batch operator, each passage keys
+    * into the state store by content hash, and the first (docId, idx) to
+    * carry a passage owns it; later carriers get kept = false. Reassembly
+    * of surviving passages is a per-doc downstream aggregation (all of a
+    * doc's verdicts land in its arrival micro-batch).
+    *
+    * Ownership is FIRST-ARRIVAL (min (docId, idx) within a micro-batch),
+    * the same convention as [[streamingExactDedup]] — deterministic under
+    * replay, but a stream cannot retract: batch dedupPassages over the
+    * same corpus may pick a different (globally minimal) owner when a
+    * lower-id document arrives after a higher one. State shards by
+    * passage hash, so throughput scales with executors and per-passage
+    * work is O(1).
+    */
+  def streamingPassageDedup(docs: Dataset[DocEvent],
+      passageWords: Int): Dataset[PassageVerdict] = {
+    require(passageWords > 0, s"passageWords must be positive")
+    import docs.sparkSession.implicits._
+    val ws = java.util.regex.Pattern.compile(
+      graft.text.TextFunctions.WhitespaceRegex)
+    def md5(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    docs
+      .flatMap { e =>
+        val w = ws.split(e.text)
+        if (e.text.isEmpty || w.isEmpty) Nil
+        else w.grouped(passageWords).zipWithIndex.map { case (g, i) =>
+          (e.docId, i, g.mkString(" "))
+        }.toSeq
+      }
+      .groupByKey(p => md5(p._3))
+      .flatMapGroupsWithState[(Long, Int), PassageVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[(Long, Int)]) =>
+          val events = batch.toSeq.sortBy(p => (p._1, p._2))
+          val known = state.getOption
+          val first = known.getOrElse((events.head._1, events.head._2))
+          if (known.isEmpty) state.update(first)
+          events.iterator.map(p => PassageVerdict(p._1, p._2,
+            known.isEmpty && (p._1, p._2) == first))
+      }
+  }
+
   final case class BandedDoc(docId: Long, bucket: String, sig: Seq[String])
 
   final case class CandidatePair(id1: Long, id2: Long, estJaccard: Double)

@@ -75,6 +75,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage dedup: cross-batch and cross-doc passage ownership") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamingIngest.DocEvent](spark)
+    val out = StreamingIngest.streamingPassageDedup(input.toDS(), passageWords = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("passage_out").start()
+    try {
+      // doc 1 owns "a b c" and "d e f"; doc 2 repeats "a b c" in-batch
+      input.addData(StreamingIngest.DocEvent(1, "a b c d e f"),
+        StreamingIngest.DocEvent(2, "a b c x y z"))
+      q.processAllAvailable()
+      // later batch: doc 3 repeats both of its passages -> nothing kept
+      input.addData(StreamingIngest.DocEvent(3, "x y z a b c"))
+      q.processAllAvailable()
+      val rows = spark.table("passage_out")
+        .as[StreamingIngest.PassageVerdict]
+        .collect().map(v => (v.docId, v.idx) -> v.kept).toMap
+      assert(rows == Map((1L, 0) -> true, (1L, 1) -> true,
+        (2L, 0) -> false, (2L, 1) -> true,
+        (3L, 0) -> false, (3L, 1) -> false))
+    } finally q.stop()
+  }
+
   test("streaming sessionization continues sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
