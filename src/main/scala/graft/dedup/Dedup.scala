@@ -563,6 +563,43 @@ object Dedup {
         expr("(inter * 1000000) div _graft_n1").as("cont_ppm"))
   }
 
+  /** Containment estimate-vs-exact audit — the q103 pattern for the
+    * asymmetric case: MinHash signature agreement m/k estimates JACCARD,
+    * and containment derives from it via
+    * C = J·(|a|+|b|) / ((1+J)·|a|)  →  est = m·(n1+n2) / ((k+m)·n1),
+    * exact integer ppm. The audit quantifies how far the cheap
+    * signature-space estimate drifts from exact containment on the pairs
+    * that matter (the exact join's own output) — the evidence for whether
+    * a signature-only screening pass is safe for a given corpus. Jaccard
+    * signatures systematically UNDER-estimate containment of small-into-
+    * large docs (J shrinks as |b| grows); err_ppm makes that visible.
+    */
+  def containmentEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = containmentJoin(df, idCol, textCol, shingleLen, threshold)
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+    pairs
+      .join(docs.select(col("doc_id").as("contained_id"),
+        col("n").as("_graft_n1"), col("sig").as("_graft_sg1")), "contained_id")
+      .join(docs.select(col("doc_id").as("container_id"),
+        col("n").as("_graft_n2"), col("sig").as("_graft_sg2")), "container_id")
+      .select(col("contained_id"), col("container_id"),
+        size(filter(zip_with(col("_graft_sg1"), col("_graft_sg2"),
+          (a, b) => a === b), x => x)).cast("long").as("matches"),
+        col("cont_ppm"), col("_graft_n1"), col("_graft_n2"))
+      .select(col("contained_id"), col("container_id"), col("matches"),
+        col("cont_ppm"),
+        expr(s"(matches * (_graft_n1 + _graft_n2) * 1000000) div " +
+          s"(($numHashes + matches) * _graft_n1)").as("est_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("cont_ppm"))
+  }
+
   /** 16-bit SimHash over the token multiset. Bit b is set when the sum of
     * ±1 votes (per-token md5 bit b) is positive. Pure per-row arithmetic on
     * hex nibbles — no UDF, portable to the SQL oracle.

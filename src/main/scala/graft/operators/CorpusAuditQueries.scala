@@ -344,5 +344,121 @@ object CorpusAuditQueries {
               |  CAST(count(*) AS BIGINT) AS n_pairs
               |FROM pr JOIN documents d1 ON d1.doc_id = pr.id1
               |  JOIN documents d2 ON d2.doc_id = pr.id2
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- join-key skew profile: the pre-join diagnostic that decides
+    // broadcast / salting / AQE settings; engine-portable arg-max via the
+    // zero-padded "count|key" string trick
+    Q("q116_skew_profile",
+      (s, d) => {
+        val t = Tables(s, d)
+        SkewJoin.skewProfile(t.lineitem, Seq("l_orderkey", "l_suppkey"))
+          .orderBy(col("key_col"))
+      },
+      Some("""WITH c1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+             |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+             |c2 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k,
+             |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+             |s1 AS (SELECT 'l_orderkey' AS key_col,
+             |    CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(max(c) AS BIGINT) AS max_cnt,
+             |    max(printf('%020d|%s', c, k)) AS top FROM c1),
+             |s2 AS (SELECT 'l_suppkey' AS key_col,
+             |    CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(max(c) AS BIGINT) AS max_cnt,
+             |    max(printf('%020d|%s', c, k)) AS top FROM c2)
+             |SELECT key_col, n_rows, n_keys, max_cnt,
+             |  substr(top, 22) AS top_key,
+             |  (max_cnt * n_keys * 1000000) // n_rows AS skew_ratio_ppm
+             |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+             |ORDER BY key_col""".stripMargin)),
+
+    // ---- salted join: the oracle is the UNSALTED plain join, so the hash
+    // match PROVES the salt-scatter/replicate rewrite is semantics-free
+    Q("q117_salted_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        SkewJoin.saltedInnerJoin(t.lineitem, t.orders,
+            "l_orderkey", "o_orderkey",
+            saltBy = Seq(col("l_orderkey"), col("l_linenumber")),
+            saltFactor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .as("rev_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS rev_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- token-weighted exact quantiles: "the doc length below which
+    // half the corpus TOKENS sit" — the form batching decisions need;
+    // same histogram-refinement core as q108, ranking on weight
+    Q("q118_weighted_quantiles",
+      (s, d) => {
+        val t = Tables(s, d)
+        Quantiles.exactWeightedQuantiles(
+            t.documents.select(col("lang").as("g"),
+              col("n_chars").as("v"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("w")),
+            "g", "v", "w", qsPpm = Seq(500000L, 900000L))
+          .orderBy(col("g"), col("q_ppm"))
+      },
+      Some("""WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS w
+             |  FROM documents),
+             |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS n FROM v GROUP BY g),
+             |r AS (SELECT g, v,
+             |    CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+             |  FROM v),
+             |q AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_ppm)
+             |SELECT t.g AS g, q_ppm, n,
+             |  (q_ppm * n + 999999) // 1000000 AS rank,
+             |  min(CASE WHEN cum >= (q_ppm * n + 999999) // 1000000
+             |    THEN v END) AS value
+             |FROM r JOIN tot t ON t.g = r.g, q
+             |GROUP BY t.g, q_ppm, n ORDER BY t.g, q_ppm""".stripMargin)),
+
+    // ---- containment estimate audit (the q103 pattern, asymmetric):
+    // signature-agreement Jaccard converted to containment vs the exact
+    // join's own pairs — is signature-only screening safe here?
+    Q("q119_containment_estimate",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.containmentEstimateAudit(t.documents, "doc_id", "text",
+            shingleLen = 3, numHashes = 16, threshold = 0.8)
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |signed AS (
+              |  SELECT doc_id, sh, ${Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT contained_id, container_id,
+              |    (inter * 1000000) // s1.n AS cont_ppm, s1.n AS n1, s2.n AS n2
+              |  FROM i JOIN sz s1 ON s1.doc_id = contained_id
+              |    JOIN sz s2 ON s2.doc_id = container_id
+              |  WHERE inter * 1000000 >= 800000 * s1.n),
+              |m AS (SELECT contained_id, container_id, cont_ppm, n1, n2,
+              |    CAST(len(list_filter(range(1, 17),
+              |      j -> d1.sig[CAST(j AS INT)] = d2.sig[CAST(j AS INT)]))
+              |      AS BIGINT) AS matches
+              |  FROM pr JOIN signed d1 ON d1.doc_id = contained_id
+              |    JOIN signed d2 ON d2.doc_id = container_id)
+              |SELECT contained_id, container_id, matches, cont_ppm,
+              |  (matches * (n1 + n2) * 1000000) // ((16 + matches) * n1)
+              |    AS est_ppm,
+              |  (matches * (n1 + n2) * 1000000) // ((16 + matches) * n1)
+              |    - cont_ppm AS err_ppm
+              |FROM m ORDER BY contained_id, container_id""".stripMargin)))
 }

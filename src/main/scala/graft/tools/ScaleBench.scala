@@ -124,10 +124,17 @@ object ScaleBench {
       "q104_passage_dedup", "q105_softdedup_weights", "q106_jl_projection",
       "q107_containment_join", "q108_exact_quantiles", "q109_coverage_curve",
       "q110_padding_waste", "q111_ngram_diversity", "q112_pmi_collocations",
-      "q113_cluster_representative", "q114_dedup_threshold_sweep",
-      "q115_cross_source_dups") ++
+      "q113_cluster_representative", "q116_skew_profile", "q117_salted_join",
+      "q118_weighted_quantiles", "q119_containment_estimate") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
-    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras),
+    // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
+    // shares ~40% of shingles verbatim across replicas, and at the loose
+    // threshold the candidate volume is the q107 artifact magnified
+    // (BENCH_sf1 comment) — their ~sf1 correctness is still pinned by the
+    // full oracle gate on the kept dir
+    val extras1x = extras ++
+      Seq("q114_dedup_threshold_sweep", "q115_cross_source_dups")
+    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
       s"1x($src) extras"))
     spark.catalog.clearCache() // q62/q64 persist per-dir token frames
 

@@ -74,6 +74,31 @@ class PrefixSumQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("exactWeightedQuantiles equals weighted sorted truth across depths") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val rows = (1 to 3000).map { _ =>
+      ("a", rnd.nextInt(100000).toLong, 1L + rnd.nextInt(50))
+    } ++ (1 to 400).map(_ => ("ties", rnd.nextInt(5).toLong, 1L + rnd.nextInt(9)))
+    val qs = Seq(100000L, 500000L, 900000L, 1000000L)
+    def truth(g: String, q: Long): Long = {
+      val vs = rows.filter(_._1 == g).map(t => (t._2, t._3)).sortBy(_._1)
+      val w = vs.map(_._2).sum
+      val target = (q * w + 999999L) / 1000000L
+      var cum = 0L
+      vs.find { case (_, wi) => cum += wi; cum >= target }.get._1
+    }
+    for ((bins, smallEnough) <- Seq((64, 8192), (8, 4))) {
+      val got = Quantiles.exactWeightedQuantiles(rows.toDF("g", "v", "w"),
+          "g", "v", "w", qs, bins = bins, smallEnough = smallEnough)
+        .select("g", "q_ppm", "value").as[(String, Long, Long)]
+        .collect().map { case (g, q, v) => (g, q) -> v }.toMap
+      for (g <- Seq("a", "ties"); q <- qs)
+        assert(got((g, q)) == truth(g, q),
+          s"bins=$bins smallEnough=$smallEnough $g q=$q")
+    }
+  }
+
   test("exactQuantiles maxSearches guard fails fast") {
     import spark.implicits._
     val df = (1 to 100).map(i => (s"g$i", i.toLong)).toDF("g", "v")
