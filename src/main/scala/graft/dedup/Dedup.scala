@@ -600,6 +600,63 @@ object Dedup {
       .withColumn("err_ppm", col("est_ppm") - col("cont_ppm"))
   }
 
+  /** Mergeable per-group MinHash sketches + gram-space similarity audit —
+    * the shard-wise processing story at 100 TB: each document's signature
+    * is computed once by the per-row kernel, per-group sketches are the
+    * ELEMENTWISE UNSIGNED MIN of member signatures (a min-merge is the
+    * signature of the union of the gram sets — associative, commutative,
+    * constant-size, so shards sketch independently and merge in a
+    * partial-agg'd groupBy), and any two groups' gram-space Jaccard is then
+    * estimated from sketch agreement WITHOUT touching the corpus again.
+    * The audit emits the exact gram-space Jaccard next to the estimate —
+    * the evidence for how much to trust sketch-only comparisons (k=16
+    * gives ±~12% absolute; scale k for tighter bounds).
+    *
+    * Output: (src_a, src_b, matches, est_ppm, exact_ppm, err_ppm) for all
+    * unordered group pairs, including gram-disjoint ones (exact 0).
+    */
+  def sourceSketchSimilarity(df: DataFrame, textCol: String,
+      groupCol: String, shingleLen: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = graft.operators.Parallelism.ensure(
+        df.select(col(groupCol).as("src"), col(textCol)))
+      .select(col("src"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = base.select(col("src"), minhashSignature(col("sh"), k).as("sig"))
+    val minCols = (0 until k).map(i =>
+      min(element_at(col("sig"), i + 1).cast("decimal(20,0)")).as(s"_m$i"))
+    val sketches = sigs.groupBy(col("src")).agg(minCols.head, minCols.tail: _*)
+    val grams = base.select(col("src"), explode(col("sh")).as("w")).distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("_graft_i"))
+    val matches = (0 until k).map(i =>
+      when(col(s"x._m$i") === col(s"y._m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sketches.as("x").join(sketches.as("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        matches.as("matches"))
+      .join(sizes.select(col("src").as("src_a"), col("n").as("_na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("_nb")), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("_gi", coalesce(col("_graft_i"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        expr(s"(matches * 1000000) div $k").as("est_ppm"),
+        expr("(_gi * 1000000) div (_na + _nb - _gi)").as("exact_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+  }
+
+  /** DuckDB twin of [[sourceSketchSimilarity]]'s sketch merge: the k
+    * per-position unsigned mins over a per-row `sigCol` list (pair with
+    * [[minhashSigSql]] for the per-row signatures)
+    */
+  def sketchMergeSql(sigCol: String, k: Int): String =
+    (0 until k).map(i =>
+      s"min(CAST($sigCol[${i + 1}] AS UBIGINT)) AS _m$i").mkString(",\n  ")
+
   /** 16-bit SimHash over the token multiset. Bit b is set when the sum of
     * ±1 votes (per-token md5 bit b) is positive. Pure per-row arithmetic on
     * hex nibbles — no UDF, portable to the SQL oracle.

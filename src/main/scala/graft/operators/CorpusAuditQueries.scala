@@ -460,5 +460,46 @@ object CorpusAuditQueries {
               |    AS est_ppm,
               |  (matches * (n1 + n2) * 1000000) // ((16 + matches) * n1)
               |    - cont_ppm AS err_ppm
-              |FROM m ORDER BY contained_id, container_id""".stripMargin)))
+              |FROM m ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ---- mergeable per-source MinHash sketches: doc signatures min-merge
+    // into source sketches (associative — the shard-then-merge shape);
+    // source-pair gram-space similarity from sketch agreement, audited
+    // against the exact Jaccard
+    Q("q120_source_sketches",
+      (s, d) => {
+        val t = Tables(s, d)
+        Dedup.sourceSketchSimilarity(t.documents, "text", "source",
+            shingleLen = 3, k = 16)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |d2 AS (SELECT dd.source, docs.sh FROM docs
+              |  JOIN documents dd ON dd.doc_id = docs.doc_id),
+              |sigs AS (SELECT source, ${Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM d2),
+              |merged AS (SELECT source,
+              |  ${Dedup.sketchMergeSql("sig", 16)}
+              |  FROM sigs GROUP BY source),
+              |g AS (SELECT DISTINCT source, unnest(sh) AS w FROM d2),
+              |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g
+              |  GROUP BY source),
+              |i AS (SELECT a.source AS src_a, b.source AS src_b,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM g a JOIN g b ON a.w = b.w AND a.source < b.source
+              |  GROUP BY 1, 2),
+              |p AS (SELECT x.source AS src_a, y.source AS src_b,
+              |    CAST(${(0 until 16).map(i => s"(CASE WHEN x._m$i = y._m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+              |      AS BIGINT) AS matches
+              |  FROM merged x JOIN merged y ON x.source < y.source)
+              |SELECT p.src_a, p.src_b, matches,
+              |  (matches * 1000000) // 16 AS est_ppm,
+              |  (coalesce(inter, 0) * 1000000)
+              |    // (sa.n + sb.n - coalesce(inter, 0)) AS exact_ppm,
+              |  (matches * 1000000) // 16 - (coalesce(inter, 0) * 1000000)
+              |    // (sa.n + sb.n - coalesce(inter, 0)) AS err_ppm
+              |FROM p JOIN sz sa ON sa.source = p.src_a
+              |  JOIN sz sb ON sb.source = p.src_b
+              |  LEFT JOIN i ON i.src_a = p.src_a AND i.src_b = p.src_b
+              |ORDER BY p.src_a, p.src_b""".stripMargin)))
 }

@@ -125,7 +125,8 @@ object ScaleBench {
       "q107_containment_join", "q108_exact_quantiles", "q109_coverage_curve",
       "q110_padding_waste", "q111_ngram_diversity", "q112_pmi_collocations",
       "q113_cluster_representative", "q116_skew_profile", "q117_salted_join",
-      "q118_weighted_quantiles", "q119_containment_estimate") ++
+      "q118_weighted_quantiles", "q119_containment_estimate",
+      "q120_source_sketches") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose

@@ -600,4 +600,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q117 salted join: the join keys on the salt, not the raw key alone") {
+    val p = plan("q117_salted_join")
+    assert(p.contains("_graft_salt"),
+      "the executed join must key on (orderkey, salt):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
