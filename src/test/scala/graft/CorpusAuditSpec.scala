@@ -72,6 +72,26 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("containmentJoin maxDf: above-all cap is exact; capped mode only drops pairs") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val vocab = (1 to 10).map(i => s"w$i")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(maxDf: Option[Long]) =
+      Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.5, maxDf)
+        .select("contained_id", "container_id").as[(Long, Long)]
+        .collect().toSet
+    val exact = run(None)
+    assert(run(Some(Long.MaxValue)) == exact,
+      "a never-binding cap must not change the result")
+    val capped = run(Some(2L))
+    assert(capped.subsetOf(exact),
+      "a binding cap may only DROP pairs, never invent them")
+  }
+
   test("signProjection matches the exact integer reference") {
     import spark.implicits._
     val rnd = new Random(11)
