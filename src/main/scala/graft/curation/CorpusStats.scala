@@ -4,7 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.BoundedTopKAgg
 import graft.text.TextFunctions
+
+/** one bounded-top-k keyness candidate: exact integer G², token, counts */
+final case class KeynessTerm(g2: Long, term: String, a: Long, b: Long,
+    enriched: Boolean)
 
 /** Corpus-distribution audits. The first is the classic Zipf rank-frequency
   * check: a healthy natural-language slice has log-frequency falling
@@ -95,6 +100,115 @@ object CorpusStats {
                |    CAST(n_types * _graft_sxy - _graft_sx * _graft_sy AS DOUBLE) /
                |    CAST(n_types * _graft_sxx - _graft_sx * _graft_sx AS DOUBLE))
                |    AS BIGINT) END""".stripMargin).as("slope_micro"))
+  }
+
+  /** Per-document n-gram novelty under an explicit processing order — the
+    * "how much NEW content does each increment add" curve of an ever-growing
+    * crawl: every distinct corpus gram is attributed to the FIRST document
+    * (by `orderCol`, ascending) containing it; a document's novelty is the
+    * share of its distinct grams it introduced. Near-1 novelty throughout
+    * means the corpus is still growing content; decaying novelty quantifies
+    * saturation (and a sudden novelty collapse flags a re-crawl).
+    *
+    * Output: (orderCol, n_grams, n_novel, novel_ppm) per document, exact
+    * integer ppm.
+    *
+    * Scale shape: one shuffle groups the distinct (doc, gram) stream by
+    * gram for the min-owner aggregate (partial-agg'd map-side); the
+    * ownership table joins back onto the same per-doc gram stream; the
+    * per-doc counts partial-agg again. No windows, no driver state — the
+    * attribution is a pure `min` so shard arrival order never matters.
+    */
+  def gramNovelty(docs: DataFrame, textCol: String, orderCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val docGrams = docs
+      .select(col(orderCol).cast("long").as("_graft_ord"),
+        filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+          .as("_graft_toks"))
+      .select(col("_graft_ord"),
+        explode(QualitySignals.ngrams(col("_graft_toks"), n)).as("_graft_gram"))
+      .distinct()
+    val owners = docGrams.groupBy(col("_graft_gram"))
+      .agg(min(col("_graft_ord")).as("_graft_first"))
+    docGrams.join(owners, "_graft_gram")
+      .groupBy(col("_graft_ord"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_graft_ord") === col("_graft_first"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("_graft_ord").as(orderCol), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novel_ppm"))
+  }
+
+  /** Per-group keyness: which terms are statistically over-represented in
+    * each slice vs the REST of the corpus, ranked by Dunning's log-likelihood
+    * G² (the corpus-linguistics standard — robust where raw ratio or χ²
+    * explodes on rare terms). For term w in group g with in-group count a,
+    * rest count b, group token total Na, rest total Nb:
+    * G² = 2·(a·ln(a/E1) + b·ln(b/E2)), E1 = Na·(a+b)/(Na+Nb),
+    * E2 = Nb·(a+b)/(Na+Nb); a zero count contributes zero. The practical
+    * use: per-source vocabulary drift ("what does THIS crawl talk about"),
+    * contamination fingerprints, domain labeling.
+    *
+    * Output: (groupCol, rank, term, a, b, enriched, g2_micro) — top `k`
+    * terms per group by (G² desc, term), `enriched` true when the term is
+    * OVER-represented in the group (a·Nb > b·Na, exact cross-multiply).
+    *
+    * Determinism: both ln terms quantize to micro-nats per term before the
+    * ×2 and the integer multiply by a/b — the q62/q112 convention — so the
+    * ranking key is an exact long. Scale shape: ONE corpus-token shuffle
+    * builds (group, term) counts; term totals re-aggregate that result
+    * (vocabulary-sized); group totals broadcast; the per-group top-k is a
+    * bounded aggregate (k rows per group per partition on the exchange),
+    * never a window sort.
+    */
+  def keynessTopK(docs: DataFrame, textCol: String, groupCol: String,
+      minCount: Long = 5L, k: Int = 10): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = docs
+      .select(col(groupCol).as("_graft_g"),
+        explode(TextFunctions.tokens(col(textCol))).as("_graft_tok"))
+      .filter(col("_graft_tok") =!= "")
+      .groupBy(col("_graft_g"), col("_graft_tok"))
+      .agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termTotals = counts.groupBy(col("_graft_tok"))
+      .agg(sum(col("a")).as("_graft_ct"))
+    val groupTotals = counts.groupBy(col("_graft_g"))
+      .agg(sum(col("a")).as("_graft_na"))
+    val grand = groupTotals.agg(sum(col("_graft_na")).as("_graft_n"))
+    val scored = counts
+      .join(termTotals, "_graft_tok")
+      .join(broadcast(groupTotals), "_graft_g")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("_graft_ct") - col("a"))
+      .withColumn("_graft_nb", col("_graft_n") - col("_graft_na"))
+      .filter(col("a") + col("b") >= minCount)
+      .withColumn("_graft_l1",
+        round(log((col("a") * col("_graft_n")).cast("double") /
+          (col("_graft_na") * (col("a") + col("b"))).cast("double")) * 1e6)
+          .cast("long"))
+      .withColumn("_graft_l2",
+        when(col("b") === 0L, 0L).otherwise(
+          round(log((col("b") * col("_graft_n")).cast("double") /
+            (col("_graft_nb") * (col("a") + col("b"))).cast("double")) * 1e6)
+            .cast("long")))
+      .select(col("_graft_g"), col("_graft_tok"), col("a"), col("b"),
+        (lit(2L) * (col("a") * col("_graft_l1") + col("b") * col("_graft_l2")))
+          .as("g2_micro"),
+        (col("a") * col("_graft_nb") > col("b") * col("_graft_na"))
+          .as("enriched"))
+    val tk = udaf(new BoundedTopKAgg[KeynessTerm](k,
+      Ordering.by((t: KeynessTerm) => (-t.g2, t.term))))
+    scored.groupBy(col("_graft_g"))
+      .agg(tk(col("g2_micro"), col("_graft_tok"), col("a"), col("b"),
+        col("enriched")).as("top"))
+      .select(col("_graft_g"), posexplode(col("top")))
+      .select(col("_graft_g").as(groupCol),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), col("col.a").as("a"), col("col.b").as("b"),
+        col("col.enriched").as("enriched"), col("col.g2").as("g2_micro"))
   }
 
   /** Top-k collocations by pointwise mutual information over ADJACENT word

@@ -119,4 +119,67 @@ object QualitySignals {
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(k)
   }
+
+  /** Gopher-style filter-rule ATTRIBUTION per slice: not just "how many docs
+    * survive" but which rule kills what, per source — the report that decides
+    * whether a rule is miscalibrated for a domain (code trips the symbol
+    * rule, tables trip the digit rule) before a 100 TB filtering run.
+    *
+    * Rules (all integer compares; ratios cross-multiplied so no float ever
+    * appears):
+    *   short      token count < minTokens
+    *   long       token count > maxTokens
+    *   mean_len   mean token length outside [3, 10]
+    *   symbol     non-alphanumeric, non-whitespace chars > 10% of text
+    *   digit      digit chars > 20% of text
+    *   stopword   < 2 distinct stopwords present
+    *   repeat     most frequent token > 20% of all tokens
+    *
+    * Output: one row per group — (groupCol, n_docs, f_short, f_long,
+    * f_mean_len, f_symbol, f_digit, f_stopword, f_repeat, n_pass) where
+    * n_pass counts documents failing NO rule.
+    *
+    * Scale shape: every rule is a per-row codegen'd fold (the repetition
+    * rule reuses the O(n log n) sorted-run fold); the only exchange is the
+    * final per-group count aggregate, partial-agg'd map-side.
+    */
+  def ruleAttribution(df: DataFrame, textCol: String, groupCol: String,
+      stops: Seq[String] = TextFunctions.DefaultStopwords,
+      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val base = df.select(col(groupCol).as("_graft_g"),
+        col(textCol).as("_graft_text"),
+        TextFunctions.tokens(col(textCol)).as("_graft_t"))
+      .select(col("_graft_g"), col("_graft_text"), col("_graft_t"),
+        size(col("_graft_t")).cast("long").as("_graft_nt"),
+        aggregate(col("_graft_t"), lit(0L), (a, x) => a + length(x))
+          .as("_graft_sumlen"),
+        length(regexp_replace(col("_graft_text"),
+          "[A-Za-z0-9 \\t\\n\\r\\f]", "")).cast("long").as("_graft_sym"),
+        length(regexp_replace(col("_graft_text"), "[^0-9]", ""))
+          .cast("long").as("_graft_dig"),
+        length(col("_graft_text")).cast("long").as("_graft_len"),
+        size(array_intersect(array_distinct(col("_graft_t")),
+          array(stops.map(lit): _*))).as("_graft_nstop"),
+        maxElementCount(col("_graft_t")).as("_graft_top"))
+    val flagged = base.select(col("_graft_g"),
+      (col("_graft_nt") < minTokens).as("r_short"),
+      (col("_graft_nt") > maxTokens).as("r_long"),
+      (col("_graft_sumlen") < lit(3L) * col("_graft_nt") ||
+        col("_graft_sumlen") > lit(10L) * col("_graft_nt")).as("r_mean"),
+      (col("_graft_sym") * 10L > col("_graft_len")).as("r_sym"),
+      (col("_graft_dig") * 5L > col("_graft_len")).as("r_dig"),
+      (col("_graft_nstop") < 2).as("r_stop"),
+      (col("_graft_top") * 5L > col("_graft_nt")).as("r_rep"))
+    def f(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    flagged.groupBy(col("_graft_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        f("r_short").as("f_short"), f("r_long").as("f_long"),
+        f("r_mean").as("f_mean_len"), f("r_sym").as("f_symbol"),
+        f("r_dig").as("f_digit"), f("r_stop").as("f_stopword"),
+        f("r_rep").as("f_repeat"),
+        sum(when(!col("r_short") && !col("r_long") && !col("r_mean") &&
+          !col("r_sym") && !col("r_dig") && !col("r_stop") && !col("r_rep"),
+          1L).otherwise(0L)).as("n_pass"))
+      .withColumnRenamed("_graft_g", groupCol)
+  }
 }

@@ -68,4 +68,70 @@ object TfIdf {
         col("col.token").as("token"), col("col.tf").as("tf"),
         col("col.score").as("score_micro"))
   }
+
+  /** All-pairs document similarity by TF-IDF cosine over the shared-term
+    * inverted index (Bayardo et al.'s APSS shape) — the weighted
+    * complement to gram-set Jaccard (q24/q25): near-topical pairs surface
+    * even when exact shingles don't repeat. Every candidate comes from the
+    * token equi-join (a pair with no shared term has cosine 0), so the plan
+    * is index-join → pair partial-agg → norm join: never a cross product.
+    *
+    * Determinism: weights are exact longs (tf × milli-nat idf, idf
+    * quantized per TERM), numerators and squared norms are exact integer
+    * sums, and the reported `cos2_ppm` = ⌊num²·10⁶ / (‖a‖²·‖b‖²)⌋ is an
+    * integral decimal division — the SQUARED cosine, monotone in cosine
+    * since weights are nonnegative, so thresholding at `t2Ppm` =
+    * round(t²·10⁶) is order-identical to thresholding cosine at t.
+    *
+    * Scale: candidate volume is Σ_token df² — `maxDf` caps the boilerplate
+    * tail (dropping a term with df near N also drops near-zero idf weight,
+    * so the cap is a bounded-error knob, unlike Jaccard prefix filtering
+    * it is NOT lossless; the gate runs uncapped). Magnitude bounds
+    * (documented, enforced upstream): tf·idf ≤ ~2×10⁶ and ≤ ~10⁴ distinct
+    * terms/doc keep num² · 10⁶ inside DECIMAL(38,0)/HUGEINT.
+    */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      t2Ppm: Long, maxDf: Option[Long] = None,
+      maxDfPpm: Option[Long] = None): DataFrame = {
+    require(t2Ppm >= 0 && t2Ppm <= 1000000L,
+      s"t2Ppm must be in [0, 1e6], got $t2Ppm")
+    require(maxDf.isEmpty || maxDfPpm.isEmpty,
+      "pass maxDf (absolute) or maxDfPpm (fraction of corpus), not both")
+    val tf = graft.operators.Parallelism.ensure(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("_graft_t")))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("_graft_t"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = tf.select(col("doc_id")).distinct().count()
+    val dfs0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // the relative cap resolves against the corpus it runs on, so a query
+    // keeps its selectivity across scale factors where an absolute cap
+    // silently empties (or floods) at 10×
+    val dfs1 = maxDfPpm.fold(dfs0)(ppm =>
+      dfs0.filter(col("df") * 1000000L <= lit(nDocs * ppm)))
+    val dfs = maxDf.fold(dfs1)(cap => dfs1.filter(col("df") <= cap))
+    val w = tf.join(dfs, "token")
+      .select(col("doc_id"), col("token"),
+        (col("tf") * round(log(lit(nDocs.toDouble) / col("df").cast("double"))
+          * 1e3).cast("long")).as("w"))
+      .filter(col("w") > 0) // df = N terms carry zero idf: thin the index
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("_graft_ss"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("num"))
+    pairs
+      .join(norms.select(col("doc_id").as("id_a"), col("_graft_ss").as("_graft_sa")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("_graft_ss").as("_graft_sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("num"),
+        expr("""(CAST(num AS DECIMAL(38,0)) * num * 1000000) div
+               |  (CAST(_graft_sa AS DECIMAL(38,0)) * _graft_sb)""".stripMargin)
+          .cast("long").as("cos2_ppm"))
+      .filter(col("cos2_ppm") >= t2Ppm)
+  }
 }

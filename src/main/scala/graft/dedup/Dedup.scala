@@ -524,14 +524,22 @@ object Dedup {
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double,
       maxDf: Option[Long] = None): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0,1], got $threshold")
-    val tPpm = math.round(threshold * 1e6)
     val docs = graft.operators.Parallelism.ensure(
         df.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    containmentJoinFromShingles(docs, threshold, maxDf)
+  }
+
+  /** [[containmentJoin]] over a pre-shingled `(doc_id, sh)` frame the caller
+    * has (ideally) persisted — lets composed audits share ONE shingle scan
+    * across the join and their own signature passes. */
+  def containmentJoinFromShingles(docs: DataFrame, threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
     val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("w"))
     val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -577,11 +585,13 @@ object Dedup {
   def containmentEstimateAudit(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val pairs = containmentJoin(df, idCol, textCol, shingleLen, threshold)
-    val docs = graft.operators.Parallelism.ensure(
+    val shingled = graft.operators.Parallelism.ensure(
         df.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = containmentJoinFromShingles(shingled, threshold)
+    val docs = shingled
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         minhashSignature(col("sh"), numHashes).as("sig"))
     pairs

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.curation.{CorpusStats, QualityClassifier, QualitySignals, RankEval, TfIdf}
+import graft.dedup.{LshPlanner, Normalize, SortedNeighborhood}
+import graft.similarity.EmbeddingStats
+import graft.text.TextFunctions
+
+/** Round-10 corpus reporting / evaluation operators: normalization-aware
+  * dedup, incremental-novelty attribution, weighted all-pairs similarity,
+  * filter-rule attribution, time-grid imputation, per-slice keyness, and
+  * exact AUC ranking evaluation.
+  *
+  * Oracle parity: the repo-wide integer conventions — counts, cross-
+  * multiplied ratio compares, micro/milli-nat quantized lns, integral
+  * decimal division for the one squared-cosine ratio.
+  */
+object CorpusReportQueries {
+
+  private val stops = TextFunctions.DefaultStopwords
+  private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- normalization-aware exact dedup: hash the casefolded/punct-
+    // stripped/ws-collapsed text and compare group sizes against raw hashing
+    Q("q121_normalized_dedup",
+      (s, d) => {
+        val t = Tables(s, d)
+        Normalize.normalizedDedupAudit(t.documents, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, md5(text) AS rh,
+              |    md5(${Normalize.normalizeSql("text")}) AS nh
+              |  FROM documents),
+              |r AS (SELECT rh, CAST(count(*) AS BIGINT) AS raw_group_size
+              |  FROM b GROUP BY rh),
+              |n AS (SELECT nh, CAST(count(*) AS BIGINT) AS norm_group_size,
+              |    min(doc_id) AS canon
+              |  FROM b GROUP BY nh)
+              |SELECT doc_id, raw_group_size, norm_group_size,
+              |  doc_id = canon AS is_canonical,
+              |  norm_group_size > raw_group_size AS revealed
+              |FROM b JOIN r USING (rh) JOIN n USING (nh)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-document gram novelty under doc_id processing order: every
+    // distinct gram attributed to its first document; novelty = introduced
+    // share — the "is this crawl still adding content" curve
+    Q("q122_gram_novelty",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.gramNovelty(t.documents, "text", "doc_id", n = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id, gram FROM (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             |      ELSE []::VARCHAR[] END) AS gram
+             |  FROM tok)),
+             |o AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY gram)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(count(*) FILTER (WHERE doc_id = first) AS BIGINT) AS n_novel,
+             |  (CAST(count(*) FILTER (WHERE doc_id = first) AS BIGINT) * 1000000)
+             |    // CAST(count(*) AS BIGINT) AS novel_ppm
+             |FROM g JOIN o USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- all-pairs TF-IDF cosine (APSS): weighted topical similarity from
+    // the shared-term inverted index; maxDf caps the boilerplate tail (the
+    // oracle applies the SAME cap, so the gate pins the capped path exactly)
+    Q("q123_cosine_pairs",
+      (s, d) => {
+        val t = Tables(s, d)
+        TfIdf.cosinePairs(t.documents, "doc_id", "text",
+            t2Ppm = 250000L, maxDfPpm = Some(200000L))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |        FROM documents)
+             |  WHERE token <> '' GROUP BY doc_id, token),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+             |dfs AS (SELECT token, df FROM
+             |  (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+             |   GROUP BY token), nd
+             |  WHERE df * 5 <= n),
+             |w AS (SELECT doc_id, token,
+             |    tf * CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e3)
+             |      AS BIGINT) AS w
+             |  FROM tf JOIN dfs USING (token), nd),
+             |w2 AS (SELECT * FROM w WHERE w > 0),
+             |norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS ss FROM w2
+             |  GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(sum(a.w*b.w) AS BIGINT) AS num
+             |  FROM w2 a JOIN w2 b ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b, num,
+             |    CAST((CAST(num AS HUGEINT) * num * 1000000)
+             |      // (CAST(sa.ss AS HUGEINT) * sb.ss) AS BIGINT) AS cos2_ppm
+             |  FROM p JOIN norms sa ON sa.doc_id = id_a
+             |    JOIN norms sb ON sb.doc_id = id_b)
+             |SELECT id_a, id_b, num, cos2_ppm FROM sc
+             |WHERE cos2_ppm >= 250000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Gopher-style rule attribution per source: which filter rule
+    // kills what, before committing a 100 TB filtering run
+    Q("q124_rule_attribution",
+      (s, d) => {
+        val t = Tables(s, d)
+        QualitySignals.ruleAttribution(t.documents, "text", "source")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH b AS (SELECT source, text,
+              |    regexp_split_to_array(text, '\\s+') AS t
+              |  FROM documents),
+              |m AS (SELECT source,
+              |    CAST(len(t) AS BIGINT) AS nt,
+              |    CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+              |      AS BIGINT) AS sumlen,
+              |    CAST(len(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g'))
+              |      AS BIGINT) AS sym,
+              |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dig,
+              |    CAST(len(text) AS BIGINT) AS len_t,
+              |    CAST(len(list_intersect(list_distinct(t), $stopsSql))
+              |      AS BIGINT) AS nstop,
+              |    CAST(coalesce(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))), 0) AS BIGINT) AS top
+              |  FROM b),
+              |f AS (SELECT source,
+              |    nt < 50 AS r_short, nt > 100000 AS r_long,
+              |    (sumlen < 3*nt OR sumlen > 10*nt) AS r_mean,
+              |    sym*10 > len_t AS r_sym, dig*5 > len_t AS r_dig,
+              |    nstop < 2 AS r_stop, top*5 > nt AS r_rep
+              |  FROM m)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(*) FILTER (WHERE r_short) AS BIGINT) AS f_short,
+              |  CAST(count(*) FILTER (WHERE r_long) AS BIGINT) AS f_long,
+              |  CAST(count(*) FILTER (WHERE r_mean) AS BIGINT) AS f_mean_len,
+              |  CAST(count(*) FILTER (WHERE r_sym) AS BIGINT) AS f_symbol,
+              |  CAST(count(*) FILTER (WHERE r_dig) AS BIGINT) AS f_digit,
+              |  CAST(count(*) FILTER (WHERE r_stop) AS BIGINT) AS f_stopword,
+              |  CAST(count(*) FILTER (WHERE r_rep) AS BIGINT) AS f_repeat,
+              |  CAST(count(*) FILTER (WHERE NOT (r_short OR r_long OR r_mean
+              |    OR r_sym OR r_dig OR r_stop OR r_rep)) AS BIGINT) AS n_pass
+              |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- LOCF time-grid imputation: per-user 6h grid over each user's
+    // span, last observation carried forward (gaps-and-islands fill)
+    Q("q125_locf_grid",
+      (s, d) => {
+        val t = Tables(s, d)
+        TimeFill.locfGrid(t.events, "user_id", "ts", "value",
+            stepSeconds = 21600L)
+          .orderBy(col("user_id"), col("slot_start"))
+      },
+      Some("""WITH o AS (SELECT user_id AS k, epoch_us(ts) AS us,
+             |    CAST(round(value*100) AS BIGINT) AS cents,
+             |    epoch_us(ts) // 21600000000 AS slot
+             |  FROM events),
+             |last AS (SELECT k, slot, max(us) AS lastus FROM o GROUP BY k, slot),
+             |sv AS (SELECT o.k, o.slot, max(o.cents) AS v
+             |  FROM o JOIN last ON o.k = last.k AND o.slot = last.slot
+             |    AND o.us = last.lastus
+             |  GROUP BY o.k, o.slot),
+             |spans AS (SELECT k, min(slot) AS lo, max(slot) AS hi FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(range(lo, hi + 1)) AS slot FROM spans),
+             |j AS (SELECT g.k, g.slot, sv.v,
+             |    count(sv.v) OVER (PARTITION BY g.k ORDER BY g.slot) AS isl
+             |  FROM grid g LEFT JOIN sv ON sv.k = g.k AND sv.slot = g.slot)
+             |SELECT k AS user_id, make_timestamp(slot * 21600000000) AS slot_start,
+             |  max(v) OVER (PARTITION BY k, isl) AS value_cents,
+             |  v IS NULL AS filled
+             |FROM j ORDER BY user_id, slot_start""".stripMargin)),
+
+    // ---- per-source keyness (Dunning G²): which terms are over-represented
+    // in each slice vs the rest — vocabulary drift / domain labeling
+    Q("q126_keyness",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.keynessTopK(t.documents, "text", "source",
+            minCount = 5L, k = 10)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT source AS g,
+             |    unnest(regexp_split_to_array(text, '\s+')) AS w
+             |  FROM documents),
+             |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS a FROM tok
+             |  WHERE w <> '' GROUP BY g, w),
+             |ct AS (SELECT w, CAST(sum(a) AS BIGINT) AS cw FROM c GROUP BY w),
+             |gt AS (SELECT g, CAST(sum(a) AS BIGINT) AS na FROM c GROUP BY g),
+             |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n FROM gt),
+             |s AS (SELECT c.g, c.w, c.a, ct.cw - c.a AS b, gt.na,
+             |    tot.n - gt.na AS nb, tot.n AS n
+             |  FROM c JOIN ct USING (w) JOIN gt USING (g), tot
+             |  WHERE ct.cw >= 5),
+             |sc AS (SELECT g, w, a, b,
+             |    2 * (a * CAST(round(ln(CAST(a * n AS DOUBLE)
+             |          / CAST(na * (a + b) AS DOUBLE)) * 1e6) AS BIGINT)
+             |       + b * (CASE WHEN b = 0 THEN 0
+             |          ELSE CAST(round(ln(CAST(b * n AS DOUBLE)
+             |            / CAST(nb * (a + b) AS DOUBLE)) * 1e6) AS BIGINT) END))
+             |      AS g2,
+             |    a * nb > b * na AS enriched
+             |  FROM s),
+             |r AS (SELECT g, w, a, b, g2, enriched,
+             |    row_number() OVER (PARTITION BY g ORDER BY g2 DESC, w) AS rank
+             |  FROM sc)
+             |SELECT g AS source, CAST(rank AS INT) AS rank, w AS term, a, b,
+             |  enriched, g2 AS g2_micro
+             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
+
+    // ---- exact AUC of the q71 distilled classifier against its own
+    // training labels (Mann-Whitney midrank identity, pure integers) — the
+    // overfit/separability audit run before trusting a score for filtering
+    Q("q127_classifier_auc",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tok = t.documents
+          .select(col("doc_id"), (col("lang") === "en").as("lab"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = QualityClassifier.scoreTokens(tok, "doc_id", "token",
+          QualityClassifier.trainTokens(tok, "token", "lab"))
+        RankEval.aucExact(
+          scored.join(t.documents.select(col("doc_id"),
+            (col("lang") === "en").as("lab")), "doc_id"),
+          "score_micro", "lab")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, (lang = 'en') AS lab, token FROM (
+             |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |c AS (SELECT token,
+             |    count(*) FILTER (WHERE lab) AS c_pos,
+             |    count(*) FILTER (WHERE NOT lab) AS c_neg
+             |  FROM tok GROUP BY token),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS v FROM c),
+             |wt AS (SELECT token,
+             |    CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |      AS weight_micro
+             |  FROM c, tot),
+             |sc AS (SELECT doc_id, CAST(sum(weight_micro) AS BIGINT) AS s
+             |  FROM tok JOIN wt USING (token) GROUP BY doc_id),
+             |lbl AS (SELECT sc.s, (d.lang = 'en') AS lab
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |grp AS (SELECT s, CAST(count(*) AS BIGINT) AS g,
+             |    CAST(count(*) FILTER (WHERE lab) AS BIGINT) AS g1
+             |  FROM lbl GROUP BY s),
+             |cm AS (SELECT s, g, g1,
+             |    CAST(sum(g) OVER (ORDER BY s) AS BIGINT) AS cum FROM grp)
+             |SELECT CAST(sum(g1) AS BIGINT) AS n_pos,
+             |  CAST(sum(g - g1) AS BIGINT) AS n_neg,
+             |  CAST((sum(g1 * (2*cum - g + 1)) - sum(g1) * (sum(g1) + 1))
+             |    * 1000000 // (2 * sum(g1) * sum(g - g1)) AS BIGINT) AS auc_ppm
+             |FROM cm""".stripMargin)),
+
+    // ---- LSH S-curve planner: P(candidate | jaccard) per (bands, rows)
+    // layout, exact integer-ppm power folds (the table that tunes q25)
+    Q("q128_lsh_plan",
+      (s, _) =>
+        LshPlanner.sCurve(s, Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+          .orderBy(col("bands"), col("rows"), col("s_ppm")),
+      Some("""WITH RECURSIVE
+             |conf(bands, rows_) AS (SELECT * FROM (VALUES (2, 8), (4, 4),
+             |  (8, 2), (16, 1)) t(b, r)),
+             |grid(s_ppm) AS (SELECT CAST(k * 50000 AS BIGINT)
+             |  FROM range(1, 20) t(k)),
+             |pb(bands, rows_, s_ppm, k, x) AS (
+             |  SELECT bands, rows_, s_ppm, 0, CAST(1000000 AS BIGINT)
+             |  FROM conf, grid
+             |  UNION ALL
+             |  SELECT bands, rows_, s_ppm, k + 1, (x * s_ppm) // 1000000
+             |  FROM pb WHERE k < rows_),
+             |pband AS (SELECT bands, rows_, s_ppm, x AS p_band FROM pb
+             |  WHERE k = rows_),
+             |pc(bands, rows_, s_ppm, p_band, j, y) AS (
+             |  SELECT bands, rows_, s_ppm, p_band, 0, CAST(1000000 AS BIGINT)
+             |  FROM pband
+             |  UNION ALL
+             |  SELECT bands, rows_, s_ppm, p_band, j + 1,
+             |    (y * (1000000 - p_band)) // 1000000
+             |  FROM pc WHERE j < bands)
+             |SELECT bands, rows_ AS "rows", s_ppm, p_band AS p_band_ppm,
+             |  1000000 - y AS p_cand_ppm
+             |FROM pc WHERE j = bands
+             |ORDER BY bands, "rows", s_ppm""".stripMargin)),
+
+    // ---- sorted-neighborhood dedup: global-order window candidates via
+    // the PrefixSum scan + bucket equi-join; exact Jaccard verify
+    Q("q129_sorted_neighborhood",
+      (s, d) => {
+        val t = Tables(s, d)
+        SortedNeighborhood.neighborPairs(t.documents, "doc_id", "text",
+            w = 3, keyLen = 16)
+          .orderBy(col("pos_a"), col("pos_b"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |norm AS (SELECT doc_id,
+              |    substr(${Normalize.normalizeSql("text")}, 1, 16) AS key
+              |  FROM documents),
+              |pos AS (SELECT doc_id,
+              |    CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS pos
+              |  FROM norm),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.pos AS pos_a, b.pos AS pos_b
+              |  FROM pos a JOIN pos b
+              |    ON b.pos > a.pos AND b.pos - a.pos <= 3),
+              |j AS (SELECT id_a, id_b, pos_a, pos_b,
+              |    CAST(coalesce(len(list_intersect(da.sh, db.sh)), 0)
+              |      AS BIGINT) AS i,
+              |    CAST(coalesce(len(da.sh), 0) + coalesce(len(db.sh), 0)
+              |      AS BIGINT) AS ns
+              |  FROM p LEFT JOIN docs da ON da.doc_id = id_a
+              |    LEFT JOIN docs db ON db.doc_id = id_b)
+              |SELECT id_a, id_b, pos_a, pos_b,
+              |  CASE WHEN ns - i = 0 THEN 0
+              |    ELSE (i * 1000000) // (ns - i) END AS jac_ppm
+              |FROM j ORDER BY pos_a, pos_b""".stripMargin)),
+
+    // ---- embedding norm health: zero vectors + norm blow-ups per label —
+    // the encoder-regression alarm run before ANN indexing
+    Q("q130_embedding_health",
+      (s, d) => {
+        val t = Tables(s, d)
+        EmbeddingStats.normHealth(t.embeddings, "embedding", "label")
+          .orderBy(col("label"))
+      },
+      Some("""WITH m AS (SELECT label, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mv
+             |  FROM embeddings),
+             |sq AS (SELECT label, CAST(coalesce(list_sum(
+             |    list_transform(mv, v -> v * v)), 0) AS BIGINT) AS sq FROM m),
+             |t AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |    CAST(sum(sq) AS BIGINT) AS tot,
+             |    CAST(count(*) FILTER (WHERE sq = 0) AS BIGINT) AS n_zero
+             |  FROM sq GROUP BY label)
+             |SELECT t.label, n_vecs, tot // n_vecs AS mean_sq_milli2, n_zero,
+             |  CAST(count(*) FILTER (WHERE sq.sq * n_vecs > 4 * tot)
+             |    AS BIGINT) AS n_outliers
+             |FROM sq JOIN t USING (label)
+             |GROUP BY t.label, n_vecs, tot, n_zero
+             |ORDER BY label""".stripMargin)))
+}

@@ -56,6 +56,42 @@ object EmbeddingStats {
           .as("cos_micro"))
   }
 
+  /** Per-group embedding norm health: the cheap drift alarm run on every
+    * embedding batch before ANN indexing — zero vectors (failed encodes)
+    * and norm blow-ups (encoder regressions, mixed checkpoints) surface as
+    * counts, not as silently-wrong neighbor lists downstream.
+    *
+    * Output: (groupCol, n_vecs, mean_sq_milli2, n_zero, n_outliers) where
+    * mean_sq_milli2 = ⌊Σ‖v‖²/n⌋ over milli-quantized components and an
+    * outlier is ‖v‖² > 4 × mean (cross-multiplied — no division per row).
+    *
+    * Determinism: components quantize to integer MILLI units at the scan
+    * (squares ≤ ~10⁸ per vector — corpus sums stay long-safe at 10⁹+
+    * vectors); every comparison is integer. Scale shape: the squared norm
+    * is a per-row fold; group totals are one partial-agg'd exchange,
+    * broadcast back for the outlier compare (group counts are label-sized).
+    */
+  def normHealth(emb: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val sq = emb.select(col(groupCol),
+        aggregate(transform(col(vecCol).cast(ArrayType(DoubleType)),
+            x => round(x * 1000.0d).cast("long")),
+          lit(0L), (a, x) => a + x * x).as("_graft_sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sq.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("_graft_sq")).as("_graft_tot"),
+        sum(when(col("_graft_sq") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    sq.join(broadcast(totals), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        max(col("_graft_tot")).as("_graft_tot"),
+        max(col("n_zero")).as("n_zero"),
+        sum(when(col("_graft_sq") * col("n_vecs") > lit(4L) * col("_graft_tot"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n_vecs"),
+        expr("_graft_tot div n_vecs").as("mean_sq_milli2"),
+        col("n_zero"), col("n_outliers"))
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al., NeurIPS 2022 "Beyond
     * neural scaling laws"): rank every vector by cosine to its OWN label's
     * centroid and flag the most prototypical fifth — the pruning metric

@@ -126,15 +126,21 @@ object ScaleBench {
       "q110_padding_waste", "q111_ngram_diversity", "q112_pmi_collocations",
       "q113_cluster_representative", "q116_skew_profile", "q117_salted_join",
       "q118_weighted_quantiles", "q119_containment_estimate",
-      "q120_source_sketches") ++
+      "q120_source_sketches", "q121_normalized_dedup", "q122_gram_novelty",
+      "q124_rule_attribution", "q125_locf_grid", "q126_keyness",
+      "q127_classifier_auc") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose
     // threshold the candidate volume is the q107 artifact magnified
     // (BENCH_sf1 comment) — their ~sf1 correctness is still pinned by the
-    // full oracle gate on the kept dir
+    // full oracle gate on the kept dir. q123 joins them: the per-replica
+    // "repN" salt token lands in EVERY doc of a replica (df ≈ docs/mult,
+    // mid-range idf), so the token inverted index gains a dense topical-glue
+    // term per replica — a replication artifact, not an operator property.
     val extras1x = extras ++
-      Seq("q114_dedup_threshold_sweep", "q115_cross_source_dups")
+      Seq("q114_dedup_threshold_sweep", "q115_cross_source_dups",
+        "q123_cosine_pairs")
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
       s"1x($src) extras"))
     spark.catalog.clearCache() // q62/q64 persist per-dir token frames

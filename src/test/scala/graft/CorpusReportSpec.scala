@@ -1,0 +1,183 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curation.{CorpusStats, QualitySignals, RankEval, TfIdf}
+import graft.dedup.Normalize
+import graft.operators.TimeFill
+
+/** Round-10 operators vs driver-side truth: normalization-aware dedup
+  * grouping, first-seen novelty attribution, APSS cosine against a naive
+  * reference, rule attribution on rule-tripping fixtures, LOCF fill
+  * semantics, keyness direction, and exact AUC vs the O(n²) pair count.
+  */
+class CorpusReportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("normalizedDedupAudit groups case/punct/ws variants, keeps min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "hello world"),
+      (5L, "something else"),
+      (6L, "something else")   // raw dup of 5
+    ).toDF("doc_id", "text")
+    val got = Normalize.normalizedDedupAudit(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, true, true),
+      (2L, 1L, 4L, false, true),
+      (3L, 1L, 4L, false, true),
+      (4L, 1L, 4L, false, true),
+      (5L, 2L, 2L, true, false),
+      (6L, 2L, 2L, false, false)))
+  }
+
+  test("gramNovelty attributes each gram to its first document") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c"),        // grams "a b", "b c" -> both novel
+      (20L, "a b b c"),      // "a b", "b b", "b c" -> only "b b" novel
+      (30L, "a b b c")       // nothing novel
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.gramNovelty(docs, "text", "doc_id", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, 1000000L),
+      (20L, 3L, 1L, 333333L),
+      (30L, 3L, 0L, 0L)))
+  }
+
+  test("cosinePairs matches the naive exact-integer reference") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = (1 to 8).map(i => s"t$i")
+    val docs = (1 to 18).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // naive reference with the operator's exact integer semantics
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, g) => (id, w, g.length.toLong) }
+    }
+    val n = tf.map(_._1).distinct.size
+    val dfm = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size.toLong }
+    val w = tf.map { case (id, t, f) =>
+      (id, t, f * math.round(math.log(n.toDouble / dfm(t)) * 1e3))
+    }.filter(_._3 > 0)
+    val ss = w.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(r => r._3 * r._3).sum }
+    val byDoc = w.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(r => r._2 -> r._3).toMap }
+    val expect = (for {
+      a <- byDoc.keys; b <- byDoc.keys if a < b
+      num = byDoc(a).keysIterator.filter(byDoc(b).contains)
+        .map(t => byDoc(a)(t) * byDoc(b)(t)).sum
+      if num > 0
+      cos2 = (BigInt(num) * num * 1000000 / (BigInt(ss(a)) * ss(b))).toLong
+    } yield (a, b, num, cos2)).toSet
+    val got = TfIdf.cosinePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", t2Ppm = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("ruleAttribution counts each tripped rule once per document") {
+    import spark.implicits._
+    val longOk = (1 to 60).map(i => "word" + ('a' + i % 17).toChar).mkString(" ") +
+      " the of and to in is it" // stopwords + length + diversity pass
+    val docs = Seq(
+      ("a", longOk),                                   // passes all rules
+      ("a", "short doc"),                              // r_short only? also stopword/mean
+      ("b", ("spam " * 30).trim)                       // repetition + short-ish
+    ).toDF("source", "text")
+    val got = QualitySignals.ruleAttribution(docs, "text", "source")
+      .orderBy("source")
+      .select("source", "n_docs", "f_short", "f_repeat", "n_pass")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val a = got.head; val b = got(1)
+    assert(a._1 == "a" && a._2 == 2L && a._3 == 1L && a._5 == 1L)
+    assert(b._1 == "b" && b._2 == 1L && b._3 == 1L && b._4 == 1L &&
+      b._5 == 0L)
+  }
+
+  test("locfGrid forward-fills gaps and breaks slot ties by last event") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, ts(0L), 1.0),      // slot 0
+      (1L, ts(5L), 2.0),      // slot 0, later -> slot 0 value = 200
+      (1L, ts(30L), 7.5),     // slot 3 (step 10s); slots 1-2 filled with 200
+      (2L, ts(12L), 4.0)      // single-slot key
+    ).toDF("user_id", "ts", "value")
+    val got = TimeFill.locfGrid(events, "user_id", "ts", "value", 10L)
+      .select(col("user_id"), unix_micros(col("slot_start")).as("us"),
+        col("value_cents"), col("filled"))
+      .orderBy("user_id", "us")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 200L, false),
+      (1L, 10000000L, 200L, true),
+      (1L, 20000000L, 200L, true),
+      (1L, 30000000L, 750L, false),
+      (2L, 10000000L, 400L, false)))
+  }
+
+  test("keynessTopK ranks a group-exclusive term first, enriched") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "zebra zebra zebra zebra zebra common common common"),
+      ("b", "common common common common common other other other")
+    ).toDF("source", "text")
+    val got = CorpusStats.keynessTopK(docs, "text", "source",
+        minCount = 3L, k = 2)
+      .orderBy("source", "rank")
+      .select("source", "rank", "term", "enriched", "g2_micro")
+      .as[(String, Int, String, Boolean, Long)].collect().toSeq
+    val topA = got.find(_._1 == "a").get
+    assert(topA._3 == "zebra" && topA._4 && topA._5 > 0)
+    val topB = got.find(_._1 == "b").get
+    assert(topB._3 == "other" && topB._4)
+  }
+
+  test("aucExact matches the O(n²) pair count incl. ties across partitions") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(12).toLong, rnd.nextBoolean()) // heavy score ties
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val expect = wins * 1000000L / (2L * pos.size * neg.size)
+    for (parts <- Seq(1, 3, 16)) {
+      val got = RankEval.aucExact(
+        rows.toDF("score", "lab").repartition(7), "score", "lab",
+        numPartitions = parts)
+        .as[(Long, Long, Long)].collect().head
+      assert(got == ((pos.size.toLong, neg.size.toLong, expect)),
+        s"parts=$parts")
+    }
+    // degenerate: single class -> null auc
+    val one = RankEval.aucExact(
+      Seq((5L, true), (6L, true)).toDF("score", "lab"), "score", "lab")
+      .select("auc_ppm").collect().head
+    assert(one.isNullAt(0))
+  }
+}

@@ -607,4 +607,46 @@ class PlanSpec extends AnyFunSuite {
       "the executed join must key on (orderkey, salt):\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q121 normalized dedup: hash-keyed partial aggs, no window") {
+    val p = plan("q121_normalized_dedup")
+    assert(p.contains("partial_"), "group sizes must partial-agg:\n" + p)
+    assert(!p.contains("Window"), "canonical id must come from min(), not a window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q122 gram novelty: min-owner attribution, no window, no cartesian") {
+    val p = plan("q122_gram_novelty")
+    assert(p.contains("partial_"), "first-owner min must partial-agg:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q123 cosine pairs: candidates from the token equi-join only") {
+    val p = plan("q123_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "pair numerators must partial-agg:\n" + p)
+  }
+
+  test("q124 rule attribution: one partial-agg'd exchange, per-row rules") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = exec("q124_rule_attribution")
+    val byKey = p.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(e => e.outputPartitioning.toString.contains("range") ||
+        e.outputPartitioning.toString.contains("RoundRobin"))
+    assert(byKey.size == 1,
+      s"rules are per-row folds; only the source rollup may shuffle:\n$p")
+    assert(p.toString.contains("partial_"), p.toString)
+  }
+
+  test("q126 keyness: bounded top-k aggregate, never a per-group sort window") {
+    val p = plan("q126_keyness")
+    assert(!p.contains("Window"),
+      "top-k must be the bounded aggregate, not row_number:\n" + p)
+    // the only nested-loop is the 1-row grand-total broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      "group totals and the grand total must broadcast:\n" + p)
+  }
 }
