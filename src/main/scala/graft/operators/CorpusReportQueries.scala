@@ -345,10 +345,11 @@ object CorpusReportQueries {
              |    CAST(sum(sq) AS BIGINT) AS tot,
              |    CAST(count(*) FILTER (WHERE sq = 0) AS BIGINT) AS n_zero
              |  FROM sq GROUP BY label)
-             |SELECT t.label, n_vecs, tot // n_vecs AS mean_sq_milli2, n_zero,
+             |SELECT t.label AS label, n_vecs, tot // n_vecs AS mean_sq_milli2,
+             |  n_zero,
              |  CAST(count(*) FILTER (WHERE sq.sq * n_vecs > 4 * tot)
              |    AS BIGINT) AS n_outliers
              |FROM sq JOIN t USING (label)
              |GROUP BY t.label, n_vecs, tot, n_zero
-             |ORDER BY label""".stripMargin)))
+             |ORDER BY t.label""".stripMargin)))
 }

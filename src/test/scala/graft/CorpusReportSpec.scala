@@ -180,4 +180,69 @@ class CorpusReportSpec extends AnyFunSuite {
       .select("auc_ppm").collect().head
     assert(one.isNullAt(0))
   }
+
+  test("LshPlanner.sCurve matches the BigInt fold and is monotone in s") {
+    val configs = Seq((2, 8), (4, 4), (16, 1))
+    val got = graft.dedup.LshPlanner.sCurve(spark, configs)
+      .orderBy(col("bands"), col("rows"), col("s_ppm"))
+      .select("bands", "rows", "s_ppm", "p_band_ppm", "p_cand_ppm")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    def pow(x: Long, n: Int): Long =
+      (1 to n).foldLeft(1000000L)((a, _) => a * x / 1000000L)
+    val expect = for {
+      (b, r) <- configs.sorted; k <- 1L until 20L
+      s = k * 50000L; pb = pow(s, r)
+    } yield (b, r, s, pb, 1000000L - pow(1000000L - pb, b))
+    assert(got == expect)
+    // S-curve sanity: candidate probability nondecreasing in s per layout
+    got.groupBy(t => (t._1, t._2)).values.foreach { rows =>
+      val ps = rows.sortBy(_._3).map(_._5)
+      assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+      assert(ps.forall(p => p >= 0L && p <= 1000000L))
+    }
+  }
+
+  test("neighborPairs equals the local sorted-window reference, any partitioning") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val docs = (1 to 80).map { i =>
+      val base = (1 to 6).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+      // inject prefix-sharing near-dups the window should pair
+      (i.toLong, if (i % 7 == 0) base + " extra tail" else base)
+    }
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 \t\n\r\f]+", " ")
+      .replaceAll("[ \t\n\r\f]+", " ").trim.take(16)
+    def sh(s: String) = graft.dedup.Dedup.shinglesOf(s, 3).toSet
+    val pos = docs.sortBy { case (id, t) => (norm(t), id) }
+      .zipWithIndex.map { case ((id, t), i) => (id, t, i + 1L) }
+    val w = 4
+    val expect = (for {
+      (ia, ta, pa) <- pos; (ib, tb, pb) <- pos
+      if pb > pa && pb - pa <= w
+      i = sh(ta).intersect(sh(tb)).size.toLong
+      u = sh(ta).size + sh(tb).size - i
+    } yield (ia, ib, pa, pb, if (u == 0) 0L else i * 1000000L / u)).toSet
+    for (parts <- Seq(1, 5)) {
+      val got = graft.dedup.SortedNeighborhood.neighborPairs(
+        docs.toDF("doc_id", "text").repartition(3), "doc_id", "text",
+        w = w, keyLen = 16, numPartitions = parts)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("normHealth counts zero vectors and 4x-mean outliers") {
+    import spark.implicits._
+    val emb = ((1 to 8).map(i => (i.toLong, Seq(1.0f, 0.0f), 0)) ++ Seq(
+      (9L, Seq(0.0f, 0.0f), 0),   // zero vector
+      (10L, Seq(10.0f, 0.0f), 0)  // sq = 100e6; 100e6·10 > 4·108e6
+    )).toDF("vec_id", "embedding", "label")
+    val got = graft.similarity.EmbeddingStats
+      .normHealth(emb, "embedding", "label")
+      .select("label", "n_vecs", "mean_sq_milli2", "n_zero", "n_outliers")
+      .as[(Int, Long, Long, Long, Long)].collect().head
+    // sums: 8·1e6 + 0 + 100e6 = 108e6; mean = 10_800_000
+    assert(got == ((0, 10L, 10800000L, 1L, 1L)))
+  }
 }

@@ -649,4 +649,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       "group totals and the grand total must broadcast:\n" + p)
   }
+
+  test("q128 LSH planner: no shuffle at all (grid broadcast, per-row folds)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = exec("q128_lsh_plan")
+    val byKey = p.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(e => e.outputPartitioning.toString.contains("range"))
+    assert(byKey.isEmpty, s"planner must not exchange by key:\n$p")
+  }
+
+  test("q129 sorted neighborhood: bucket equi-join, no empty-partition window") {
+    val p = plan("q129_sorted_neighborhood")
+    assert(!p.contains("Window"),
+      "global positions must come from the PrefixSum scan, not a window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
