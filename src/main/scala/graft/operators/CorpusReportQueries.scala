@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curation.{CorpusStats, QualityClassifier, QualitySignals, RankEval, TfIdf}
-import graft.dedup.{LshPlanner, Normalize, SortedNeighborhood}
+import graft.curation.{CorpusStats, QualityClassifier, QualitySignals, RankEval, SnapshotDiff, TfIdf}
+import graft.dedup.{LshPlanner, Normalize, SortedNeighborhood, Stitch}
+import graft.sampling.Sampling
 import graft.similarity.EmbeddingStats
 import graft.text.TextFunctions
 
@@ -351,5 +352,87 @@ object CorpusReportQueries {
              |    AS BIGINT) AS n_outliers
              |FROM sq JOIN t USING (label)
              |GROUP BY t.label, n_vecs, tot, n_zero
-             |ORDER BY t.label""".stripMargin)))
+             |ORDER BY t.label""".stripMargin)),
+
+    // ---- corpus snapshot diff: added/removed/changed/unchanged per source
+    // between two deterministic snapshot simulations of the same id space
+    Q("q131_snapshot_diff",
+      (s, d) => {
+        val t = Tables(s, d)
+        val prev = Sampling.hashSample(t.documents, "doc_id", 0.9, "snapA")
+        val next = Sampling.hashSample(t.documents, "doc_id", 0.9, "snapB")
+          .withColumn("text",
+            when(Sampling.hashDraw(col("doc_id"), "mod") <
+                lit(Sampling.fractionThreshold(0.1)),
+              concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        SnapshotDiff.diffCounts(prev, next, "doc_id", "text", "source")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH o AS (SELECT doc_id, source, md5(text) AS h FROM documents
+              |  WHERE substr(md5('snapA:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |    < '${Sampling.fractionThreshold(0.9)}'),
+              |n AS (SELECT doc_id, source,
+              |    md5(CASE WHEN substr(md5('mod:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |        < '${Sampling.fractionThreshold(0.1)}'
+              |      THEN text || ' [v2]' ELSE text END) AS h
+              |  FROM documents
+              |  WHERE substr(md5('snapB:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |    < '${Sampling.fractionThreshold(0.9)}'),
+              |j AS (SELECT coalesce(n.source, o.source) AS source,
+              |    CASE WHEN o.h IS NULL THEN 'added'
+              |         WHEN n.h IS NULL THEN 'removed'
+              |         WHEN o.h <> n.h THEN 'changed'
+              |         ELSE 'unchanged' END AS st
+              |  FROM o FULL OUTER JOIN n USING (doc_id))
+              |SELECT source,
+              |  CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT) AS n_added,
+              |  CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed,
+              |  CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT) AS n_changed,
+              |  CAST(count(*) FILTER (WHERE st = 'unchanged') AS BIGINT) AS n_unchanged
+              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- suffix/prefix stitch candidates: crawl-truncation pairs whose
+    // k-token boundary strings match (md5 equi-join, string-verified)
+    Q("q132_stitch_pairs",
+      (s, d) => {
+        val t = Tables(s, d)
+        Stitch.stitchPairs(t.documents, "doc_id", "text", k = 3)
+          .orderBy(col("head_id"), col("tail_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+             |  FROM documents),
+             |h AS (SELECT doc_id AS head_id,
+             |    array_to_string(list_slice(t, len(t) - 2, len(t)), ' ') AS sfx
+             |  FROM tok WHERE len(t) >= 3),
+             |p AS (SELECT doc_id AS tail_id,
+             |    array_to_string(list_slice(t, 1, 3), ' ') AS pfx
+             |  FROM tok WHERE len(t) >= 3)
+             |SELECT head_id, tail_id, sfx AS overlap
+             |FROM h JOIN p ON sfx = pfx AND head_id <> tail_id
+             |ORDER BY head_id, tail_id""".stripMargin)),
+
+    // ---- downsample-only mixture rebalance: per-source rates to reach a
+    // uniform token distribution, bottleneck-constrained, exact integers
+    Q("q133_rebalance_rates",
+      (s, d) => {
+        val t = Tables(s, d)
+        Sampling.rebalanceRates(t.documents, "text", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source,
+             |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+             |    CAST(count(*) AS BIGINT) AS ns FROM c),
+             |w AS (SELECT source, n_tokens, 1000000 // ns AS target_ppm,
+             |    (n_tokens * 1000000) // (1000000 // ns) AS cap, tot
+             |  FROM c, t),
+             |b AS (SELECT min(cap) AS tp FROM w)
+             |SELECT source, n_tokens,
+             |  (n_tokens * 1000000) // tot AS cur_ppm, target_ppm,
+             |  (((target_ppm * tp) // 1000000) * 1000000) // n_tokens AS rate_ppm,
+             |  (target_ppm * tp) // 1000000 AS kept_tokens
+             |FROM w, b ORDER BY source""".stripMargin)))
 }

@@ -335,6 +335,48 @@ object Sampling {
         explode(sequence(lit(1L), col("_graft_nc"))))
       .drop("_graft_nc")
   }
+
+  /** Downsample-only mixture rebalance plan: the per-source sampling rates
+    * that reshape the corpus's TOKEN distribution to a uniform target
+    * without upsampling anything. The achievable total is set by the
+    * bottleneck source (the one already below its target share); every
+    * other source downsamples to match — the report run before a q63-style
+    * budgeted sample to decide whether the target mixture is even reachable
+    * and at what corpus-size cost.
+    *
+    * Output per source: (groupCol, n_tokens, cur_ppm, target_ppm, rate_ppm,
+    * kept_tokens) — exact integer arithmetic throughout: target shares are
+    * ⌊10⁶/n⌋, the achievable total T' = min_s ⌊cur_s·10⁶/target_s⌋, kept_s =
+    * ⌊target_s·T'/10⁶⌋, rate_s = ⌊kept_s·10⁶/cur_s⌋.
+    *
+    * Scale shape: ONE corpus scan feeds a per-source partial-agg'd token
+    * count; the source count and the bottleneck minimum are 1-row
+    * broadcasts. Long arithmetic holds to ~10¹² corpus tokens (documented;
+    * switch the two products to decimal beyond).
+    */
+  def rebalanceRates(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("_graft_g"),
+        graft.text.TextFunctions.tokenCount(col(textCol)).cast("long")
+          .as("_graft_nt"))
+      .groupBy(col("_graft_g"))
+      .agg(sum(col("_graft_nt")).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("_graft_tot"),
+      count(lit(1)).as("_graft_ns"))
+    val withTarget = counts.crossJoin(broadcast(tot))
+      .withColumn("target_ppm", expr("1000000L div _graft_ns"))
+      .withColumn("_graft_cap", expr("(n_tokens * 1000000L) div target_ppm"))
+    val bottleneck = withTarget.agg(min(col("_graft_cap")).as("_graft_tp"))
+    withTarget.crossJoin(broadcast(bottleneck))
+      .select(col("_graft_g").as(groupCol), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div _graft_tot").as("cur_ppm"),
+        col("target_ppm"),
+        expr("((target_ppm * _graft_tp) div 1000000L)").as("kept_tokens"))
+      .withColumn("rate_ppm", expr("(kept_tokens * 1000000L) div n_tokens"))
+      .select(col(groupCol), col("n_tokens"), col("cur_ppm"),
+        col("target_ppm"), col("rate_ppm"), col("kept_tokens"))
+  }
 }
 
 /** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the

@@ -128,7 +128,9 @@ object ScaleBench {
       "q118_weighted_quantiles", "q119_containment_estimate",
       "q120_source_sketches", "q121_normalized_dedup", "q122_gram_novelty",
       "q124_rule_attribution", "q125_locf_grid", "q126_keyness",
-      "q127_classifier_auc") ++
+      "q127_classifier_auc", "q128_lsh_plan", "q129_sorted_neighborhood",
+      "q130_embedding_health", "q131_snapshot_diff", "q132_stitch_pairs",
+      "q133_rebalance_rates") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose

@@ -245,4 +245,50 @@ class CorpusReportSpec extends AnyFunSuite {
     // sums: 8·1e6 + 0 + 100e6 = 108e6; mean = 10_800_000
     assert(got == ((0, 10L, 10800000L, 1L, 1L)))
   }
+
+  test("diffCounts classifies added/removed/changed/unchanged per slice") {
+    import spark.implicits._
+    val prev = Seq((1L, "aa", "s1"), (2L, "bb", "s1"), (3L, "cc", "s2"))
+      .toDF("doc_id", "text", "source")
+    val next = Seq((1L, "aa", "s1"), (2L, "bb CHANGED", "s1"),
+      (4L, "dd", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.curation.SnapshotDiff
+      .diffCounts(prev, next, "doc_id", "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 0L, 0L, 1L, 1L),     // 2 changed, 1 unchanged
+      ("s2", 1L, 1L, 0L, 0L)))    // 4 added, 3 removed
+  }
+
+  test("stitchPairs joins k-token suffix to prefix, verified exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z a b c"),   // suffix "a b c"
+      (2L, "a b c q r s"),   // prefix "a b c" -> pair (1, 2)
+      (3L, "a b"),           // too short, drops out
+      (4L, "a b c")          // suffix == prefix == "a b c": pairs with 1, 2
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Stitch.stitchPairs(docs, "doc_id", "text", 3)
+      .orderBy("head_id", "tail_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a b c"), (1L, 4L, "a b c"),
+      (4L, 2L, "a b c")))
+  }
+
+  test("rebalanceRates hits the bottleneck source exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      ("big", (1 to 300).map(_ => "w").mkString(" ")),
+      ("small", (1 to 100).map(_ => "w").mkString(" "))
+    ).toDF("source", "text")
+    val got = graft.sampling.Sampling.rebalanceRates(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // uniform target 500000 ppm each; bottleneck = small: T' = 200
+    // big: keep 100 of 300 -> rate 333333; small: keep 100 of 100 -> 1e6
+    assert(got == Seq(
+      ("big", 300L, 750000L, 500000L, 333333L, 100L),
+      ("small", 100L, 250000L, 500000L, 1000000L, 100L)))
+  }
 }
