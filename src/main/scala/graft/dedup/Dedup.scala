@@ -287,6 +287,67 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Weighted-vs-set Jaccard audit over the LSH candidate pairs: set
+    * Jaccard (the q25 verify) treats a shingle seen once and fifty times
+    * identically; the token-MULTISET Jaccard Σmin(tf)/Σmax(tf) weights
+    * repetition, so boilerplate-heavy pairs score differently. The audit
+    * emits both (exact integer ppm) plus the delta — the evidence for which
+    * verify metric a corpus needs before standardizing a dedup threshold.
+    *
+    * Σmax needs no union enumeration: Σmax = S₁ + S₂ − Σmin with Σmin over
+    * SHARED tokens only (min is 0 elsewhere), so the only pair-keyed work
+    * is the shared-token equi-join, partial-agg'd. Candidates come from
+    * the same banded minhash equi-join as q25; the text scans once into a
+    * persisted (id, text) frame feeding shingles and token tfs.
+    */
+  def weightedJaccardAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val base = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("_graft_text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = base
+      .select(col("doc_id"), shingles(col("_graft_text"), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(col("doc_id"),
+      explode(minhashBands(col("sh"), numHashes, bands)).as("bhash"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.bhash") === col("y.bhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val tf = base.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("_graft_text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("s"))
+    val shared = cands
+      .join(tf.select(col("doc_id").as("id1"), col("token"),
+        col("tf").as("_graft_tf1")), Seq("id1"))
+      .join(tf.select(col("doc_id").as("id2"), col("token"),
+        col("tf").as("_graft_tf2")), Seq("id2", "token"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(least(col("_graft_tf1"), col("_graft_tf2"))).as("_graft_min"))
+    cands
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("_graft_sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("_graft_sh2")), "id2")
+      .join(shared, Seq("id1", "id2"), "left")
+      .join(totals.select(col("doc_id").as("id1"), col("s").as("_graft_s1")), "id1")
+      .join(totals.select(col("doc_id").as("id2"), col("s").as("_graft_s2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("_graft_sh1"), col("_graft_sh2")))
+          .cast("long").as("_graft_i"),
+        (size(col("_graft_sh1")) + size(col("_graft_sh2"))).cast("long")
+          .as("_graft_ns"),
+        coalesce(col("_graft_min"), lit(0L)).as("_graft_m"),
+        (col("_graft_s1") + col("_graft_s2")).as("_graft_ss"))
+      .select(col("id1"), col("id2"),
+        expr("(_graft_i * 1000000) div (_graft_ns - _graft_i)").as("jac_ppm"),
+        expr("(_graft_m * 1000000) div (_graft_ss - _graft_m)").as("wjac_ppm"))
+      .withColumn("diff_ppm", col("wjac_ppm") - col("jac_ppm"))
+  }
+
   /** Incremental (new-batch-vs-corpus) dedup — the production shape at
     * 100 TB: the standing corpus is never re-deduped against itself; each
     * arriving batch is screened against it. Per batch document:

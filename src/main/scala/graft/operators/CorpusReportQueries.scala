@@ -434,5 +434,55 @@ object CorpusReportQueries {
              |  (n_tokens * 1000000) // tot AS cur_ppm, target_ppm,
              |  (((target_ppm * tp) // 1000000) * 1000000) // n_tokens AS rate_ppm,
              |  (target_ppm * tp) // 1000000 AS kept_tokens
-             |FROM w, b ORDER BY source""".stripMargin)))
+             |FROM w, b ORDER BY source""".stripMargin)),
+
+    // ---- weighted vs set Jaccard on the q25 LSH candidates: does token
+    // repetition change the dedup verdict on this corpus?
+    Q("q134_weighted_jaccard",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.Dedup.weightedJaccardAudit(t.documents, "doc_id", "text",
+            shingleLen = 3, numHashes = 16, bands = 4)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |signed AS (
+              |  SELECT doc_id, sh, ${graft.dedup.Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |banded AS (
+              |  SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM banded),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+              |    AND a.doc_id < b.doc_id),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+              |        FROM documents)
+              |  WHERE token <> '' GROUP BY doc_id, token),
+              |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS s FROM tf
+              |  GROUP BY doc_id),
+              |sh2 AS (SELECT id1, id2,
+              |    CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS m
+              |  FROM cand JOIN tf a ON a.doc_id = id1
+              |    JOIN tf b ON b.doc_id = id2 AND b.token = a.token
+              |  GROUP BY id1, id2)
+              |SELECT id1, id2,
+              |  (CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT) * 1000000)
+              |    // (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
+              |    AS jac_ppm,
+              |  (coalesce(m, 0) * 1000000) // (t1.s + t2.s - coalesce(m, 0))
+              |    AS wjac_ppm,
+              |  (coalesce(m, 0) * 1000000) // (t1.s + t2.s - coalesce(m, 0))
+              |    - (CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT) * 1000000)
+              |      // (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
+              |    AS diff_ppm
+              |FROM cand JOIN docs d1 ON d1.doc_id = id1
+              |  JOIN docs d2 ON d2.doc_id = id2
+              |  LEFT JOIN sh2 USING (id1, id2)
+              |  JOIN tot t1 ON t1.doc_id = id1 JOIN tot t2 ON t2.doc_id = id2
+              |ORDER BY id1, id2""".stripMargin)))
 }

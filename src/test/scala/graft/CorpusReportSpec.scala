@@ -291,4 +291,19 @@ class CorpusReportSpec extends AnyFunSuite {
       ("big", 300L, 750000L, 500000L, 333333L, 100L),
       ("small", 100L, 250000L, 500000L, 1000000L, 100L)))
   }
+
+  test("weightedJaccardAudit separates multiset from set similarity") {
+    import spark.implicits._
+    // identical SHINGLE SETS (so the pair is an LSH candidate with set
+    // jaccard 1.0) but different token multiplicities
+    val docs = Seq(
+      (1L, "a b c a b c"),         // tf a2 b2 c2, S=6
+      (2L, "a b c a b c a b c")    // tf a3 b3 c3, S=9
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .weightedJaccardAudit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // wjac = 6/(15-6) = 666666 ppm; set jac = 1e6
+    assert(got == Seq((1L, 2L, 1000000L, 666666L, -333334L)))
+  }
 }

@@ -658,6 +658,13 @@ class PlanSpec extends AnyFunSuite {
     assert(byKey.isEmpty, s"planner must not exchange by key:\n$p")
   }
 
+  test("q134 weighted jaccard: banded candidates + shared-token equi-join only") {
+    val p = plan("q134_weighted_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "pair sums must partial-agg:\n" + p)
+  }
+
   test("q129 sorted neighborhood: bucket equi-join, no empty-partition window") {
     val p = plan("q129_sorted_neighborhood")
     assert(!p.contains("Window"),
