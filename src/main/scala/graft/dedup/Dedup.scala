@@ -479,6 +479,59 @@ object Dedup {
       .withColumn("err_ppm", col("est_ppm") - col("jac_ppm"))
   }
 
+  /** b-bit minwise audit, b = 1 (Li & König, WWW 2010): store only the
+    * PARITY of each minhash component — 64× less sketch memory than the
+    * 64-bit values — and estimate Jaccard from bit agreement via
+    * E[match] = (1+J)/2 ⇒ Ĵ = 2·m/k − 1. The audit emits the 1-bit
+    * estimate next to the exact Jaccard on the LSH candidate pairs: the
+    * evidence for whether the compressed sketch's variance (≈4× the full
+    * sketch's at small J) is acceptable before shrinking a 100 TB
+    * signature store.
+    *
+    * Parity is the decimal-string value mod 2 — both engines parse the
+    * same unsigned-decimal signature components, so the bits (and the
+    * estimate) are engine-exact. Candidates, scan shape, and the exact
+    * verify are identical to [[minhashEstimateAudit]].
+    */
+  def bbitMinhashAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"), col("sh"), col("sig"),
+        transform(col("sig"),
+          h => (h.cast("decimal(20,0)") % 2).cast("int")).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(col("doc_id"),
+      explode(lshBandHashes(col("sig"), bands, numHashes / bands)).as("bhash"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.bhash") === col("y.bhash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("_graft_sh1"),
+        col("bits").as("_graft_b1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("_graft_sh2"),
+        col("bits").as("_graft_b2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(filter(zip_with(col("_graft_b1"), col("_graft_b2"),
+          (a, b) => a === b), x => x)).cast("long").as("bit_matches"),
+        size(array_intersect(col("_graft_sh1"), col("_graft_sh2")))
+          .cast("long").as("_graft_inter"),
+        (size(col("_graft_sh1")) + size(col("_graft_sh2"))).cast("long")
+          .as("_graft_ns"))
+      .select(col("id1"), col("id2"), col("bit_matches"),
+        expr(s"(2 * bit_matches * 1000000) div $numHashes - 1000000")
+          .as("est1_ppm"),
+        expr("(_graft_inter * 1000000) div (_graft_ns - _graft_inter)")
+          .as("jac_ppm"))
+      .withColumn("err1_ppm", col("est1_ppm") - col("jac_ppm"))
+  }
+
   /** EXACT Jaccard similarity self-join via prefix filtering (Chaudhuri,
     * Ganti & Kaushik, ICDE 2006 "SSJoin"; Bayardo, Ma & Srikant, WWW 2007
     * "Scaling Up All Pairs Similarity Search") — the lossless scale path

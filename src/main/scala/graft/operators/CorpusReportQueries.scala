@@ -484,5 +484,47 @@ object CorpusReportQueries {
               |  JOIN docs d2 ON d2.doc_id = id2
               |  LEFT JOIN sh2 USING (id1, id2)
               |  JOIN tot t1 ON t1.doc_id = id1 JOIN tot t2 ON t2.doc_id = id2
-              |ORDER BY id1, id2""".stripMargin)))
+              |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- 1-bit minwise audit (Li & König): 64x-compressed sketch estimate
+    // 2m/k - 1 vs exact Jaccard on the LSH candidates
+    Q("q135_bbit_minhash",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.Dedup.bbitMinhashAudit(t.documents, "doc_id", "text",
+            shingleLen = 3, numHashes = 16, bands = 4)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH ${TextDedupQueries.shinglesCte},
+              |signed AS (
+              |  SELECT doc_id, sh, ${graft.dedup.Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |wb AS (SELECT doc_id, sh,
+              |    list_transform(sig, s -> CAST(CAST(s AS UBIGINT) % 2 AS INT)) AS bits,
+              |    sig
+              |  FROM signed),
+              |banded AS (
+              |  SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM wb),
+              |bh AS (
+              |  SELECT doc_id, band,
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS bhash
+              |  FROM banded),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+              |    AND a.doc_id < b.doc_id),
+              |m AS (SELECT id1, id2,
+              |    CAST(len(list_filter(range(1, 17),
+              |      j -> d1.bits[CAST(j AS INT)] = d2.bits[CAST(j AS INT)]))
+              |      AS BIGINT) AS bit_matches,
+              |    CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT) AS i,
+              |    CAST(len(d1.sh) + len(d2.sh) AS BIGINT) AS ns
+              |  FROM cand JOIN wb d1 ON d1.doc_id = id1
+              |    JOIN wb d2 ON d2.doc_id = id2)
+              |SELECT id1, id2, bit_matches,
+              |  (2 * bit_matches * 1000000) // 16 - 1000000 AS est1_ppm,
+              |  (i * 1000000) // (ns - i) AS jac_ppm,
+              |  (2 * bit_matches * 1000000) // 16 - 1000000
+              |    - (i * 1000000) // (ns - i) AS err1_ppm
+              |FROM m ORDER BY id1, id2""".stripMargin)))
 }

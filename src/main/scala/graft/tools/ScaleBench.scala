@@ -130,7 +130,8 @@ object ScaleBench {
       "q124_rule_attribution", "q125_locf_grid", "q126_keyness",
       "q127_classifier_auc", "q128_lsh_plan", "q129_sorted_neighborhood",
       "q130_embedding_health", "q131_snapshot_diff", "q132_stitch_pairs",
-      "q133_rebalance_rates") ++
+      "q133_rebalance_rates", "q134_weighted_jaccard",
+      "q135_bbit_minhash") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose

@@ -306,4 +306,21 @@ class CorpusReportSpec extends AnyFunSuite {
     // wjac = 6/(15-6) = 666666 ppm; set jac = 1e6
     assert(got == Seq((1L, 2L, 1000000L, 666666L, -333334L)))
   }
+
+  test("bbitMinhashAudit: identical gram sets agree on every bit, est 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),     // identical -> candidate, 16/16 bits, J=1
+      (3L, "p q r s t u")    // disjoint; only a candidate if bands collide
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.bbitMinhashAudit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val pair = got.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(pair == ((1L, 2L, 16L, 1000000L, 1000000L, 0L)))
+    // any colliding disjoint pair must report jac 0 and est in [-1e6, 1e6]
+    got.filterNot(p => p._1 == 1L && p._2 == 2L).foreach { p =>
+      assert(p._5 == 0L && p._4 >= -1000000L && p._4 <= 1000000L)
+    }
+  }
 }

@@ -665,6 +665,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "pair sums must partial-agg:\n" + p)
   }
 
+  test("q135 b-bit minwise: banded candidates only, no cartesian") {
+    val p = plan("q135_bbit_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q129 sorted neighborhood: bucket equi-join, no empty-partition window") {
     val p = plan("q129_sorted_neighborhood")
     assert(!p.contains("Window"),
