@@ -373,6 +373,120 @@ object StreamingIngest {
   final case class ClosedSession(userId: Long, startTs: Timestamp,
       endTs: Timestamp, events: Long)
 
+  /** a valued observation for the streaming LOCF grid */
+  final case class ValueEvent(userId: Long, ts: Timestamp, valueCents: Long)
+
+  /** one emitted grid slot: observed (filled = false) or carried forward */
+  final case class FilledSlot(userId: Long, slotStart: Timestamp,
+      valueCents: Long, filled: Boolean)
+
+  /** Streaming LOCF time-grid fill — the stateful twin of the batch
+    * `TimeFill.locfGrid` (q125): per key, observations collapse into their
+    * `stepSeconds` slot (last event wins; exact-time ties take the max
+    * value, the batch rule), and when the WATERMARK passes an observed
+    * slot's end the operator emits every grid slot since the key's last
+    * emission — gaps carried forward with `filled = true`, the observed
+    * slot with its own value. Emission is watermark-driven only (event-time
+    * timers), so no row is ever retracted; replaying the same input yields
+    * the same grid the batch operator computes, provided events arrive
+    * within the watermark delay of their slot (an observation for an
+    * already-emitted slot is dropped — the documented Append-mode contract,
+    * same as the sessionizer's).
+    *
+    * State per key: the open (slot, lastUs, cents) observations (bounded by
+    * slots-per-watermark-delay) plus (lastEmittedSlot, carriedCents); state
+    * shards by key in the state store, so throughput scales with executors.
+    */
+  def streamingLocf(events: Dataset[ValueEvent], stepSeconds: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[FilledSlot] = {
+    import events.sparkSession.implicits._
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val stepMs = stepSeconds * 1000L
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[
+          Long, ValueEvent, FilledSlot] {
+        @transient private var open:
+          org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+        @transient private var emitted:
+          org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+        override def init(outputMode: OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+          open = getHandle.getListState[(Long, Long, Long)]("open",
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+          emitted = getHandle.getValueState[(Long, Long)]("emitted",
+            org.apache.spark.sql.Encoders.product[(Long, Long)],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        }
+        private def deadline(ss: Seq[(Long, Long, Long)]): Option[Long] =
+          ss.map(s => (s._1 + 1L) * stepMs).minOption
+        private def replace(ss: Seq[(Long, Long, Long)]): Unit = {
+          open.clear()
+          ss.foreach(open.appendValue)
+        }
+        override def handleInputRows(key: Long, rows: Iterator[ValueEvent],
+            tv: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[FilledSlot] = {
+          var ss = open.get().toVector
+          val oldDeadline = deadline(ss)
+          val lastEmitted =
+            if (emitted.exists()) Some(emitted.get()._1) else None
+          rows.foreach { e =>
+            val ms = e.ts.getTime
+            val slot = Math.floorDiv(ms, stepMs)
+            if (!lastEmitted.exists(slot <= _)) {
+              val (hit, rest) = ss.partition(_._1 == slot)
+              val merged = hit.headOption match {
+                case None => (slot, ms, e.valueCents)
+                case Some((_, us, v)) =>
+                  if (ms > us) (slot, ms, e.valueCents)
+                  else if (ms == us) (slot, us, Math.max(v, e.valueCents))
+                  else (slot, us, v)
+              }
+              ss = rest :+ merged
+            } // else: slot already emitted -- Append mode cannot retract
+          }
+          replace(ss)
+          val newDeadline = deadline(ss)
+          if (newDeadline != oldDeadline) {
+            oldDeadline.foreach(getHandle.deleteTimer)
+            newDeadline.foreach(getHandle.registerTimer)
+          }
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: Long,
+            tv: org.apache.spark.sql.streaming.TimerValues,
+            info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+            : Iterator[FilledSlot] = {
+          val wm = tv.getCurrentWatermarkInMs
+          val (done, still) = open.get().toVector
+            .partition(s => (s._1 + 1L) * stepMs <= wm)
+          replace(still)
+          deadline(still).foreach(getHandle.registerTimer)
+          var st = if (emitted.exists()) Some(emitted.get()) else None
+          val out = Vector.newBuilder[FilledSlot]
+          done.sortBy(_._1).foreach { case (slot, _, cents) =>
+            st.foreach { case (last, carried) =>
+              ((last + 1L) until slot).foreach(g =>
+                out += FilledSlot(key, new Timestamp(g * stepMs), carried,
+                  filled = true))
+            }
+            out += FilledSlot(key, new Timestamp(slot * stepMs), cents,
+              filled = false)
+            st = Some((slot, cents))
+          }
+          st.foreach(emitted.update)
+          out.result().iterator
+        }
+      }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Event-time session WINDOWS via `transformWithState` with NATIVE
     * event-time timers (RocksDB provider required): a session closes — and
     * its (start, end, count) row is emitted — ONLY when the WATERMARK

@@ -331,6 +331,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming LOCF emits observed slots and carries values across gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{FilledSlot, ValueEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ValueEvent](spark)
+    val q = StreamingIngest.streamingLocf(input.toDS(), stepSeconds = 10,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("locf_grid").start()
+    def slots() = spark.table("locf_grid").as[FilledSlot].collect()
+      .map(s => (s.userId, s.slotStart.getTime, s.valueCents, s.filled)).toSet
+    try {
+      // key 1 observes slots 0 and 2 (slot 1 is a gap); in-slot tie at
+      // t=1000 resolves to the max value, later t=2000 overrides both
+      // batch 1 advances the watermark to 25s; the trailing timer batch
+      // closes slot 0 (end 10s) but not slot 2 (end 30s)
+      input.addData(ValueEvent(1, new Timestamp(1000), 100),
+        ValueEvent(1, new Timestamp(1000), 90),
+        ValueEvent(1, new Timestamp(2000), 110),
+        ValueEvent(1, new Timestamp(25000), 300))
+      q.processAllAvailable()
+      assert(slots() == Set((1L, 0L, 110L, false)), slots().toString)
+      // key 2 at t=60s pushes the watermark past slot 2's end: the gap
+      // slot 1 fills with the carried 110, slot 2 emits its own 300
+      input.addData(ValueEvent(2, new Timestamp(60000), 500))
+      q.processAllAvailable()
+      assert(slots() == Set((1L, 0L, 110L, false), (1L, 10000L, 110L, true),
+        (1L, 20000L, 300L, false)), slots().toString)
+      // key 3 far ahead closes key 2's slot 6 with no key-2 arrival
+      input.addData(ValueEvent(3, new Timestamp(100000), 7))
+      q.processAllAvailable()
+      assert(slots().contains((2L, 60000L, 500L, false)), slots().toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("a capped never-idle key seals and emits bounded sessions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
