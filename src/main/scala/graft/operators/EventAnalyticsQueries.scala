@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-log product-analytics operators: ordered conversion funnels and
+  * weekly cohort retention — the progress/engagement reports every
+  * large-scale event pipeline ships alongside sessionization (q34/q61).
+  * Both ride a single user-keyed partitioning; outputs are per-user or
+  * per-(cohort, offset), vanishingly small next to the input log.
+  */
+object EventAnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- strict-sequence funnel view → click → purchase: stage k's time
+    // is the earliest qualifying event strictly after stage k-1's time.
+    // One shuffle by user; every stage is a conditional window min on the
+    // same partitioning (no per-stage scan of the log, no self-join).
+    Q("q136_funnel",
+      (s, d) => {
+        val t = Tables(s, d)
+        Funnel.funnelTimes(t.events, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |       GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |       GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+             |  epoch_us(t2) - epoch_us(t1) AS us_to_stage2,
+             |  epoch_us(t3) - epoch_us(t2) AS us_to_stage3
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- weekly cohort retention: cohort = ISO week of first event;
+    // retained at offset k = any event in cohort_week + k weeks. Rates in
+    // ppm of the cohort size (offset 0 row IS the cohort size).
+    Q("q137_cohort_retention",
+      (s, d) => {
+        val t = Tables(s, d)
+        Funnel.cohortRetention(t.events, "user_id", "ts")
+          .orderBy(col("cohort_week"), col("offset_weeks"))
+      },
+      Some("""WITH wk AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |coh AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id),
+             |act AS (SELECT DISTINCT c.cohort_week,
+             |    (epoch_us(w.wk) - epoch_us(c.cohort_week)) // 604800000000 AS offset_weeks,
+             |    w.user_id
+             |  FROM wk w JOIN coh c USING (user_id)),
+             |cnt AS (SELECT cohort_week, offset_weeks,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM act GROUP BY cohort_week, offset_weeks),
+             |sz AS (SELECT cohort_week, n_users AS n0 FROM cnt WHERE offset_weeks = 0)
+             |SELECT c.cohort_week, c.offset_weeks, c.n_users,
+             |  (c.n_users * 1000000) // sz.n0 AS retained_ppm
+             |FROM cnt c JOIN sz USING (cohort_week)
+             |ORDER BY cohort_week, offset_weeks""".stripMargin))
+  )
+}
