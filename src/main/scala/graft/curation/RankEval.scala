@@ -52,4 +52,61 @@ object RankEval {
               "(2 * n_pos * n_neg)"))
           .as("auc_ppm"))
   }
+
+  /** Position-discount table for [[ndcgMrrAudit]]: disc_micro(p) =
+    * round(10^6 / log2(p+1)) for p = 1..k. Computed ONCE here and embedded
+    * as literals in both the Spark plan and the generated oracle SQL, so
+    * the only float (the log2) can never disagree across engines.
+    */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(p => math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG numerator for a truth list of exactly k graded items
+    * (rel = k..1): Σ (k+1−p)·disc_micro(p) — a compile-time constant. */
+  def idcgMicro(k: Int): Long = {
+    val d = ndcgDiscountsMicro(k)
+    (1 to k).map(p => (k + 1 - p).toLong * d(p - 1)).sum
+  }
+
+  /** Graded ranking-quality audit for a retrieval system against exact
+    * ground truth — the metrics ANN recall@k (a set measure) can't see:
+    * NDCG@k rewards putting the BEST neighbors early (graded relevance
+    * rel = k+1 − exact_rank), and MRR reports how deep a user scrolls for
+    * the first true hit. Both exact integers: DCG sums rel·disc_micro(p)
+    * over the system's positions, NDCG normalizes by the constant ideal
+    * DCG with a ppm div, and RR is 10^6 div first-hit-position.
+    *
+    * Inputs are two (query, item, rank) frames of ≤ queries·k rows (e.g.
+    * [[graft.similarity.Similarity.cosineTopK]] as `truth`, `annTopK` as
+    * `system`) — everything here is query-scale, never corpus-scale.
+    * Queries the system missed entirely surface as hard zeros via the
+    * truth-side left join, mirroring `recallAtK`.
+    */
+  def ndcgMrrAudit(truth: DataFrame, system: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val disc = ndcgDiscountsMicro(k)
+    val discArr = array(disc.map(lit): _*)
+    val idcg = idcgMicro(k)
+    val t = truth.select(col(queryCol).as("query_id"), col(itemCol).as("_graft_item"),
+      (lit(k + 1) - col(rankCol)).cast("long").as("_graft_rel"))
+    val sys = system.select(col(queryCol).as("query_id"),
+      col(itemCol).as("_graft_item"), col(rankCol).cast("int").as("_graft_p"))
+    val perQuery = sys.join(t, Seq("query_id", "_graft_item"), "left")
+      .select(col("query_id"), col("_graft_p"),
+        coalesce(col("_graft_rel"), lit(0L)).as("_graft_relv"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("_graft_relv") * element_at(discArr, col("_graft_p")))
+          .as("dcg_microsum"),
+        min(when(col("_graft_relv") > 0, col("_graft_p"))).as("_graft_first"))
+    t.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_microsum"), lit(0L)).as("dcg_microsum"),
+        coalesce(col("_graft_first"), lit(null)).as("_graft_first"))
+      .select(col("query_id"), col("dcg_microsum"),
+        expr(s"(dcg_microsum * 1000000) div $idcg").as("ndcg_ppm"),
+        coalesce(expr("CAST(1000000 div _graft_first AS BIGINT)"), lit(0L))
+          .as("rr_ppm"))
+  }
 }

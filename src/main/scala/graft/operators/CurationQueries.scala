@@ -731,6 +731,54 @@ object CurationQueries {
              |    - CAST(sum(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS fp_grams
              |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- KMV distinct-gram audit: per-source k-minimum-values sketches
+    // (k = 64) vs exact distinct counts, PLUS the merged ALL row derived
+    // from the per-source sketches alone — the mergeability property that
+    // lets 1000 shards sketch independently and compose
+    Q("q138_kmv_distinct",
+      (s, d) => {
+        val t = Tables(s, d)
+        val grams = t.documents.select(col("source"),
+          explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("gram"))
+        graft.curation.KmvSketch.groupedDistinctAudit(
+            grams, "gram", "source", k = 64)
+          .orderBy(col("src"))
+      },
+      Some(s"""WITH tok AS (SELECT source, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+             |g AS (SELECT source, unnest(list_distinct($grams3)) AS gram
+             |      FROM tok WHERE len(t) >= 3),
+             |h AS (SELECT source, list_sum(list_transform(range(1, 16), i ->
+             |        CAST(strpos('0123456789abcdef', substr(
+             |          md5('kmv:' || gram), CAST(i AS INT), 1)) - 1 AS BIGINT)
+             |          << CAST((15 - i) * 4 AS INT))) AS h
+             |      FROM (SELECT DISTINCT source, gram FROM g)),
+             |hd AS (SELECT DISTINCT source, h FROM h),
+             |mins AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hd),
+             |sk AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_sketch,
+             |       max(h) AS hk FROM mins WHERE rn <= 64 GROUP BY source),
+             |ex AS (SELECT source AS src, CAST(count(DISTINCT gram) AS BIGINT) AS n_exact
+             |       FROM g GROUP BY source),
+             |au AS (SELECT DISTINCT h FROM mins WHERE rn <= 64),
+             |alls AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+             |         FROM (SELECT h FROM au ORDER BY h LIMIT 64)),
+             |allex AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g),
+             |rows0 AS (
+             |  SELECT sk.src, ex.n_exact, sk.n_sketch, sk.hk
+             |  FROM sk JOIN ex USING (src)
+             |  UNION ALL
+             |  SELECT 'ALL' AS src, allex.n_exact, alls.n_sketch, alls.hk
+             |  FROM alls, allex),
+             |rows1 AS (SELECT src, n_exact, n_sketch,
+             |    CASE WHEN n_sketch = 64 THEN CAST(hk AS BIGINT) END AS hk,
+             |    CASE WHEN n_sketch < 64 THEN n_sketch
+             |         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // hk AS BIGINT)
+             |    END AS est
+             |  FROM rows0)
+             |SELECT src, n_exact, n_sketch, hk, est,
+             |  ((est - n_exact) * 1000000) // n_exact AS err_ppm
+             |FROM rows1 ORDER BY src""".stripMargin)),
+
     // ---- HyperLogLog distinct-gram audit: 64-register sketch vs the exact
     // distinct count over the same 3-gram stream — rho histogram plus the
     // milli-quantized estimate and its signed error

@@ -673,6 +673,58 @@ object TextDedupQueries {
              |GROUP BY bf.query_id
              |ORDER BY config, query_id""".stripMargin)),
 
+    // ---- graded ranking eval: NDCG@10 + MRR of the coarse-bucket ANN
+    // layout against exact cosine top-10 — the order-sensitive metrics
+    // recall@k (q94) can't see: rel = 11 − exact_rank, position discounts
+    // are shared integer literals (round(1e6/log2(p+1))), the ideal DCG is
+    // a compile-time constant, so NDCG/RR are pure integer ppm
+    Q("q139_ndcg_mrr", {
+      (s, d) => {
+        val t = Tables(s, d)
+        val q = t.embeddings.filter(col("vec_id") < 10)
+        val bf = Similarity.cosineTopK(q, t.embeddings, "vec_id", "embedding", 10)
+        val ann = Similarity.annTopK(q, t.embeddings, "vec_id", "embedding", 10,
+          nPlanes = 24, dim = 64, bitsPerTable = 4)
+        graft.curation.RankEval.ndcgMrrAudit(bf, ann,
+            "query_id", "neighbor_id", "rank", 10)
+          .orderBy(col("query_id"))
+      }
+    },
+      Some({
+        val disc = graft.curation.RankEval.ndcgDiscountsMicro(10)
+          .mkString("[", ", ", "]")
+        val idcg = graft.curation.RankEval.idcgMicro(10)
+        s"""WITH bf AS (
+           |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |  scored AS (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      list_dot_product(q.v, c.v)
+           |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |  SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= 10
+           |),
+           |ann AS (
+           |${annOracleSql(24, 64, 4, 10)}
+           |),
+           |j AS (SELECT a.query_id, a.rank AS p,
+           |    CAST(CASE WHEN bf.rank IS NOT NULL THEN 11 - bf.rank ELSE 0 END AS BIGINT) AS rel
+           |  FROM ann a LEFT JOIN bf ON a.query_id = bf.query_id
+           |    AND a.neighbor_id = bf.neighbor_id),
+           |gq AS (SELECT query_id,
+           |    CAST(sum(rel * ($disc)[p]) AS BIGINT) AS dcg_microsum,
+           |    min(CASE WHEN rel > 0 THEN p END) AS fh
+           |  FROM j GROUP BY query_id)
+           |SELECT q.query_id,
+           |  coalesce(dcg_microsum, 0) AS dcg_microsum,
+           |  (coalesce(dcg_microsum, 0) * 1000000) // $idcg AS ndcg_ppm,
+           |  CAST(coalesce(1000000 // fh, 0) AS BIGINT) AS rr_ppm
+           |FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN gq USING (query_id)
+           |ORDER BY query_id""".stripMargin
+      })),
+
     // ---- prefix-filtering EXACT Jaccard self-join (SSJoin/AllPairs):
     // lossless, so the oracle is the plain all-pairs formulation — the
     // hash match PROVES the prefix filter dropped no qualifying pair

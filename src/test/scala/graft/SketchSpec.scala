@@ -54,4 +54,29 @@ class SketchSpec extends AnyFunSuite {
     val got = ds.select(new MisraGriesAgg(10).toColumn).collect().head
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("KMV keeps the k smallest DISTINCT values under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    // duplicates + shuffled order; truth = 5 smallest distinct
+    val vals: Seq[Long] = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L, 9L, 4L, 2L)
+    val want = vals.distinct.sorted.take(5)
+    val kmv = udaf(new graft.curation.KmvAgg(5))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = spark.createDataset(vals).repartition(parts)
+        .select(kmv($"value")).collect().head.getSeq[Long](0)
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("KMV merge of group sketches equals the sketch of the union") {
+    val a = Seq(1L, 4L, 9L, 16L, 25L).foldLeft(Vector.empty[Long]: Seq[Long])(
+      new graft.curation.KmvAgg(4).reduce)
+    val b = Seq(2L, 4L, 6L, 8L, 10L).foldLeft(Vector.empty[Long]: Seq[Long])(
+      new graft.curation.KmvAgg(4).reduce)
+    val merged = new graft.curation.KmvAgg(4).merge(a, b)
+    val direct = (Seq(1L, 4L, 9L, 16L, 25L) ++ Seq(2L, 4L, 6L, 8L, 10L))
+      .distinct.sorted.take(4)
+    assert(merged == direct)
+  }
 }
