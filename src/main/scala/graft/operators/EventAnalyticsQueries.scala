@@ -67,6 +67,71 @@ object EventAnalyticsQueries {
              |SELECT c.cohort_week, c.offset_weeks, c.n_users,
              |  (c.n_users * 1000000) // sz.n0 AS retained_ppm
              |FROM cnt c JOIN sz USING (cohort_week)
-             |ORDER BY cohort_week, offset_weeks""".stripMargin))
+             |ORDER BY cohort_week, offset_weeks""".stripMargin)),
+
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: one lag-window pass (q34's shape), types²-sized counts,
+    // row-normalized to exact integer ppm
+    Q("q140_transition_matrix",
+      (s, d) => {
+        val t = Tables(s, d)
+        Funnel.transitionMatrix(t.events, "user_id", "ts", "event_id",
+            "event_type")
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (SELECT prev AS from_type, event_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+             |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+             |  FROM c GROUP BY from_type)
+             |SELECT c.from_type, c.to_type, c.n, (c.n * 1000000) // m.tot AS p_ppm
+             |FROM c JOIN m USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- equi-depth (quantile-codebook) scalar quantization audit: per
+    // dimension, exact quartile boundaries from the distributed Quantiles
+    // core, 2-bit codes, integer-mean reconstruction, exact integer SSE
+    // from (n, Σv, Σv²) in one partial-agg'd pass
+    Q("q141_equidepth_codebook",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.EmbeddingStats.equiDepthCodebookAudit(
+            t.embeddings, "embedding")
+          .orderBy(col("dim"), col("code"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+             |  FROM embeddings),
+             |u AS (SELECT vec_id, unnest(list_transform(range(1, len(xq) + 1),
+             |    i -> {'dim': i - 1, 'v': xq[i]})) AS s FROM v),
+             |c AS (SELECT CAST(s.dim AS INT) AS dim, s.v AS v FROM u),
+             |r AS (SELECT dim, v,
+             |    CAST(row_number() OVER (PARTITION BY dim ORDER BY v) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY dim) AS BIGINT) AS n FROM c),
+             |b AS (SELECT dim, q_ppm,
+             |    min(CASE WHEN rn >= (q_ppm * n + 999999) // 1000000 THEN v END) AS value
+             |  FROM r, (SELECT CAST(unnest([250000, 500000, 750000]) AS BIGINT) AS q_ppm) q
+             |  GROUP BY dim, q_ppm, n),
+             |bp AS (SELECT dim,
+             |    max(CASE WHEN q_ppm = 250000 THEN value END) AS b1,
+             |    max(CASE WHEN q_ppm = 500000 THEN value END) AS b2,
+             |    max(CASE WHEN q_ppm = 750000 THEN value END) AS b3
+             |  FROM b GROUP BY dim),
+             |coded AS (SELECT c.dim, c.v,
+             |    1 + CASE WHEN c.v > b1 THEN 1 ELSE 0 END
+             |      + CASE WHEN c.v > b2 THEN 1 ELSE 0 END
+             |      + CASE WHEN c.v > b3 THEN 1 ELSE 0 END AS code
+             |  FROM c JOIN bp USING (dim)),
+             |g AS (SELECT dim, code, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv
+             |  FROM coded GROUP BY dim, code),
+             |f AS (SELECT dim, CAST(code AS INT) AS code, n, sv // n AS recon_micro,
+             |    sv, svv FROM g)
+             |SELECT dim, code, n, recon_micro,
+             |  svv - 2 * recon_micro * sv + n * recon_micro * recon_micro AS sse
+             |FROM f ORDER BY dim, code""".stripMargin))
   )
 }

@@ -66,6 +66,29 @@ object Funnel {
     perUser.select(col("user_id") +: stage.cast("int").as("stage") +: deltas: _*)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count every adjacent (prev_type → type) pair in (ts, tieBreak) order
+    * within each user's stream and normalize rows to transition
+    * probabilities in exact integer ppm. One user-keyed window pass (the
+    * q34 lag shape) + a types²-sized aggregate; the row marginals broadcast
+    * back onto the tiny matrix.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      tieBreakCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    val counts = events
+      .withColumn("_graft_prev", lag(col(typeCol), 1).over(byUser))
+      .filter(col("_graft_prev").isNotNull)
+      .groupBy(col("_graft_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marginals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("_graft_tot"))
+    counts.join(broadcast(marginals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div _graft_tot").as("p_ppm"))
+  }
+
   /** Weekly cohort retention: cohort = ISO week of the user's first event;
     * a user counts as retained at offset k if they have ANY event in the
     * k-th week after their cohort week. Output: one row per

@@ -163,6 +163,51 @@ object EmbeddingStats {
     * ~5e11 rows; beyond that shard the input and combine numerators
     * per-shard (documented contract, audit-scale operator).
     */
+  /** Equi-depth (quantile-codebook) scalar quantization audit — the
+    * data-adaptive counterpart of uniform SQ8 (q82): per dimension, the
+    * codebook is the exact quartile boundaries from
+    * [[graft.operators.Quantiles.exactQuantiles]] (the scale-safe
+    * histogram-refinement core — never a per-dimension sort in one task),
+    * each component encodes to the 2-bit bucket `1 + Σ (v > b_q)`, and the
+    * reconstruction value is the bucket's integer-mean micro value. The
+    * audit reports, per (dim, code): population, reconstruction level, and
+    * the EXACT integer sum of squared reconstruction errors — derived from
+    * (n, Σv, Σv²) alone, so one partial-agg'd pass over the components
+    * computes it (no second join of recon back onto rows).
+    *
+    * All arithmetic integer-exact on micro-quantized components: recon =
+    * Σv div n, sse = Σv² − 2·recon·Σv + n·recon².
+    */
+  def equiDepthCodebookAudit(emb: DataFrame, vecCol: String): DataFrame = {
+    val comps = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "_graft_x")))
+      .select(col("dim"),
+        expr("CAST(round(CAST(_graft_x AS DOUBLE) * 1000000.0) AS BIGINT)")
+          .as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = graft.operators.Quantiles.exactQuantiles(comps, "dim", "v",
+        qsPpm = Seq(250000L, 500000L, 750000L))
+      .groupBy(col("g"))
+      .agg(max(when(col("q_ppm") === 250000L, col("value"))).as("_graft_b1"),
+        max(when(col("q_ppm") === 500000L, col("value"))).as("_graft_b2"),
+        max(when(col("q_ppm") === 750000L, col("value"))).as("_graft_b3"))
+    comps
+      .join(broadcast(bounds), comps("dim").cast("string") === bounds("g"))
+      .select(col("dim"), col("v"),
+        (lit(1) + (col("v") > col("_graft_b1")).cast("int")
+          + (col("v") > col("_graft_b2")).cast("int")
+          + (col("v") > col("_graft_b3")).cast("int")).as("code"))
+      .groupBy(col("dim"), col("code"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("_graft_sv"),
+        sum(col("v") * col("v")).as("_graft_svv"))
+      .select(col("dim"), col("code"), col("n"),
+        expr("_graft_sv div n").as("recon_micro"),
+        col("_graft_sv"), col("_graft_svv"))
+      .select(col("dim"), col("code"), col("n"), col("recon_micro"),
+        (col("_graft_svv") - lit(2L) * col("recon_micro") * col("_graft_sv")
+          + col("n") * col("recon_micro") * col("recon_micro")).as("sse"))
+  }
+
   def covarianceAudit(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
     val quant = emb.select(
