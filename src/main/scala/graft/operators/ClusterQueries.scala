@@ -191,6 +191,47 @@ object ClusterQueries {
              |  CAST(max(q.q_ppm) AS BIGINT) AS rep_q_ppm,
              |  CAST(count(*) AS BIGINT) AS cluster_size
              |FROM comp c JOIN q ON q.doc_id = c.doc_id
-             |GROUP BY component ORDER BY component""".stripMargin))
+             |GROUP BY component ORDER BY component""".stripMargin)),
+
+    // ---- Fellegi-Sunter probabilistic linkage scoring: blocked candidate
+    // pairs (nation x $1000 balance band), three compared fields with
+    // integer milli log-likelihood weights, exact score histogram. The
+    // scoring complement of the matchkey world's exact-key clustering —
+    // quadratic cost bounded by the largest block, like every blocked
+    // pairwise operator here
+    Q("q143_fs_linkage",
+      (s, d) => {
+        val t = Tables(s, d)
+        val c = t.customer.select(
+          col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
+          col("c_mktsegment").as("seg"),
+          (regexp_extract(col("c_name"), "[0-9]+", 0).cast("long") % 97)
+            .as("code"))
+          .withColumn("band", expr("bal div 100000"))
+        graft.dedup.RecordLinkage.scoreHistogram(c, "id", Seq("nk", "band"),
+            Seq(
+              graft.dedup.RecordLinkage.FsField("seg", (a, b) => a === b,
+                2170L, -3000L),
+              graft.dedup.RecordLinkage.FsField("bal",
+                (a, b) => abs(a - b) <= 10000L, 3000L, -2170L),
+              graft.dedup.RecordLinkage.FsField("code", (a, b) => a === b,
+                6129L, -1722L)))
+          .orderBy(col("score_milli"))
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             |    c_mktsegment AS seg,
+             |    CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) % 97 AS code,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band
+             |  FROM customer),
+             |p AS (SELECT
+             |    CASE WHEN a.seg = b.seg THEN 2170 ELSE -3000 END
+             |    + CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 3000 ELSE -2170 END
+             |    + CASE WHEN a.code = b.code THEN 6129 ELSE -1722 END AS score_milli
+             |  FROM c a JOIN c b ON a.nk = b.nk AND a.band = b.band AND a.id < b.id)
+             |SELECT CAST(score_milli AS BIGINT) AS score_milli,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY score_milli ORDER BY score_milli""".stripMargin))
   )
 }

@@ -526,5 +526,31 @@ object CorpusReportQueries {
               |  (i * 1000000) // (ns - i) AS jac_ppm,
               |  (2 * bit_matches * 1000000) // 16 - 1000000
               |    - (i * 1000000) // (ns - i) AS err1_ppm
-              |FROM m ORDER BY id1, id2""".stripMargin)))
+              |FROM m ORDER BY id1, id2""".stripMargin)),
+
+    // ---- Flesch-Kincaid readability in exact integer milli-grades: words,
+    // terminal-punctuation sentences, vowel-group syllable proxy — the
+    // whole formula cross-multiplied so no float appears; pure per-row
+    // codegen'd regexp counting
+    Q("q142_readability",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("doc_id"),
+            greatest(TextFunctions.tokenCount(col("text")), lit(1))
+              .cast("long").as("n_words"),
+            TextFunctions.sentenceCount(col("text")).cast("long")
+              .as("n_sentences"),
+            TextFunctions.syllableProxyCount(col("text")).cast("long")
+              .as("n_syllables"),
+            TextFunctions.fleschKincaidMilli(col("text")).as("fk_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    CAST(greatest(len(regexp_split_to_array(text, '\s+')), 1) AS BIGINT) AS w,
+             |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+             |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+             |  FROM documents)
+             |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+             |  (390 * w * w + 11800 * y * s - 15590 * s * w) // (s * w) AS fk_milli
+             |FROM m ORDER BY doc_id""".stripMargin)))
 }

@@ -52,6 +52,40 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishRegex))
 
+  /** sentence count for readability scoring: runs of terminal punctuation,
+    * floored at 1 so fragment-only documents don't divide by zero */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** syllable proxy for readability scoring: vowel-group runs across the
+    * text (= per-word vowel groups summed); the standard cheap stand-in
+    * where a hyphenation dictionary would be overkill */
+  def syllableProxyCount(text: Column): Column =
+    regexp_count(text, lit("[aeiouyAEIOUY]+"))
+
+  /** Flesch-Kincaid grade level in exact integer milli-grades:
+    * 0.39·(W/S) + 11.8·(Y/W) − 15.59, cross-multiplied to
+    * (390·W² + 11800·Y·S − 15590·S·W) div (S·W) so no float ever appears.
+    * W floored at 1 like S; pure per-row codegen'd regexp counting.
+    */
+  def fleschKincaidMilli(text: Column): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast("long")
+    val s = sentenceCount(text).cast("long")
+    val y = syllableProxyCount(text).cast("long")
+    integralDiv(
+      lit(390L) * w * w + lit(11800L) * y * s - lit(15590L) * s * w,
+      s * w)
+  }
+
+  /** `a div b` as a composable Column (truncating integral division — the
+    * repo's cross-engine convention, matching DuckDB `//`) */
+  def integralDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** type-token ratio (lexical diversity) */
   def typeTokenRatio(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks)
