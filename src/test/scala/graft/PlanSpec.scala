@@ -678,4 +678,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q136 funnel: the whole stage chain rides ONE user-keyed exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = exec("q136_funnel")
+    val hashEx = e.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashEx.size <= 1,
+      s"chained stage windows + per-user agg must reuse one exchange, " +
+        s"got ${hashEx.size}:\n$e")
+  }
+
+  test("q137 cohort retention: cohort sizes broadcast onto the tiny result") {
+    val p = plan("q137_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q138 KMV: bounded sketch aggregate partial-aggs before the exchange") {
+    val p = plan("q138_kmv_distinct")
+    assert(p.contains("partial_"), "sketch must partial-agg:\n" + p)
+    // the only join is the ALL row's 1-row exact-count broadcast; the
+    // sketch side must never join at corpus scale
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale join expected:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q140 transition matrix: lag window by user, partial-agg'd counts, " +
+      "broadcast marginals") {
+    val p = plan("q140_transition_matrix")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q141 codebook: bounds broadcast back; components never sort-merge") {
+    val p = plan("q141_equidepth_codebook")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q143 FS linkage: blocked equi-join, never a nested-loop all-pairs") {
+    val p = plan("q143_fs_linkage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "histogram must partial-agg:\n" + p)
+  }
 }
