@@ -369,6 +369,58 @@ object StreamingIngest {
       }
   }
 
+  /** a typed user event for the streaming funnel */
+  final case class TypedUserEvent(userId: Long, eventId: Long, ts: Timestamp,
+      eventType: String)
+
+  /** a newly-reached funnel stage (1-based), emitted once per (user, stage) */
+  final case class FunnelHit(userId: Long, stage: Int, ts: Timestamp)
+
+  /** Streaming ordered funnel — the stateful twin of the batch
+    * `Funnel.funnelTimes` (q136): per-user state holds the time each stage
+    * was first reached; an event of stage k's type lands the stage iff
+    * stage k−1 is already held with a strictly earlier time. For in-order
+    * streams this greedy rule IS the batch semantics (the first qualifying
+    * arrival is the minimum), and each (user, stage) emits exactly one
+    * Append-mode row at the moment it's reached — the live conversion
+    * tracker. Within a micro-batch events sort by (ts, eventId) like the
+    * batch window's ordering; a cross-batch LATE event can't retroactively
+    * improve an already-emitted stage time (documented Append contract,
+    * same as the sessionizer's).
+    *
+    * State per user: one Long per stage — constant-size, sharded by userId
+    * in the state store, so throughput scales with executors.
+    */
+  def streamingFunnel(events: Dataset[TypedUserEvent], stages: Seq[String],
+      horizonSec: Option[Long] = None): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    import events.sparkSession.implicits._
+    val stageOf = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Array[Long], FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[Array[Long]]) =>
+          val times = state.getOption.getOrElse(
+            Array.fill(stages.size)(Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            stageOf.get(e.eventType).foreach { i =>
+              val ms = e.ts.getTime
+              val prevOk = i == 0 ||
+                (times(i - 1) != Long.MinValue && ms > times(i - 1) &&
+                  horizonSec.forall(h => ms <= times(i - 1) + h * 1000L))
+              if (times(i) == Long.MinValue && prevOk) {
+                times(i) = ms
+                out += FunnelHit(userId, i + 1, new Timestamp(ms))
+              }
+            }
+          }
+          state.update(times)
+          out.iterator
+      }
+  }
+
   /** a gap-closed session window emitted by the event-time sessionizer */
   final case class ClosedSession(userId: Long, startTs: Timestamp,
       endTs: Timestamp, events: Long)

@@ -124,6 +124,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits each stage once, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{FunnelHit, TypedUserEvent}
+    def ev(u: Long, id: Long, sec: Long, et: String) =
+      TypedUserEvent(u, id, new Timestamp(1700000000000L + sec * 1000), et)
+    val input = MemoryStream[TypedUserEvent](spark)
+    val out = StreamingIngest.streamingFunnel(input.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // batch 1: user 1 views; an early click (before any view) must not land
+      input.addData(ev(2, 1, 0, "click"), ev(1, 2, 5, "view"),
+        ev(1, 3, 10, "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3 lands cross-batch); a second
+      // view/click must NOT re-emit stages; user 2's view then click land
+      input.addData(ev(1, 4, 20, "purchase"), ev(1, 5, 30, "view"),
+        ev(1, 6, 40, "click"), ev(2, 7, 50, "view"), ev(2, 8, 60, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelHit].collect()
+        .map(h => (h.userId, h.stage, h.ts.getTime / 1000 - 1700000000L))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((1L, 1, 5L), (1L, 2, 10L), (1L, 3, 20L),
+        (2L, 1, 50L), (2L, 2, 60L)),
+        "each (user, stage) must emit exactly once, in batch semantics")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup finds cross-batch pairs, O(bucket) per doc") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
