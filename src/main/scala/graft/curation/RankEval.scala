@@ -68,6 +68,70 @@ object RankEval {
     (1 to k).map(p => (k + 1 - p).toLong * d(p - 1)).sum
   }
 
+  /** Calibration (reliability-diagram) audit for a classifier score: does
+    * "the model says 80%" mean 80% of those rows are actually positive?
+    * AUC (above) is threshold-free ranking quality; calibration is the
+    * complementary deployment question for any score used as a FILTER
+    * PROBABILITY (keep-rate budgeting, soft-dedup weighting). Scores in
+    * integer micro log-odds map through one per-row quantized sigmoid to
+    * p_micro, bucket into ten fixed-width probability bands (data-
+    * independent — no quantile pass, pure per-row), and each band reports
+    * observed positive rate vs mean claimed confidence; ece_ppm is the
+    * n-weighted mean absolute gap (expected calibration error), repeated
+    * on every row like the other audit summaries.
+    */
+  def calibrationAudit(df: DataFrame, scoreMicroCol: String,
+      labelCol: String): DataFrame = {
+    val p = round(lit(1e6) /
+      (lit(1.0) + exp(-col(scoreMicroCol).cast("double") / lit(1e6))))
+      .cast("long")
+    val per = df
+      .select(p.as("p_micro"), col(labelCol).cast("boolean").as("_graft_lab"))
+      .select(least(expr("p_micro div 100000"), lit(9L)).as("bucket"),
+        col("p_micro"), col("_graft_lab"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_graft_lab"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("p_micro")).as("_graft_sp"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) div n").as("rate_ppm"),
+        expr("_graft_sp div n").as("conf_ppm"))
+    val ece = per.agg(
+      expr("sum(n * abs(rate_ppm - conf_ppm)) div sum(n)").as("ece_ppm"))
+    per.crossJoin(broadcast(ece))
+  }
+
+  /** Exact Kendall rank correlation (tau-a) between two BOUNDED ranked
+    * lists (top-k frames à la [[RankFusion.topRanked]]) over their common
+    * items: concordant/discordant pair counts and tau in integer ppm.
+    * The pair enumeration is quadratic BY DESIGN and the contract is
+    * list-scale inputs (k ≤ a few thousand) — rank agreement between two
+    * corpus-scale scores belongs to a sampled/bucketed formulation, not
+    * this operator. One row: (n_common, n_pairs, concordant, discordant,
+    * tau_ppm); tau_ppm null when fewer than 2 common items.
+    */
+  def kendallTau(r1: DataFrame, r2: DataFrame, idCol: String,
+      rankCol: String): DataFrame = {
+    val j = r1.select(col(idCol).as("_graft_id"), col(rankCol).as("_graft_r1"))
+      .join(r2.select(col(idCol).as("_graft_id"), col(rankCol).as("_graft_r2")),
+        "_graft_id")
+    val a = j.as("a")
+    val b = j.as("b")
+    a.join(b, col("a._graft_id") < col("b._graft_id"))
+      .select(((col("a._graft_r1") - col("b._graft_r1")) *
+        (col("a._graft_r2") - col("b._graft_r2"))).as("_graft_prod"))
+      .agg(sum(when(col("_graft_prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("_graft_prod") < 0, 1L).otherwise(0L)).as("discordant"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(j.agg(count(lit(1)).as("n_common"))))
+      .select(col("n_common"), col("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(col("n_pairs") > 0, expr(
+          "((concordant - discordant) * 1000000) div n_pairs"))
+          .as("tau_ppm"))
+  }
+
   /** Graded ranking-quality audit for a retrieval system against exact
     * ground truth — the metrics ANN recall@k (a set measure) can't see:
     * NDCG@k rewards putting the BEST neighbors early (graded relevance

@@ -552,5 +552,94 @@ object CorpusReportQueries {
              |  FROM documents)
              |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
              |  (390 * w * w + 11800 * y * s - 15590 * s * w) // (s * w) AS fk_milli
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- calibration (reliability-diagram) audit of the q127 classifier:
+    // per-row quantized sigmoid -> ten fixed probability bands (pure
+    // per-row, no quantile pass), observed positive rate vs mean claimed
+    // confidence per band, n-weighted ECE repeated on every row
+    Q("q144_calibration",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tok = t.documents
+          .select(col("doc_id"), (col("lang") === "en").as("lab"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = QualityClassifier.scoreTokens(tok, "doc_id", "token",
+          QualityClassifier.trainTokens(tok, "token", "lab"))
+        RankEval.calibrationAudit(
+            scored.join(t.documents.select(col("doc_id"),
+              (col("lang") === "en").as("lab")), "doc_id"),
+            "score_micro", "lab")
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, (lang = 'en') AS lab, token FROM (
+             |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |c AS (SELECT token,
+             |    count(*) FILTER (WHERE lab) AS c_pos,
+             |    count(*) FILTER (WHERE NOT lab) AS c_neg
+             |  FROM tok GROUP BY token),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS v FROM c),
+             |wt AS (SELECT token,
+             |    CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |      AS weight_micro
+             |  FROM c, tot),
+             |sc AS (SELECT doc_id, CAST(sum(weight_micro) AS BIGINT) AS s
+             |  FROM tok JOIN wt USING (token) GROUP BY doc_id),
+             |lbl AS (SELECT sc.s, (d.lang = 'en') AS lab
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |pm AS (SELECT CAST(round(1000000.0
+             |    / (1.0 + exp(-CAST(s AS DOUBLE) / 1000000.0))) AS BIGINT) AS p_micro,
+             |    lab FROM lbl),
+             |bk AS (SELECT least(p_micro // 100000, 9) AS bucket, p_micro, lab FROM pm),
+             |per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (WHERE lab) AS BIGINT) AS n_pos,
+             |    CAST(sum(p_micro) AS BIGINT) AS sp FROM bk GROUP BY bucket),
+             |per2 AS (SELECT bucket, n, n_pos, (n_pos * 1000000) // n AS rate_ppm,
+             |    sp // n AS conf_ppm FROM per),
+             |e AS (SELECT CAST(sum(n * abs(rate_ppm - conf_ppm)) // sum(n) AS BIGINT)
+             |    AS ece_ppm FROM per2)
+             |SELECT bucket, n, n_pos, rate_ppm, conf_ppm, ece_ppm
+             |FROM per2, e ORDER BY bucket""".stripMargin)),
+
+    // ---- exact Kendall tau-a between two bounded top-100 rankings (char
+    // length vs whitespace token count): concordant/discordant pair counts
+    // over the common items — the rank-agreement audit next to AUC (q127)
+    // and NDCG (q139); quadratic only in the bounded list size
+    Q("q145_kendall_tau",
+      (s, d) => {
+        val t = Tables(s, d)
+        val byChars = graft.curation.RankFusion.topRanked(
+          t.documents.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", 100)
+        val byTokens = graft.curation.RankFusion.topRanked(
+          t.documents.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 100)
+        RankEval.kendallTau(byChars, byTokens, "doc_id", "rank")
+      },
+      Some("""WITH r1 AS (SELECT doc_id, CAST(row_number() OVER
+             |    (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+             |  FROM documents QUALIFY r <= 100),
+             |r2 AS (SELECT doc_id, CAST(row_number() OVER
+             |    (ORDER BY len(regexp_split_to_array(text, '\s+')) DESC, doc_id) AS BIGINT) AS r
+             |  FROM documents QUALIFY r <= 100),
+             |j AS (SELECT doc_id, r1.r AS ra, r2.r AS rb FROM r1 JOIN r2 USING (doc_id)),
+             |p AS (SELECT (a.ra - b.ra) * (a.rb - b.rb) AS prod
+             |  FROM j a JOIN j b ON a.doc_id < b.doc_id),
+             |agg AS (SELECT
+             |    CAST(coalesce(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+             |    CAST(coalesce(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant,
+             |    CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+             |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM j)
+             |SELECT cc.n_common, agg.n_pairs, agg.concordant, agg.discordant,
+             |  CASE WHEN agg.n_pairs > 0 THEN
+             |    ((agg.concordant - agg.discordant) * 1000000) // agg.n_pairs
+             |  END AS tau_ppm
+             |FROM agg, cc""".stripMargin)))
 }
