@@ -69,6 +69,42 @@ object CorpusStats {
     * break by token string so the fit set is total-ordered. Groups with one
     * distinct token (degenerate regression) report slope 0.
     */
+  /** Vocabulary-saturation report per group: Good-Turing unseen mass
+    * (P₀ = N₁/N — the probability the NEXT token is a new type; Gale &
+    * Sampson 1995) plus the unbiased Simpson repeat-probability
+    * Σc(c−1)/(N(N−1)) — together the "is this source exhausted or still
+    * yielding novelty, and how template-heavy is it" gauge a crawl
+    * scheduler reads. Both exact integer ppm.
+    *
+    * Scale shape: one (group, token) count (partial-agg'd) feeding one
+    * per-group aggregate — the same two-exchange shape as every
+    * vocabulary audit here; nothing driver-side.
+    */
+  def vocabSaturation(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = graft.operators.Parallelism.ensure(
+        docs.select(col(groupCol).as("src"), col(textCol)))
+      .select(col("src"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("src"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("src"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_dis"),
+        sum(col("c") * (col("c") - 1L)).as("_graft_rep"))
+      .select(col("src"), col("n_tokens"), col("v_types"), col("n_hapax"),
+        col("n_dis"),
+        expr("(n_hapax * 1000000) div n_tokens").as("p0_ppm"),
+        // 128-bit intermediates: N(N-1) overflows a long past ~3e9 tokens
+        // per group (decimal here, hugeint in the oracle)
+        expr("CAST((CAST(_graft_rep AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)")
+          .as("simpson_ppm"))
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
       topN: Int = 100): DataFrame = {
     require(topN >= 2, s"topN must be >= 2, got $topN")

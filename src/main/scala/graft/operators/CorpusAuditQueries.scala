@@ -501,5 +501,31 @@ object CorpusAuditQueries {
               |FROM p JOIN sz sa ON sa.source = p.src_a
               |  JOIN sz sb ON sb.source = p.src_b
               |  LEFT JOIN i ON i.src_a = p.src_a AND i.src_b = p.src_b
-              |ORDER BY p.src_a, p.src_b""".stripMargin)))
+              |ORDER BY p.src_a, p.src_b""".stripMargin)),
+
+    // ---- vocabulary saturation per source: Good-Turing unseen mass
+    // (P0 = hapax/N — "probability the next token is a NEW type") and the
+    // unbiased Simpson repeat probability — the crawl-scheduler gauge for
+    // exhausted vs still-novel sources; one token-count exchange
+    Q("q146_vocab_saturation",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.CorpusStats.vocabSaturation(t.documents, "text", "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH tk AS (SELECT source AS src,
+             |    unnest(regexp_split_to_array(text, '\s+')) AS tk FROM documents),
+             |c AS (SELECT src, tk, CAST(count(*) AS BIGINT) AS c
+             |  FROM tk WHERE tk <> '' GROUP BY src, tk),
+             |a AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS v_types,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+             |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+             |  FROM c GROUP BY src)
+             |SELECT src, n_tokens, v_types, n_hapax, n_dis,
+             |  (n_hapax * 1000000) // n_tokens AS p0_ppm,
+             |  CAST((CAST(rep AS HUGEINT) * 1000000)
+             |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+             |FROM a ORDER BY src""".stripMargin)))
 }

@@ -226,6 +226,53 @@ object SamplingQueries {
              |       THEN 1 ELSE 0 END) AS nc
              |  FROM documents) _t
              |WHERE nc > 0
-             |ORDER BY doc_id, copy_idx""".stripMargin))
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // ---- sample-based quantile estimation audit: exact per-group p50/p90
+    // (distributed Quantiles core) vs the same quantiles computed over a
+    // content-addressed 10% hash sample — the evidence for when a sampled
+    // percentile dashboard is safe and how far it drifts
+    Q("q147_sample_quantile_audit",
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        val qs = Seq(500000L, 900000L)
+        val exact = Quantiles.exactQuantiles(base, "g", "cents", qs)
+          .select(col("g"), col("q_ppm"), col("n"),
+            col("value").as("exact_cents"))
+        val samp = Quantiles.exactQuantiles(
+            Sampling.hashSample(base, "rid", 0.1, "sq"), "g", "cents", qs)
+          .select(col("g"), col("q_ppm"), col("n").as("n_sample"),
+            col("value").as("sample_cents"))
+        exact.join(samp, Seq("g", "q_ppm"))
+          .select(col("g"), col("q_ppm"), col("n"), col("n_sample"),
+            col("exact_cents"), col("sample_cents"),
+            (col("sample_cents") - col("exact_cents")).as("err_cents"))
+          .orderBy(col("g"), col("q_ppm"))
+      },
+      Some(s"""WITH v AS (SELECT l_returnflag AS g,
+              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+              |    l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+              |q AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_ppm),
+              |r AS (SELECT g, v,
+              |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+              |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+              |ex AS (SELECT g, q_ppm, n,
+              |    min(CASE WHEN rn >= (q_ppm * n + 999999) // 1000000 THEN v END) AS exact_cents
+              |  FROM r, q GROUP BY g, q_ppm, n),
+              |sv AS (SELECT g, v FROM v
+              |  WHERE substr(md5('sq:' || CAST(rid AS VARCHAR)), 1, 8) < '${thr(0.1)}'),
+              |sr AS (SELECT g, v,
+              |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn,
+              |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM sv),
+              |sa AS (SELECT g, q_ppm, n AS n_sample,
+              |    min(CASE WHEN rn >= (q_ppm * n + 999999) // 1000000 THEN v END) AS sample_cents
+              |  FROM sr, q GROUP BY g, q_ppm, n)
+              |SELECT ex.g, ex.q_ppm, ex.n, sa.n_sample, ex.exact_cents,
+              |  sa.sample_cents, sa.sample_cents - ex.exact_cents AS err_cents
+              |FROM ex JOIN sa ON ex.g = sa.g AND ex.q_ppm = sa.q_ppm
+              |ORDER BY ex.g, ex.q_ppm""".stripMargin))
   )
 }

@@ -131,7 +131,10 @@ object ScaleBench {
       "q127_classifier_auc", "q128_lsh_plan", "q129_sorted_neighborhood",
       "q130_embedding_health", "q131_snapshot_diff", "q132_stitch_pairs",
       "q133_rebalance_rates", "q134_weighted_jaccard",
-      "q135_bbit_minhash") ++
+      "q135_bbit_minhash", "q136_funnel", "q137_cohort_retention",
+      "q138_kmv_distinct", "q139_ndcg_mrr", "q140_transition_matrix",
+      "q141_equidepth_codebook", "q142_readability", "q143_fs_linkage",
+      "q144_calibration", "q145_kendall_tau") ++
       (if (mult <= 10) Seq("q72_semdedup") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose
