@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.cluster.Clusterize
+import graft.cluster.{Clusterize, GraphStats}
 import graft.dedup.Dedup
 import graft.text.TextFunctions
 
@@ -232,6 +232,78 @@ object ClusterQueries {
              |  FROM c a JOIN c b ON a.nk = b.nk AND a.band = b.band AND a.id < b.id)
              |SELECT CAST(score_milli AS BIGINT) AS score_milli,
              |  CAST(count(*) AS BIGINT) AS n_pairs
-             |FROM p GROUP BY score_milli ORDER BY score_milli""".stripMargin))
+             |FROM p GROUP BY score_milli ORDER BY score_milli""".stripMargin)),
+
+    // ---- triangle census of the embedding near-dup graph (q38's edges):
+    // wedges from one degree aggregate, triangles from the oriented
+    // two-equi-join (a<b<c, each triangle once), global clustering
+    // coefficient in ppm — cliquey mirror-sets vs chainy near-miss strings
+    Q("q148_triangle_census",
+      (s, d) => {
+        val t = Tables(s, d)
+        val edges = graft.similarity.Similarity.nearDupPairsLsh(
+          t.embeddings, "vec_id", "embedding",
+          threshold = 0.42, nPlanes = 24, dim = 64, bitsPerTable = 6)
+        GraphStats.triangleCensus(edges, "id1", "id2")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bk AS (SELECT vec_id, v, unnest(${graft.similarity.Similarity.lshBucketsSql(24, 64, 6)}) AS bucket FROM e),
+              |cand AS (SELECT DISTINCT a.vec_id AS id1, a.v AS v1, b.vec_id AS id2, b.v AS v2
+              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |p AS (SELECT id1 AS a, id2 AS b FROM cand
+              |  WHERE list_dot_product(v1, v2)
+              |    / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42),
+              |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+              |  (SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY v),
+              |base AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+              |    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+              |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+              |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |  FROM p e1 JOIN p e2 ON e1.b = e2.a
+              |    JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b)
+              |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+              |  CASE WHEN n_wedges > 0
+              |    THEN (3 * n_triangles * 1000000) // n_wedges END AS gcc_ppm
+              |FROM base, tri""".stripMargin)),
+
+    // ---- fixed-iteration PageRank in exact integer micro-mass over the
+    // same near-dup graph: centrality-based canonical-representative
+    // ranking; one join + one aggregate per iteration, all vertex-keyed
+    Q("q149_pagerank",
+      (s, d) => {
+        val t = Tables(s, d)
+        val edges = graft.similarity.Similarity.nearDupPairsLsh(
+          t.embeddings, "vec_id", "embedding",
+          threshold = 0.42, nPlanes = 24, dim = 64, bitsPerTable = 6)
+        GraphStats.pageRank(edges, "id1", "id2", iterations = 3)
+          .orderBy(col("v"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bk AS (SELECT vec_id, v, unnest(${graft.similarity.Similarity.lshBucketsSql(24, 64, 6)}) AS bucket FROM e),
+              |cand AS (SELECT DISTINCT a.vec_id AS id1, a.v AS v1, b.vec_id AS id2, b.v AS v2
+              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |p AS (SELECT id1 AS a, id2 AS b FROM cand
+              |  WHERE list_dot_product(v1, v2)
+              |    / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42),
+              |b AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+              |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM b GROUP BY src),
+              |i1 AS (SELECT bb.dst AS v, CAST(sum(1000000 // deg.d) AS BIGINT) AS s
+              |  FROM b bb JOIN deg ON bb.src = deg.src GROUP BY bb.dst),
+              |r1 AS (SELECT deg.src AS v,
+              |    CAST(150000 + (850000 * coalesce(i1.s, 0)) // 1000000 AS BIGINT) AS r
+              |  FROM deg LEFT JOIN i1 ON i1.v = deg.src),
+              |i2 AS (SELECT bb.dst AS v, CAST(sum(r1.r // deg.d) AS BIGINT) AS s
+              |  FROM b bb JOIN deg ON bb.src = deg.src
+              |    JOIN r1 ON r1.v = bb.src GROUP BY bb.dst),
+              |r2 AS (SELECT deg.src AS v,
+              |    CAST(150000 + (850000 * coalesce(i2.s, 0)) // 1000000 AS BIGINT) AS r
+              |  FROM deg LEFT JOIN i2 ON i2.v = deg.src),
+              |i3 AS (SELECT bb.dst AS v, CAST(sum(r2.r // deg.d) AS BIGINT) AS s
+              |  FROM b bb JOIN deg ON bb.src = deg.src
+              |    JOIN r2 ON r2.v = bb.src GROUP BY bb.dst),
+              |r3 AS (SELECT deg.src AS v,
+              |    CAST(150000 + (850000 * coalesce(i3.s, 0)) // 1000000 AS BIGINT) AS r
+              |  FROM deg LEFT JOIN i3 ON i3.v = deg.src)
+              |SELECT v, r AS rank_micro FROM r3 ORDER BY v""".stripMargin))
   )
 }

@@ -134,8 +134,13 @@ object ScaleBench {
       "q135_bbit_minhash", "q136_funnel", "q137_cohort_retention",
       "q138_kmv_distinct", "q139_ndcg_mrr", "q140_transition_matrix",
       "q141_equidepth_codebook", "q142_readability", "q143_fs_linkage",
-      "q144_calibration", "q145_kendall_tau") ++
-      (if (mult <= 10) Seq("q72_semdedup") else Nil)
+      "q144_calibration", "q145_kendall_tau", "q146_vocab_saturation",
+      "q147_sample_quantile_audit") ++
+      // unperturbed embedding replication makes the near-dup graph (and
+      // everything over it) grow quadratically in mult — replication
+      // artifact, not an operator property; see the q72 note above
+      (if (mult <= 10) Seq("q72_semdedup", "q148_triangle_census",
+        "q149_pagerank") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose
     // threshold the candidate volume is the q107 artifact magnified
