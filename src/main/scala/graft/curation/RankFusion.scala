@@ -60,4 +60,53 @@ object RankFusion {
       (col(idCol) +: renamed.map { case (l, _) => col(s"rank_$l") }) ++
         Seq(present.as("in_lists"), rrf.as("rrf_nano")): _*)
   }
+
+  /** Maximal-marginal-relevance diversified reranking (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick k items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    * cure for a top-k page full of near-identical hits. All integer:
+    * relevance in ppm, pairwise similarity in ppm, λ in milli, score =
+    * λ·rel − (1000−λ)·maxSim; ties break on id ascending.
+    *
+    * LIST-SCALE BY CONTRACT, like [[RankEval.kendallTau]]: `cands` is a
+    * bounded top-n retrieval cut and `sims` its pairwise similarities
+    * (≤ n² rows) — the greedy loop collects them to the driver (the
+    * corpus-scale work is the upstream retrieval, not this reranker).
+    * Output: (rank 1..k, id, mmr_score), rank in pick order.
+    */
+  def mmrRerank(cands: DataFrame, idCol: String, relPpmCol: String,
+      sims: DataFrame, aCol: String, bCol: String, simPpmCol: String,
+      k: Int, lambdaMilli: Long = 700L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val spark = cands.sparkSession
+    val cs = cands.select(col(idCol).cast("long"), col(relPpmCol).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val simMap = sims
+      .select(col(aCol).cast("long"), col(bCol).cast("long"),
+        col(simPpmCol).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def simOf(x: Long, y: Long): Long =
+      simMap.getOrElse((x, y), simMap.getOrElse((y, x), 0L))
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cs.sortBy(_._1): _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val (id, sc) = remaining.iterator.map { case (cid, rel) =>
+        val maxSim =
+          if (chosen.isEmpty) 0L
+          else chosen.iterator.map(c => simOf(cid, c._2)).max
+        cid -> (lambdaMilli * rel - (1000L - lambdaMilli) * maxSim)
+      }.maxBy { case (cid, sc) => (sc, -cid) }
+      chosen += ((step, id, sc))
+      remaining.remove(id)
+      step += 1
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("rank", "doc_id", "mmr_score")
+      .select(col("rank").cast("int").as("rank"),
+        col("doc_id").as(idCol), col("mmr_score"))
+  }
 }

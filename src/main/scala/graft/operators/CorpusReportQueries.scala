@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curation.{CorpusStats, QualityClassifier, QualitySignals, RankEval, SnapshotDiff, TfIdf}
+import org.apache.spark.sql.expressions.Window
+
+import graft.curation.{CorpusStats, QualityClassifier, QualitySignals, RankEval, RankFusion, SnapshotDiff, TfIdf}
 import graft.dedup.{LshPlanner, Normalize, SortedNeighborhood, Stitch}
 import graft.sampling.Sampling
 import graft.similarity.EmbeddingStats
@@ -641,5 +643,70 @@ object CorpusReportQueries {
              |  CASE WHEN agg.n_pairs > 0 THEN
              |    ((agg.concordant - agg.discordant) * 1000000) // agg.n_pairs
              |  END AS tau_ppm
-             |FROM agg, cc""".stripMargin)))
+             |FROM agg, cc""".stripMargin)),
+
+    // ---- MMR diversified reranking over a bounded top-20 retrieval cut:
+    // greedy lambda*rel - (1-lambda)*maxSim in exact integers (rel rank-
+    // ppm, token-Jaccard sim ppm); the oracle unrolls the same ten greedy
+    // steps as generated CTEs. Corpus-scale work is the TakeOrdered
+    // retrieval; the rerank is list-scale by contract
+    Q("q150_mmr_rerank", {
+      (s, d) => {
+        val t = Tables(s, d)
+        val terms = Seq("spark", "join", "merge", "window")
+        val toks = TextFunctions.tokens(col("text"))
+        val base = t.documents.select(col("doc_id"),
+          array_distinct(toks).as("tk"),
+          terms.map(w => size(filter(toks, x => x === lit(w))).cast("long"))
+            .reduce(_ + _).as("rel_raw"))
+        val top = base.orderBy(col("rel_raw").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rel_raw").desc, col("doc_id"))))
+          .select(col("doc_id"), col("tk"),
+            ((lit(21) - col("rank")) * lit(50000L)).cast("long").as("rel_ppm"))
+          .persist()
+        val sims = top.as("a").join(top.as("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+            size(array_intersect(col("a.tk"), col("b.tk"))).cast("long").as("i"),
+            (size(col("a.tk")) + size(col("b.tk"))).cast("long").as("ns"))
+          .select(col("x"), col("y"),
+            expr("(i * 1000000) div (ns - i)").as("sim_ppm"))
+        RankFusion.mmrRerank(top, "doc_id", "rel_ppm", sims,
+          "x", "y", "sim_ppm", k = 10, lambdaMilli = 700L)
+      }
+    },
+      Some({
+        val termFilters = Seq("spark", "join", "merge", "window")
+          .map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+        val steps = (1 to 10).map { k =>
+          s"""m$k AS MATERIALIZED (SELECT s.x2 AS doc_id, max(s.sim_ppm) AS ms
+             |  FROM sims2 s JOIN c${k - 1} ch ON s.y2 = ch.doc_id GROUP BY s.x2),
+             |p$k AS MATERIALIZED (SELECT doc_id, sc FROM (
+             |    SELECT c.doc_id, 700 * c.rel_ppm - 300 * coalesce(m.ms, 0) AS sc
+             |    FROM cand c LEFT JOIN m$k m USING (doc_id)
+             |    WHERE c.doc_id NOT IN (SELECT doc_id FROM c${k - 1}))
+             |  ORDER BY sc DESC, doc_id LIMIT 1),
+             |c$k AS MATERIALIZED (SELECT doc_id, step, sc FROM c${k - 1}
+             |  UNION ALL SELECT doc_id, $k AS step, sc FROM p$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+           |rel AS (SELECT doc_id, list_distinct(t) AS tk,
+           |    CAST($termFilters AS BIGINT) AS rel_raw FROM tok),
+           |cand AS MATERIALIZED (SELECT doc_id, tk, CAST((21 - rn) * 50000 AS BIGINT) AS rel_ppm FROM (
+           |    SELECT doc_id, tk, rel_raw,
+           |      row_number() OVER (ORDER BY rel_raw DESC, doc_id) AS rn FROM rel)
+           |  WHERE rn <= 20),
+           |sims AS MATERIALIZED (SELECT a.doc_id AS x, b.doc_id AS y,
+           |    (CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 1000000)
+           |      // CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS sim_ppm
+           |  FROM cand a JOIN cand b ON a.doc_id < b.doc_id),
+           |sims2 AS MATERIALIZED (SELECT x AS x2, y AS y2, sim_ppm FROM sims
+           |  UNION ALL SELECT y, x, sim_ppm FROM sims),
+           |c0 AS (SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS INTEGER) AS step,
+           |    CAST(0 AS BIGINT) AS sc WHERE 1 = 0),
+           |$steps
+           |SELECT CAST(step AS INTEGER) AS rank, doc_id, sc AS mmr_score
+           |FROM c10 ORDER BY step""".stripMargin
+      })))
 }
