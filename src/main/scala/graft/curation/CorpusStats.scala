@@ -298,4 +298,36 @@ object CorpusStats {
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Windowed co-occurrence counts — the GloVe/word2vec training-corpus
+    * statistic: for every ordered token position i, count the unordered
+    * pairs {w_i, w_j} with i < j ≤ i+window. Pair generation is PER ROW
+    * (a higher-order-function expansion of the token array — map-side,
+    * zero shuffle), so the only exchange is the final pair-count groupBy,
+    * partial-aggregated so stopword-pair skew is absorbed map-side. The
+    * pair space is vocabulary², not corpus-sized; `minCount` keeps the
+    * output to the dense head.
+    *
+    * Pairs are canonicalized (w_a ≤ w_b) so "fast table" and "table fast"
+    * pool, matching symmetric-window embedding objectives; self-pairs
+    * (same word co-occurring with itself) count too.
+    */
+  def windowCooccurrence(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(
+        filter(TextFunctions.tokens(col(textCol)), w => w =!= "").as("_w"))
+      .filter(size(col("_w")) >= 2)
+    // flatten(transform(positions, i -> transform(offsets, o -> pair)))
+    val pairs = toks.select(explode(flatten(
+      transform(sequence(lit(1), size(col("_w")) - 1), i =>
+        transform(sequence(lit(1), least(lit(window), size(col("_w")) - i)), o =>
+          struct(
+            least(element_at(col("_w"), i), element_at(col("_w"), i + o)).as("w_a"),
+            greatest(element_at(col("_w"), i), element_at(col("_w"), i + o)).as("w_b"))))))
+      .as("p"))
+    pairs.select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      .groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-sided CUSUM change-point detection over per-day event-type volumes —
+  * the drift alarm a 100 TB ingest pipeline runs on its own telemetry
+  * (crawler output collapsing, one source flooding, a schema break zeroing
+  * a feed).
+  *
+  * Exact integer formulation: with D grid days and T total events of a
+  * type, day i's deviation is `dev_i = c_i·D − T` (count·days units, mean
+  * exactly 0 over the grid), and the one-sided CUSUM is
+  * `S_i = max(0, S_{i−1} + dev_i)`. The alarm fires while
+  * `S_i·10⁶ ≥ hPpm·T` — h in units of "mean-days of excess volume"
+  * (S grows by T per day running at 2× the mean). No floats anywhere.
+  *
+  * Scale: the corpus-sized input collapses to a (types × days) grid in ONE
+  * partial-agg'd groupBy — the recursion then runs on the tiny grid. The
+  * per-type day array is bounded by the calendar (a year of days, not data
+  * volume), same bounded-by-construction contract as `mixtureSample`'s
+  * strata; `maxDays` makes it crash-proof.
+  */
+object ChangePoint {
+
+  def cusumDaily(events: DataFrame, tsCol: String, typeCol: String,
+      hPpm: Long, maxDays: Int = 4096): DataFrame = {
+    require(hPpm > 0, s"hPpm must be > 0, got $hPpm")
+    val base = events.select(col(typeCol).as("event_type"),
+      to_date(col(tsCol)).as("day"))
+    val days = base.select(col("day")).distinct()
+    val nDays = days.limit(maxDays + 1).count() // bounded probe, fails fast
+    if (nDays > maxDays) throw new IllegalArgumentException(
+      s"cusumDaily: more than $maxDays grid days — the per-type fold is " +
+        "calendar-bounded by contract; raise maxDays deliberately for " +
+        "multi-decade grids")
+    val types = base.select(col("event_type")).distinct()
+    val counts = base.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = types.crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val perType = grid.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("_g"),
+        sum(col("c")).as("tot"))
+    // left fold over the bounded day array: acc = (running S, emitted rows)
+    val folded = perType.select(col("event_type"), col("tot"),
+      aggregate(col("_g"),
+        struct(lit(0L).as("s"),
+          array().cast("array<struct<day:date,c:bigint,s:bigint>>").as("out")),
+        (acc, x) => struct(
+          greatest(lit(0L), acc.getField("s") + x.getField("c") * size(col("_g")) - col("tot")).as("s"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("day").as("day"), x.getField("c").as("c"),
+            greatest(lit(0L), acc.getField("s") + x.getField("c") * size(col("_g")) - col("tot")).as("s"))))
+            .as("out")),
+        acc => acc.getField("out")).as("_rows"))
+    folded.select(col("event_type"), col("tot"), explode(col("_rows")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"),
+        col("r.s").as("cusum"),
+        (col("r.s") * 1000000L >= col("tot") * hPpm).as("alarm"))
+  }
+}

@@ -123,4 +123,34 @@ object Funnel {
       .select(col("cohort_week"), col("offset_weeks"), col("n_users"),
         expr("(n_users * 1000000) div _graft_n0").as("retained_ppm"))
   }
+
+  /** Per-user inter-arrival burstiness: the index of dispersion
+    * `D = Var(gap)/Mean(gap)` over the gaps (in whole seconds) between a
+    * user's consecutive events — D ≈ mean for a Poisson user, ≫ mean for a
+    * bursty bot/batch writer, the standard traffic-shape triage signal.
+    *
+    * Exact integers: gaps are `µs-diff div 10⁶`; with n gaps, Σg and Σg²,
+    * `D·10³ = (n·Σg² − (Σg)²)·10³ div (n·Σg)` — the numerator is ≥ 0 by
+    * Cauchy–Schwarz and the denominator > 0 whenever any gap is, so
+    * truncating division agrees across engines. One user-keyed shuffle
+    * (the lag window and the aggregate share the partitioning); output is
+    * one row per user with ≥ 2 events and a positive gap sum.
+    */
+  def interArrivalDispersion(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    events
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("_graft_us"),
+        col(idCol).as("_graft_id"))
+      .withColumn("_graft_gap",
+        expr("(_graft_us - lag(_graft_us) over (partition by user_id " +
+          "order by _graft_us, _graft_id)) div 1000000"))
+      .filter(col("_graft_gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_graft_gap")).as("sum_gap_s"),
+        sum(col("_graft_gap") * col("_graft_gap")).as("_graft_sg2"))
+      .filter(col("sum_gap_s") > 0)
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+        expr("(n_gaps * _graft_sg2 - sum_gap_s * sum_gap_s) * 1000 " +
+          "div (n_gaps * sum_gap_s)").as("dispersion_milli"))
+  }
 }

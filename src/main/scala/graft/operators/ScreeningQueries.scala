@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.curation.{CorpusStats, Stylometry}
+import graft.similarity.{EmbeddingStats, MarginKnn}
+import graft.text.Blocklist
+
+/** Round-11 screening / monitoring operators: dictionary blocklist
+  * screening, margin-based neighbor mining, CUSUM volume drift, stylometric
+  * source distance, silhouette clustering audit, embedding-space
+  * decontamination, inter-arrival burstiness, and windowed co-occurrence
+  * counts.
+  *
+  * Oracle parity: the repo-wide integer conventions — exact counts,
+  * milli/micro quantization at the scan, integral `div` (both engines
+  * truncate toward zero), rank outputs where floats would otherwise
+  * surface.
+  */
+object ScreeningQueries {
+
+  private val ws = "[ \\t\\n\\r\\f]+"
+
+  /** blocklist for the gate query (the operator takes any dictionary) */
+  private val BlockPatterns =
+    Seq("fast", "fast table", "able", "merge batch", "scan", "a")
+
+  /** function words of the synthetic corpus for the stylometry gate */
+  private val StyleWords =
+    Seq("a", "the", "table", "value", "query", "fast", "key", "scan", "row", "part")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Aho–Corasick multi-pattern screen: one corpus pass regardless of
+    // dictionary size; counts ALL (overlapping) occurrences per pattern
+    Q("q151_blocklist_screen",
+      (s, d) => {
+        val t = Tables(s, d)
+        Blocklist.screenCounts(t.documents, "doc_id", "text", BlockPatterns)
+          .orderBy(col("doc_id"), col("pattern"))
+      },
+      Some(s"""WITH pats AS (SELECT unnest([${BlockPatterns.map(p => s"'$p'").mkString(", ")}]) AS pattern),
+              |pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+              |  FROM documents)
+              |SELECT doc_id, pattern, CAST(count(*) AS BIGINT) AS hits
+              |FROM pos JOIN pats
+              |  ON substr(pos.text, CAST(pos.i AS INTEGER), len(pats.pattern)) = pats.pattern
+              |GROUP BY doc_id, pattern
+              |ORDER BY doc_id, pattern""".stripMargin)),
+
+    // ---- LASER-style distance-margin mining: probe side bounded +
+    // broadcast, exact integer dots over unit-milli vectors, margin is a
+    // pure integer subtraction (2k-scaled), rank output
+    Q("q152_margin_knn",
+      (s, d) => {
+        val t = Tables(s, d)
+        MarginKnn.marginTopK(
+            t.embeddings.filter(col("vec_id") < 8),
+            t.embeddings.filter(col("vec_id") >= 8),
+            "vec_id", "embedding", k = 4, topN = 3)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve,
+             |    sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM v),
+             |u AS (SELECT vec_id,
+             |    list_transform(ve, x -> CAST(round(x * 1000.0 / nrm) AS BIGINT)) AS uq
+             |  FROM n WHERE nrm > 0),
+             |p AS (SELECT vec_id AS probe_id, uq AS pq FROM u WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS cand_id, uq AS cq FROM u WHERE vec_id >= 8),
+             |d AS (SELECT probe_id, cand_id,
+             |    list_reduce(list_transform(range(1, len(pq) + 1),
+             |      i -> pq[i] * cq[i]), (a,b) -> a+b) AS dot
+             |  FROM p, c),
+             |pn AS (SELECT probe_id, CAST(sum(dot) AS BIGINT) AS pnn FROM (
+             |    SELECT probe_id, dot, row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY dot DESC, cand_id) AS r FROM d)
+             |  WHERE r <= 4 GROUP BY probe_id),
+             |cn AS (SELECT cand_id, CAST(sum(dot) AS BIGINT) AS cnn FROM (
+             |    SELECT cand_id, dot, row_number() OVER (PARTITION BY cand_id
+             |      ORDER BY dot DESC, probe_id) AS r FROM d)
+             |  WHERE r <= 4 GROUP BY cand_id),
+             |m AS (SELECT d.probe_id, d.cand_id,
+             |    CAST(d.dot * 8 - pn.pnn - cn.cnn AS BIGINT) AS margin2k
+             |  FROM d JOIN pn USING (probe_id) JOIN cn USING (cand_id))
+             |SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id, margin2k FROM (
+             |  SELECT probe_id, cand_id, margin2k, row_number() OVER (
+             |    PARTITION BY probe_id ORDER BY margin2k DESC, cand_id) AS rank
+             |  FROM m)
+             |WHERE rank <= 3
+             |ORDER BY probe_id, rank""".stripMargin)),
+
+    // ---- one-sided CUSUM drift alarm over per-day event-type volume:
+    // corpus collapses to a (types × days) grid in one partial agg, exact
+    // integer recursion on the bounded grid
+    Q("q153_cusum",
+      (s, d) => {
+        val t = Tables(s, d)
+        ChangePoint.cusumDaily(t.events, "ts", "event_type", hPpm = 500000L)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH RECURSIVE days AS (
+             |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |dcnt AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+             |  FROM types t CROSS JOIN days d
+             |  LEFT JOIN dcnt c ON c.event_type = t.event_type AND c.day = d.day),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+             |    CAST(sum(c) AS BIGINT) AS tot
+             |  FROM grid GROUP BY event_type),
+             |idx AS (SELECT g.event_type, g.day, g.c,
+             |    CAST(g.c * m.dd - m.tot AS BIGINT) AS dev, m.tot,
+             |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.day) AS rn
+             |  FROM grid g JOIN m USING (event_type)),
+             |r AS (
+             |  SELECT event_type, day, c, dev, tot, rn,
+             |    greatest(CAST(0 AS BIGINT), dev) AS s
+             |  FROM idx WHERE rn = 1
+             |  UNION ALL
+             |  SELECT i.event_type, i.day, i.c, i.dev, i.tot, i.rn,
+             |    greatest(CAST(0 AS BIGINT), r.s + i.dev)
+             |  FROM idx i JOIN r ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+             |SELECT event_type, day, c, s AS cusum,
+             |  s * 1000000 >= tot * 500000 AS alarm
+             |FROM r
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Burrows' Delta (MAD variant) between sources over a fixed
+    // function-word list — exact integer ppm rates, mean absolute
+    // deviation scaling, pairwise distance on the tiny grid
+    Q("q154_stylometry",
+      (s, d) => {
+        val t = Tables(s, d)
+        Stylometry.burrowsDelta(t.documents, "text", "source", StyleWords)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH toks AS (SELECT source,
+              |    unnest(regexp_split_to_array(text, '$ws')) AS w
+              |  FROM documents),
+              |t2 AS (SELECT source, w FROM toks WHERE w <> ''),
+              |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM t2 GROUP BY source),
+              |sw AS (SELECT unnest([${StyleWords.map(w => s"'$w'").mkString(", ")}]) AS w),
+              |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+              |  FROM t2 JOIN sw USING (w) GROUP BY source, w),
+              |grid AS (SELECT tot.source, sw.w, coalesce(cnt.c, 0) AS c, tot.n
+              |  FROM tot CROSS JOIN sw
+              |  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = sw.w),
+              |r AS (SELECT source, w, c * 1000000 // n AS r FROM grid),
+              |st AS (SELECT w, CAST(sum(r) AS BIGINT) AS sr,
+              |    CAST(count(*) AS BIGINT) AS cs
+              |  FROM r GROUP BY w),
+              |mu AS (SELECT w, sr // cs AS mu, cs FROM st),
+              |mad AS (SELECT r.w, CAST(sum(abs(r.r - mu.mu)) AS BIGINT) // max(mu.cs) AS mad
+              |  FROM r JOIN mu USING (w) GROUP BY r.w),
+              |z AS (SELECT r.source, r.w, r.r, mad.mad
+              |  FROM r JOIN mad USING (w) WHERE mad.mad > 0)
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(abs(a.r - b.r) * 1000 // a.mad) AS BIGINT) AS delta_milli_sum
+              |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- simplified-silhouette clustering audit via per-cluster
+    // sufficient statistics — O(n·k·d), never all-pairs; exact integers
+    Q("q155_silhouette",
+      (s, d) => {
+        val t = Tables(s, d)
+        EmbeddingStats.silhouetteAudit(t.embeddings, "vec_id", "embedding", "label")
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> CAST(round(x * 1000.0) AS BIGINT)) AS xq
+             |  FROM embeddings),
+             |p AS (SELECT vec_id, label, xq,
+             |    list_reduce(list_transform(xq, x -> x*x), (a,b) -> a+b) AS nsq
+             |  FROM q),
+             |u AS (SELECT label, unnest(list_transform(range(1, len(xq) + 1),
+             |    i -> {'dim': i - 1, 'v': xq[i]})) AS s FROM p),
+             |ds AS (SELECT label, CAST(s.dim AS INT) AS dim,
+             |    CAST(sum(s.v) AS BIGINT) AS sv
+             |  FROM u GROUP BY 1, 2),
+             |sv AS (SELECT label, list(sv ORDER BY dim) AS svec FROM ds GROUP BY label),
+             |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(nsq) AS BIGINT) AS qq
+             |  FROM p GROUP BY label),
+             |st AS (SELECT sv.label AS other, svec, n, qq FROM sv JOIN sz USING (label)),
+             |sc AS (SELECT p.vec_id, p.label, st.other, st.n,
+             |    CAST(st.n * p.nsq + st.qq - 2 * list_reduce(
+             |      list_transform(range(1, len(p.xq) + 1),
+             |        i -> p.xq[i] * st.svec[i]), (a,b) -> a+b) AS BIGINT) AS ssd
+             |  FROM p, st),
+             |own AS (SELECT vec_id, label, ssd // (n - 1) AS a
+             |  FROM sc WHERE label = other AND n >= 2),
+             |oth AS (SELECT vec_id, other AS best_other, ssd // n AS b,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY ssd // n, other) AS r
+             |  FROM sc WHERE label <> other)
+             |SELECT own.vec_id, own.label, own.a, oth.best_other, oth.b,
+             |  (oth.b - own.a) * 1000 // greatest(own.a, oth.b, 1) AS sil_milli
+             |FROM own JOIN oth USING (vec_id)
+             |WHERE oth.r = 1
+             |ORDER BY own.vec_id""".stripMargin)),
+
+    // ---- embedding-space decontamination: best-cosine-vs-eval screen,
+    // eval side broadcast, exact integer dots
+    Q("q156_semantic_screen",
+      (s, d) => {
+        val t = Tables(s, d)
+        MarginKnn.semanticScreen(
+            t.embeddings.filter(col("vec_id") < 10),
+            t.embeddings.filter(col("vec_id") >= 10),
+            "vec_id", "embedding", tauMicro = 250000L)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |n AS (SELECT vec_id, ve,
+             |    sqrt(list_reduce(list_transform(ve, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM v),
+             |u AS (SELECT vec_id,
+             |    list_transform(ve, x -> CAST(round(x * 1000.0 / nrm) AS BIGINT)) AS uq
+             |  FROM n WHERE nrm > 0),
+             |e AS (SELECT vec_id AS eval_id, uq AS eq FROM u WHERE vec_id < 10),
+             |c AS (SELECT vec_id, uq AS cq FROM u WHERE vec_id >= 10),
+             |d AS (SELECT vec_id, eval_id,
+             |    list_reduce(list_transform(range(1, len(cq) + 1),
+             |      i -> cq[i] * eq[i]), (a,b) -> a+b) AS dot
+             |  FROM c, e),
+             |r AS (SELECT vec_id, eval_id, dot, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY dot DESC, eval_id) AS rk FROM d)
+             |SELECT vec_id, eval_id AS best_eval_id, CAST(dot AS BIGINT) AS best_dot_micro
+             |FROM r WHERE rk = 1 AND dot >= 250000
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- per-user inter-arrival dispersion (burstiness): one user-keyed
+    // shuffle, exact integer variance-to-mean ratio
+    Q("q157_burstiness",
+      (s, d) => {
+        val t = Tables(s, d)
+        Funnel.interArrivalDispersion(t.events, "user_id", "ts", "event_id")
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+             |  FROM events),
+             |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+             |    CAST(sum(gap * gap) AS BIGINT) AS sg2
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps, sum_gap_s,
+             |  (n_gaps * sg2 - sum_gap_s * sum_gap_s) * 1000
+             |    // (n_gaps * sum_gap_s) AS dispersion_milli
+             |FROM a WHERE sum_gap_s > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- GloVe-style windowed co-occurrence: per-row pair expansion
+    // (zero shuffle), one partial-agg'd pair count
+    Q("q158_cooccurrence",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.windowCooccurrence(t.documents, "text", window = 3,
+            minCount = 100L)
+          .orderBy(col("w_a"), col("w_b"))
+      },
+      Some(s"""WITH t AS (SELECT list_filter(
+              |    regexp_split_to_array(text, '$ws'), w -> w <> '') AS w
+              |  FROM documents),
+              |t2 AS (SELECT w FROM t WHERE len(w) >= 2),
+              |p AS (SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+              |    list_transform(range(1, least(3, len(w) - i) + 1), o ->
+              |      {'a': least(w[i], w[i + o]), 'b': greatest(w[i], w[i + o])}))))
+              |  AS s FROM t2)
+              |SELECT s.a AS w_a, s.b AS w_b, CAST(count(*) AS BIGINT) AS n
+              |FROM p GROUP BY 1, 2 HAVING count(*) >= 100
+              |ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -234,6 +234,62 @@ object EmbeddingStats {
           element_at(col("s"), element_at(typedLit(jIdx.toSeq), col("_graft_k") + 1) + 1))
           .as("cov_num"))
   }
+
+  /** Simplified-silhouette clustering audit over a label/cluster column —
+    * the accept-or-retune gate for any partitioning (IVF cells, semantic
+    * clusters, dedup components): how separated are the clusters the
+    * pipeline is about to rely on?
+    *
+    * The trick that makes it 100 TB-shaped: the classical silhouette is
+    * all-pairs, but with SQUARED distances the mean distance from point x
+    * to cluster L collapses to sufficient statistics —
+    * `Σ_{j∈L} ‖x−x_j‖² = n_L·‖x‖² + Q_L − 2·x·S_L` with (n, S=Σx, Q=Σ‖x‖²)
+    * per cluster. One partial-agg'd pass builds the k×(d+2) stats frame,
+    * a broadcast join scores every point — O(n·k·d), never O(n²).
+    *
+    * Exact integers: vectors quantize to milli units at the scan; a(x) =
+    * own-cluster mean (div n−1, excluding self), b(x) = min over other
+    * clusters (div n, ties → smaller label), silhouette
+    * `(b−a)·10³ div max(a,b)` (negative numerator is fine — both engines
+    * truncate toward zero). Singleton-cluster points are excluded (a is
+    * undefined), reported upstream by cluster size if needed.
+    */
+  def silhouetteAudit(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val pts = graft.operators.Parallelism.ensure(
+        emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+          transform(col(vecCol).cast(ArrayType(DoubleType)),
+            x => round(x * lit(1000.0d)).cast("long")).as("q")))
+      .withColumn("nsq",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val dimStats = pts.select(col("label"), col("nsq"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("sv")))).as("_sp"))
+      .select(col("label"), transform(col("_sp"), s => s.getField("sv")).as("svec"))
+    val szStats = pts.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("nsq")).as("qq"))
+    val stats = dimStats.join(szStats, "label")
+      .select(col("label").as("other"), col("svec"), col("n"), col("qq"))
+    val scored = pts.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"), col("other"), col("n"),
+        (col("n") * col("nsq") + col("qq") - lit(2L) *
+          aggregate(zip_with(col("q"), col("svec"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x)).as("ssd"))
+    val own = scored.filter(col("label") === col("other") && col("n") >= 2)
+      .select(col("vec_id"), col("label"), expr("ssd div (n - 1)").as("a"))
+    val best = scored.filter(col("label") =!= col("other"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(expr("ssd div n"), col("other"))))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("other").as("best_other"),
+        expr("ssd div n").as("b"))
+    own.join(best, "vec_id")
+      .select(col("vec_id"), col("label"), col("a"), col("best_other"), col("b"),
+        expr("(b - a) * 1000 div greatest(a, b, 1)").as("sil_milli"))
+  }
 }
 
 /** mergeable outer-product accumulator: (count, per-dim sums, upper-triangle
