@@ -727,4 +727,72 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), "histogram must partial-agg:\n" + p)
   }
+
+  test("q151 blocklist: single corpus pass — no join, no aggregation exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = exec("q151_blocklist_screen")
+    val hashEx = e.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashEx.isEmpty, s"per-row screen must not shuffle:\n$e")
+    val p = e.toString
+    assert(!p.contains("Join"), "pattern dictionary must ride the UDF, not a join:\n" + p)
+  }
+
+  test("q152 margin knn: probe side broadcast; corpus never cartesian-joined") {
+    val p = plan("q152_margin_knn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bounded probe side must broadcast:\n" + p)
+  }
+
+  test("q153 cusum: corpus collapses via partial agg before the tiny grid fold") {
+    val p = plan("q153_cusum")
+    assert(p.contains("partial_"), "daily counts must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q154 stylometry: word stats broadcast onto the bounded grid") {
+    val p = plan("q154_stylometry")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q155 silhouette: cluster stats broadcast; never an all-pairs join") {
+    val p = plan("q155_silhouette")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "dim sums must partial-agg:\n" + p)
+  }
+
+  test("q156 semantic screen: eval set broadcast, no cartesian") {
+    val p = plan("q156_semantic_screen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bounded eval side must broadcast:\n" + p)
+  }
+
+  test("q157 burstiness: lag window and aggregate ride ONE user-keyed exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = exec("q157_burstiness")
+    val hashEx = e.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashEx.size <= 1,
+      s"window + groupBy on the same key must reuse one exchange, got ${hashEx.size}:\n$e")
+  }
+
+  test("q158 cooccurrence: per-row pair expansion, one partial-agg'd exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = exec("q158_cooccurrence")
+    assert(e.toString.contains("partial_"), "pair counts must partial-agg:\n" + e)
+    val hashEx = e.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashEx.size <= 1, s"only the pair-count exchange expected:\n$e")
+    assert(!e.toString.contains("Join"), "no join anywhere:\n" + e)
+  }
 }
