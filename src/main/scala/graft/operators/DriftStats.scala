@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov drift per corpus slice — the
+  * distribution-shape alarm that complements the token-level KL drift
+  * (q64): for every source, the KS statistic between ITS metric
+  * distribution (e.g. document length) and the REST of the corpus.
+  *
+  * Exact integers throughout: with per-source cumulative counts `cum_s`
+  * and complementary `cum_rest = cum_all − cum_s` over the shared value
+  * grid, `D = max_v |cum_s·n_rest − cum_rest·n_s| / (n_s·n_rest)` — the
+  * cross-multiplied ECDF difference, quantized by integral division to
+  * ppm only at the end (DECIMAL(38)/HUGEINT keeps the product exact at
+  * web scale).
+  *
+  * Scale shape: the corpus collapses to a (sources × distinct metric
+  * values) grid in ONE partial-agg'd groupBy; every window after that
+  * runs on the bounded grid (the metric domain — document lengths,
+  * scores in fixed units — is value-bounded by construction, the same
+  * contract as [[ChangePoint.cusumDaily]]'s calendar; pre-bucket truly
+  * continuous metrics upstream).
+  */
+object DriftStats {
+
+  def ksDriftBySource(df: DataFrame, valueCol: Column, sourceCol: String): DataFrame = {
+    val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
+    val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val values = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      // bounded-grid global CDF (see scaladoc); tiny frame, single window
+      .withColumn("cum_all", sum(col("cv")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum_all"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    val grid = totals.crossJoin(broadcast(values))
+      .join(counts, Seq("src", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy(col("src")).orderBy(col("v"))))
+      .crossJoin(broadcast(nAll))
+    grid
+      .select(col("src"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
+        abs(expr("CAST(cum_src AS DECIMAL(38,0)) * (n_all - n_src) " +
+          "- CAST(cum_all - cum_src AS DECIMAL(38,0)) * n_src")).as("_d"))
+      .groupBy(col("src"))
+      .agg(max(col("n_src")).as("n_src"), max(col("n_rest")).as("n_rest"),
+        max(col("_d")).as("_dmax"))
+      .select(col("src"), col("n_src"), col("n_rest"),
+        expr("CAST((_dmax * 1000000) div " +
+          "(CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)").as("ks_ppm"))
+  }
+}

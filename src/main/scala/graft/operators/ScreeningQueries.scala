@@ -279,6 +279,134 @@ object ScreeningQueries {
               |  AS s FROM t2)
               |SELECT s.a AS w_a, s.b AS w_b, CAST(count(*) AS BIGINT) AS n
               |FROM p GROUP BY 1, 2 HAVING count(*) >= 100
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- two-sample KS drift per source vs the rest of the corpus:
+    // cross-multiplied exact ECDF difference over the bounded value grid
+    Q("q159_ks_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        DriftStats.ksDriftBySource(t.documents, col("n_chars"), "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH base AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY src, v),
+             |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY v),
+             |valc AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all
+             |  FROM vals),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src
+             |  FROM counts GROUP BY src),
+             |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+             |grid AS (SELECT t.src, t.n_src, vc.v, vc.cum_all, coalesce(c.c, 0) AS c
+             |  FROM tot t CROSS JOIN valc vc
+             |  LEFT JOIN counts c ON c.src = t.src AND c.v = vc.v),
+             |cum AS (SELECT src, n_src, v, cum_all,
+             |    CAST(sum(c) OVER (PARTITION BY src ORDER BY v) AS BIGINT) AS cum_src
+             |  FROM grid),
+             |dd AS (SELECT src, n_src, na.n_all - n_src AS n_rest,
+             |    abs(CAST(cum_src AS HUGEINT) * (na.n_all - n_src)
+             |      - CAST(cum_all - cum_src AS HUGEINT) * n_src) AS dn
+             |  FROM cum, na)
+             |SELECT src, n_src, n_rest,
+             |  CAST((max(dn) * 1000000) // (CAST(n_src AS HUGEINT) * n_rest)
+             |    AS BIGINT) AS ks_ppm
+             |FROM dd GROUP BY src, n_src, n_rest
+             |ORDER BY src""".stripMargin)),
+
+    // ---- Kaplan–Meier survival over user activity lifetimes with
+    // right-censoring at the end of observation; quantized product-limit
+    // recursion on the bounded lifetime histogram
+    Q("q160_kaplan_meier",
+      (s, d) => {
+        val t = Tables(s, d)
+        Survival.kaplanMeierDaily(t.events, "user_id", "ts")
+          .orderBy(col("t"))
+      },
+      Some("""WITH RECURSIVE dd AS (SELECT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |span AS (SELECT user_id, min(day) AS f, max(day) AS l
+             |  FROM dd GROUP BY user_id),
+             |hor AS (SELECT max(day) AS end_day FROM dd),
+             |lives AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+             |    l < hor.end_day AS ch
+             |  FROM span, hor),
+             |hist AS (SELECT t,
+             |    CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(sum(CASE WHEN ch THEN 0 ELSE 1 END) AS BIGINT) AS c
+             |  FROM lives GROUP BY t),
+             |idx AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+             |    CAST(sum(d + c) OVER () AS BIGINT) AS n0,
+             |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS consumed
+             |  FROM hist),
+             |base AS (SELECT t, d, c, rn, n0 - consumed AS n_risk FROM idx),
+             |r AS (
+             |  SELECT t, d, c, rn, n_risk,
+             |    (1000000 * (n_risk - d)) // n_risk AS s
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.t, b.d, b.c, b.rn, b.n_risk,
+             |    (r.s * (b.n_risk - b.d)) // b.n_risk
+             |  FROM base b JOIN r ON b.rn = r.rn + 1)
+             |SELECT t, n_risk, d, c, CAST(s AS BIGINT) AS s_micro
+             |FROM r ORDER BY t""".stripMargin)),
+
+    // ---- exact grouped Pearson correlation (signed squared r in ppm)
+    // between document length and token count per source
+    Q("q161_length_token_corr",
+      (s, d) => {
+        val t = Tables(s, d)
+        Correlation.groupedCorrSquared(t.documents, "source",
+            col("n_chars"),
+            size(filter(graft.text.TextFunctions.tokens(col("text")),
+              w => w =!= "")))
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+              |    CAST(len(list_filter(regexp_split_to_array(text, '$ws'),
+              |      w -> w <> '')) AS BIGINT) AS y
+              |  FROM documents),
+              |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+              |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+              |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+              |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+              |  FROM b GROUP BY grp),
+              |f AS (SELECT grp, n, n * sxy - sx * sy AS num,
+              |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+              |  FROM a)
+              |SELECT grp, n,
+              |  CASE WHEN vx > 0 AND vy > 0 THEN
+              |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+              |      * ((num * num * 1000000) // (vx * vy)) AS BIGINT)
+              |  END AS r2_signed_ppm
+              |FROM f ORDER BY grp""".stripMargin)),
+
+    // ---- deterministic Poisson bootstrap of the mean document length:
+    // content-addressed Binomial(8,1/8) weights, all replicas in one scan
+    Q("q162_bootstrap_means",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.sampling.Sampling.bootstrapMeans(t.documents, "doc_id",
+            col("n_chars"), replicas = 32, salt = "bs")
+          .orderBy(col("replica"))
+      },
+      Some("""WITH r AS (SELECT unnest(range(0, 32)) AS replica),
+             |w AS (SELECT r.replica, d.doc_id, CAST(d.n_chars AS BIGINT) AS m,
+             |    CAST(len(regexp_replace(substr(md5(
+             |      'bs' || ':' || CAST(r.replica AS VARCHAR) || ':'
+             |        || CAST(d.doc_id AS VARCHAR)), 1, 8),
+             |      '[^01]', '', 'g')) AS BIGINT) AS wt
+             |  FROM documents d CROSS JOIN r),
+             |a AS (SELECT replica, CAST(sum(wt) AS BIGINT) AS n_eff,
+             |    CAST(sum(wt * m) AS BIGINT) AS s
+             |  FROM w GROUP BY replica)
+             |SELECT CAST(replica AS INTEGER) AS replica, n_eff,
+             |  (s * 1000) // n_eff AS mean_milli
+             |FROM a WHERE n_eff > 0
+             |ORDER BY replica""".stripMargin))
   )
 }

@@ -377,6 +377,40 @@ object Sampling {
       .select(col(groupCol), col("n_tokens"), col("cur_ppm"),
         col("target_ppm"), col("rate_ppm"), col("kept_tokens"))
   }
+
+  /** Deterministic Poisson-style bootstrap over a metric column — the
+    * error-bar machinery for corpus statistics ("mean doc length is 298 ±
+    * what?"), replacing true with-replacement resampling (which needs
+    * global coordination) by the standard Poisson bootstrap: replica b
+    * weights each row i.i.d. with a mean-1 integer count, here
+    * Binomial(8, 1/8) derived CONTENT-ADDRESSED from the row id — the
+    * count of hex digits in {0,1} among the first 8 of md5(salt:b:id),
+    * the same md5-draw contract as every sampler in this file, so the
+    * oracle reproduces it exactly.
+    *
+    * One corpus scan computes ALL `replicas` weighted partial sums (the
+    * per-row replica expansion explodes to B rows per input row map-side
+    * and partial-aggregates before the one exchange); output is B rows of
+    * (replica, n_eff, mean_milli) whose spread IS the bootstrap
+    * distribution of the mean — order statistics of it give the CI.
+    */
+  def bootstrapMeans(df: DataFrame, idCol: String, metric: Column,
+      replicas: Int, salt: String): DataFrame = {
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    df.select(col(idCol).cast("string").as("_graft_id"),
+        metric.cast("long").as("_graft_m"))
+      .withColumn("replica", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("_graft_w",
+        length(regexp_replace(
+          substring(md5(concat_ws(":", lit(salt), col("replica"), col("_graft_id"))), 1, 8),
+          "[^01]", "")).cast("long"))
+      .groupBy(col("replica"))
+      .agg(sum(col("_graft_w")).as("n_eff"),
+        sum(col("_graft_w") * col("_graft_m")).as("_graft_sum"))
+      .filter(col("n_eff") > 0)
+      .select(col("replica"), col("n_eff"),
+        expr("(_graft_sum * 1000) div n_eff").as("mean_milli"))
+  }
 }
 
 /** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the

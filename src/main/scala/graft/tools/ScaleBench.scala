@@ -135,7 +135,10 @@ object ScaleBench {
       "q138_kmv_distinct", "q139_ndcg_mrr", "q140_transition_matrix",
       "q141_equidepth_codebook", "q142_readability", "q143_fs_linkage",
       "q144_calibration", "q145_kendall_tau", "q146_vocab_saturation",
-      "q147_sample_quantile_audit") ++
+      "q147_sample_quantile_audit", "q150_mmr_rerank",
+      "q151_blocklist_screen", "q152_margin_knn", "q153_cusum",
+      "q154_stylometry", "q155_silhouette", "q156_semantic_screen",
+      "q157_burstiness", "q158_cooccurrence") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above

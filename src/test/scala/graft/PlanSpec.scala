@@ -795,4 +795,37 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx.size <= 1, s"only the pair-count exchange expected:\n$e")
     assert(!e.toString.contains("Join"), "no join anywhere:\n" + e)
   }
+
+  test("q159 KS drift: corpus collapses to the value grid via partial agg; " +
+      "grid frames broadcast") {
+    val p = plan("q159_ks_drift")
+    assert(p.contains("partial_"), "grid counts must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bounded grid frames must broadcast:\n" + p)
+  }
+
+  test("q160 Kaplan-Meier: per-user partial agg, horizon broadcast, no cartesian") {
+    val p = plan("q160_kaplan_meier")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q161 correlation: one partial-agg'd exchange, no join at all") {
+    val p = plan("q161_length_token_corr")
+    assert(p.contains("partial_"), "sufficient sums must partial-agg:\n" + p)
+    assert(!p.contains("Join"), "five-sums corr needs no join:\n" + p)
+  }
+
+  test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = exec("q162_bootstrap_means")
+    assert(e.toString.contains("partial_"), "replica sums must partial-agg:\n" + e)
+    assert(!e.toString.contains("Join"), "weights are content-addressed, no join:\n" + e)
+    val hashEx = e.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashEx.size <= 1, s"one replica-keyed exchange expected:\n$e")
+  }
 }

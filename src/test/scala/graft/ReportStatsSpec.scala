@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Correlation, DriftStats, Survival}
+import graft.sampling.Sampling
+
+/** Unit semantics for the q159–q162 reporting operators: KS drift edge
+  * cases, Kaplan–Meier censoring arithmetic, exact correlation signs, and
+  * the content-addressed bootstrap weight law.
+  */
+class ReportStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ksDrift: identical distributions → 0; disjoint supports → ~1e6") {
+    import spark.implicits._
+    // a and b share the same values; c sits entirely above both
+    val df = (Seq.tabulate(20)(i => ("a", i % 5)) ++
+      Seq.tabulate(20)(i => ("b", i % 5)) ++
+      Seq.tabulate(10)(i => ("c", 100 + i))).toDF("src", "v")
+    val got = DriftStats.ksDriftBySource(df, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // a vs rest(b ∪ c): b matches a exactly but c drags the rest ECDF down
+    // at a's support: D = |1 − 20/30| = 1/3 at v=4
+    assert(got("a") == 333333L)
+    assert(got("b") == 333333L)
+    // c vs rest: at v=4 rest ECDF=1, c ECDF=0 → D=1
+    assert(got("c") == 1000000L)
+  }
+
+  test("kaplanMeier: censored users never count as deaths; product-limit steps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, day: Int) = (u, Timestamp.valueOf(f"2024-02-$day%02d 10:00:00"))
+    // observation ends day 10. u1: days 1-2 (t=1, churn); u2: days 1-10
+    // (t=9, censored); u3: day 3 only (t=0, churn); u4: days 2-10 (t=8, censored)
+    val df = (Seq(ev(1, 1), ev(1, 2), ev(3, 3), ev(4, 2)) ++
+      Seq(ev(2, 1), ev(2, 10), ev(4, 10))).toDF("user_id", "ts")
+    val got = Survival.kaplanMeierDaily(df, "user_id", "ts")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // t=0: risk 4, d=1 → S = 750000; t=1: risk 3, d=1 → 750000·2/3 = 500000
+    // t=8: risk 2, d=0 c=1 → S stays 500000; t=9: risk 1, d=0 c=1 → 500000
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 750000L), (1L, 3L, 1L, 0L, 500000L),
+      (8L, 2L, 0L, 1L, 500000L), (9L, 1L, 0L, 1L, 500000L)))
+  }
+
+  test("groupedCorrSquared: perfect line +1e6, anti-line −1e6, constant null") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => ("up", i, 2 * i + 3)) ++
+      Seq.tabulate(10)(i => ("down", i, -5 * i)) ++
+      Seq.tabulate(10)(i => ("flat", i, 7))).toDF("g", "x", "y")
+    val got = Correlation.groupedCorrSquared(df, "g", col("x"), col("y"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got("up").contains(1000000L))
+    assert(got("down").contains(-1000000L))
+    assert(got("flat").isEmpty)
+  }
+
+  test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
+    import spark.implicits._
+    val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
+    val got = Sampling.bootstrapMeans(df, "id", col("m"), replicas = 3, salt = "t")
+      .orderBy("replica").collect()
+    def w(rep: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"t:$rep:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      hex.count(c => c == '0' || c == '1').toLong
+    }
+    got.foreach { r =>
+      val rep = r.getInt(0)
+      val wts = Seq(7L -> 100L, 8L -> 200L).map { case (id, m) => (w(rep, id), m) }
+      val nEff = wts.map(_._1).sum
+      assert(nEff > 0, s"replica $rep empty in this fixture")
+      assert(r.getLong(1) == nEff)
+      assert(r.getLong(2) == wts.map { case (wt, m) => wt * m }.sum * 1000 / nEff)
+    }
+    // all three replicas present unless a replica zeroed both weights
+    assert(got.length == (0 until 3).count(rep => Seq(7L, 8L).exists(w(rep, _) > 0)))
+  }
+}
