@@ -651,6 +651,112 @@ object StreamingIngest {
         OutputMode.Append())
   }
 
+  /** one finalized CUSUM day for an event type */
+  final case class CusumDay(eventType: String, dayEpoch: Long, c: Long,
+      cusum: Long, alarm: Boolean)
+
+  /** per-type CUSUM state: last finalized day, running S, open day counts
+    * (as pairs — the state-store Avro encoder has no MapType)
+    */
+  final case class CusumState(lastDay: Long, s: Long, open: Seq[(Long, Long)])
+
+  /** Streaming one-sided CUSUM volume drift — the stateful twin of the
+    * batch `ChangePoint.cusumDaily` (q153) against a FIXED target rate
+    * (streaming can't know the corpus-wide mean; the target comes from the
+    * batch op over history, the standard CUSUM deployment). Per event
+    * type: day counts accumulate in state; a day FINALIZES only when the
+    * watermark passes its end (the round-7 sessionizer lesson — no
+    * arrival-order closes), applying `S = max(0, S + c − target)` and
+    * emitting one Append-mode row with `alarm = S·10⁶ ≥ hPpm·target`.
+    * Days with ZERO events between finalized and open days finalize too —
+    * a feed going silent drives S via `−target` per missing day, which is
+    * exactly the collapse alarm a volume monitor exists for (trailing
+    * silence past the last event can't finalize until some event advances
+    * the watermark — the watermark contract, documented).
+    *
+    * Late events for an already-finalized day are dropped (Append-mode
+    * contract, same as the other twins). State per type: open-day count
+    * map bounded by days-per-watermark-delay, sharded by type.
+    */
+  def streamingCusumDaily(events: Dataset[TypedUserEvent], targetPerDay: Long,
+      hPpm: Long, watermarkDelay: String = "10 seconds"): Dataset[CusumDay] = {
+    require(targetPerDay > 0, s"targetPerDay must be > 0, got $targetPerDay")
+    require(hPpm > 0, s"hPpm must be > 0, got $hPpm")
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[
+          String, TypedUserEvent, CusumDay] {
+        @transient private var st:
+          org.apache.spark.sql.streaming.ValueState[CusumState] = _
+        override def init(outputMode: OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+          st = getHandle.getValueState[CusumState]("cusum",
+            org.apache.spark.sql.Encoders.product[CusumState],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        // the next day to finalize: the first data day, then strictly
+        // sequential (gap days included) — open only ever holds days > lastDay
+        private def nextDay(s: CusumState): Long =
+          if (s.lastDay == Long.MinValue) s.open.map(_._1).min else s.lastDay + 1
+        private def deadline(s: CusumState): Option[Long] =
+          if (s.open.isEmpty) None else Some((nextDay(s) + 1) * dayMs)
+        override def handleInputRows(key: String, rows: Iterator[TypedUserEvent],
+            tv: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[CusumDay] = {
+          val cur = if (st.exists()) st.get()
+            else CusumState(Long.MinValue, 0L, Seq.empty)
+          val oldDeadline = deadline(cur)
+          var open = cur.open.toMap
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            if (cur.lastDay == Long.MinValue || d > cur.lastDay)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val next = cur.copy(open = open.toSeq.sorted)
+          st.update(next)
+          val newDeadline = deadline(next)
+          if (newDeadline != oldDeadline) {
+            oldDeadline.foreach(getHandle.deleteTimer)
+            newDeadline.foreach(getHandle.registerTimer)
+          }
+          Iterator.empty // finalization is watermark-driven only
+        }
+        override def handleExpiredTimer(key: String,
+            tv: org.apache.spark.sql.streaming.TimerValues,
+            info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+            : Iterator[CusumDay] = {
+          val wm = tv.getCurrentWatermarkInMs
+          val cur = if (st.exists()) st.get()
+            else CusumState(Long.MinValue, 0L, Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumDay]
+          var lastDay = cur.lastDay
+          var s = cur.s
+          var open = cur.open.toMap
+          // finalize every day whose end the watermark passed, zero-count
+          // gap days included; the horizon is bounded by the open days
+          while (open.nonEmpty &&
+              (nextDay(CusumState(lastDay, s, open.toSeq)) + 1) * dayMs <= wm) {
+            val d = nextDay(CusumState(lastDay, s, open.toSeq))
+            val c = open.getOrElse(d, 0L)
+            s = math.max(0L, s + c - targetPerDay)
+            out += CusumDay(key, d, c, s, s * 1000000L >= hPpm * targetPerDay)
+            open = open - d
+            lastDay = d
+          }
+          val next = CusumState(lastDay, s, open.toSeq.sorted)
+          st.update(next)
+          deadline(next).foreach(getHandle.registerTimer)
+          out.iterator
+        }
+      }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.eventType)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream record batches into a Reservoir: each micro-batch runs the SAME
     * idempotent ingest the batch path uses (MERGE by natural key +
     * incremental clusterize), so an at-least-once replay after restart

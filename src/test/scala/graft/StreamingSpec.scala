@@ -530,6 +530,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: watermark-driven day closes, zero-day gap alarms, " +
+      "late events for finalized days dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{CusumDay, TypedUserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedUserEvent](spark)
+    val dayMs = 86400000L
+    def ev(id: Long, day: Long, k: Long) =
+      TypedUserEvent(1L, id, new Timestamp(day * dayMs + k), "a")
+    // target 2/day, alarm at S >= 2 (hPpm = 1e6 of the target... h=1 mean-day
+    // doubled: hPpm=1000000 → alarm when S*1e6 >= 1e6*2 → S >= 2)
+    val q = StreamingIngest.streamingCusumDaily(input.toDS(),
+        targetPerDay = 2L, hPpm = 1000000L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_days").start()
+    def rows() = spark.table("cusum_days").as[CusumDay].collect()
+      .map(r => (r.dayEpoch, r.c, r.cusum, r.alarm)).toSet
+    try {
+      // day0: 3 events, day1: 2 — nothing finalizes until the watermark moves
+      input.addData(ev(1, 0, 1000), ev(2, 0, 2000), ev(3, 0, 3000),
+        ev(4, 1, 1000), ev(5, 1, 2000))
+      q.processAllAvailable()
+      // a day-3 event pushes the watermark past day2's end: day0 (S=1),
+      // day1 (S=1), and the SILENT day2 (c=0, S=0) all finalize
+      input.addData(ev(6, 3, 1000))
+      q.processAllAvailable()
+      assert(rows() == Set((0L, 3L, 1L, false), (1L, 2L, 1L, false),
+        (2L, 0L, 0L, false)), rows().toString)
+      // 4 more day-3 events (5 total), then day5 moves the watermark:
+      // day3 finalizes S=3 → ALARM; day4 silent S=1
+      input.addData(ev(7, 3, 2000), ev(8, 3, 3000), ev(9, 3, 4000), ev(10, 3, 5000))
+      input.addData(ev(11, 5, 1000), ev(12, 0, 9000)) // day-0 late event: dropped
+      q.processAllAvailable()
+      assert(rows() == Set((0L, 3L, 1L, false), (1L, 2L, 1L, false),
+        (2L, 0L, 0L, false), (3L, 5L, 3L, true), (4L, 0L, 1L, false)),
+        rows().toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
