@@ -84,4 +84,55 @@ object GraphStats {
     }
     ranks.select(col("v"), col("r").as("rank_micro"))
   }
+
+  /** Newman modularity of a community assignment over the pair graph — the
+    * "did the clustering actually find structure" number (Q ≈ 0: the
+    * partition is no better than random wiring; Q → 1: dense communities,
+    * sparse cut). Per community c with intra-edge count e_c and degree sum
+    * d_c, the exact contribution is `(4m·e_c − d_c²) / (4m²)`; the ALL row
+    * (community −1) divides the summed numerators ONCE, so the global Q is
+    * exact rather than a sum of truncations.
+    *
+    * Everything is one vertex-keyed join of edges onto the assignment plus
+    * two partial-agg'd groupBys; DECIMAL(38)/HUGEINT keeps 4m·e_c exact at
+    * web-scale edge counts. Input edges must be deduplicated id1 < id2;
+    * the assignment must cover every edge endpoint.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      assign: DataFrame, idCol: String, compCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = assign.select(col(idCol).as("v"), col(compCol).cast("long").as("comp"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val byComp = deg.join(c, "v").groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("degree_sum"))
+    val intra = e
+      .join(c.select(col("v").as("a"), col("comp").as("_ca")), "a")
+      .join(c.select(col("v").as("b"), col("comp").as("_cb")), "b")
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("comp")).agg(count(lit(1)).as("intra_edges"))
+    val m = e.agg(count(lit(1)).as("_m"))
+    val per = byComp.join(intra, Seq("comp"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("comp"), col("n_vertices"), col("intra_edges"), col("degree_sum"),
+        expr("4 * CAST(_m AS DECIMAL(38,0)) * intra_edges " +
+          "- CAST(degree_sum AS DECIMAL(38,0)) * degree_sum").as("_num"),
+        col("_m"))
+    val rows = per.select(col("comp"), col("n_vertices"), col("intra_edges"),
+      col("degree_sum"),
+      expr("CAST((_num * 1000000) div (4 * CAST(_m AS DECIMAL(38,0)) * _m) " +
+        "AS BIGINT)").as("q_ppm"))
+    val all = per.groupBy()
+      .agg(sum(col("n_vertices")).as("n_vertices"),
+        sum(col("intra_edges")).as("intra_edges"),
+        sum(col("degree_sum")).as("degree_sum"),
+        sum(col("_num")).as("_num"), max(col("_m")).as("_m"))
+      .select(lit(-1L).as("comp"), col("n_vertices"), col("intra_edges"),
+        col("degree_sum"),
+        expr("CAST((_num * 1000000) div (4 * CAST(_m AS DECIMAL(38,0)) * _m) " +
+          "AS BIGINT)").as("q_ppm"))
+    rows.unionAll(all)
+  }
 }

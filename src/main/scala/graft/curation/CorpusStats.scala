@@ -330,4 +330,59 @@ object CorpusStats {
       .groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Per-slice mutual-information decomposition MI(slice; word) — "how
+    * distinctive is each source's vocabulary": a source whose word
+    * distribution matches the corpus scores ≈ 0; a source with its own
+    * jargon scores high. The per-source number is the average log-lift of
+    * its tokens, `Σ_w c_sw·ln(c_sw·N / (c_s·c_w)) / c_s`, in integer
+    * micro-nats — each term's ln is quantized to micro BEFORE the sum
+    * (the q64/q112 convention), so distributed summation order never
+    * matters.
+    *
+    * One (slice × word) partial-agg'd count is the only corpus-sized
+    * exchange; marginals derive from it and broadcast back.
+    */
+  def sliceWordMI(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val csw = toks.groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = csw.groupBy(col("src")).agg(sum(col("c")).as("cs"))
+    val cw = csw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val n = csw.agg(sum(col("c")).as("n"))
+    csw.join(broadcast(cs), "src").join(cw, "w").crossJoin(broadcast(n))
+      .select(col("src"), col("cs"), col("c"),
+        expr("""c * CAST(round(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+               |  (CAST(cs AS DOUBLE) * CAST(cw AS DOUBLE))) * 1000000.0)
+               |  AS BIGINT)""".stripMargin).as("_t"))
+      .groupBy(col("src"))
+      .agg(max(col("cs")).as("n_tokens"), sum(col("_t")).as("_sum"))
+      .select(col("src"), col("n_tokens"),
+        expr("_sum div n_tokens").as("mi_micro"))
+  }
+
+  /** Simpson concentration per slice: the probability two random tokens of
+    * the slice are the same TYPE, `Σ_w c_w(c_w−1) / (N(N−1))` in exact ppm
+    * — the diversity collapse alarm (a template-spam source concentrates;
+    * healthy prose stays low), complementary to entropy (q57/q99) because
+    * it is exactly rational, dominated by the head, and mergeable from
+    * the same (slice, word) counts every other vocab audit uses.
+    */
+  def simpsonConcentration(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    toks.groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("_ss"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("src"), col("n_tokens"),
+        expr("""CAST((_ss * 1000000) div
+               |  (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))
+               |  AS BIGINT)""".stripMargin).as("simpson_ppm"))
+  }
 }

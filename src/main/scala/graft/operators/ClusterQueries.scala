@@ -304,6 +304,62 @@ object ClusterQueries {
               |r3 AS (SELECT deg.src AS v,
               |    CAST(150000 + (850000 * coalesce(i3.s, 0)) // 1000000 AS BIGINT) AS r
               |  FROM deg LEFT JOIN i3 ON i3.v = deg.src)
-              |SELECT v, r AS rank_micro FROM r3 ORDER BY v""".stripMargin))
+              |SELECT v, r AS rank_micro FROM r3 ORDER BY v""".stripMargin)),
+
+    // ---- Newman modularity of the connected-component partition over the
+    // same near-dup graph: did banding find real structure (Q ≈ 1 for
+    // clean mirror-sets) or percolated mush (Q → 0)? ALL row = global Q
+    Q("q163_modularity",
+      (s, d) => {
+        val t = Tables(s, d)
+        val edges = graft.similarity.Similarity.nearDupPairsLsh(
+          t.embeddings, "vec_id", "embedding",
+          threshold = 0.42, nPlanes = 24, dim = 64, bitsPerTable = 6)
+        val id1s = col("id1").cast("string")
+        val bip = edges.select(col("id1").as("id"),
+            concat(id1s, lit(":"), col("id2").cast("string")).as("key"))
+          .union(edges.select(col("id2").as("id"),
+            concat(id1s, lit(":"), col("id2").cast("string")).as("key")))
+        val comps = graft.cluster.Clusterize.connectedComponents(bip)
+        GraphStats.modularity(edges, "id1", "id2", comps, "id", "component")
+          .orderBy(col("comp"))
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bk AS (SELECT vec_id, v, unnest(${graft.similarity.Similarity.lshBucketsSql(24, 64, 6)}) AS bucket FROM e),
+              |cand AS (SELECT DISTINCT a.vec_id AS id1, a.v AS v1, b.vec_id AS id2, b.v AS v2
+              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |p AS (SELECT id1 AS a, id2 AS b FROM cand
+              |  WHERE list_dot_product(v1, v2)
+              |    / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) >= 0.42),
+              |adj AS (SELECT a AS v, b AS w FROM p UNION ALL SELECT b, a FROM p),
+              |verts AS (SELECT DISTINCT v FROM adj),
+              |lbl AS (SELECT v, v AS comp FROM verts
+              |  UNION
+              |  SELECT adj.w AS v, lbl.comp FROM lbl
+              |  JOIN adj ON adj.v = lbl.v AND lbl.comp < adj.w),
+              |cmp AS (SELECT v, min(comp) AS comp FROM lbl GROUP BY v),
+              |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+              |bc AS (SELECT cmp.comp, CAST(count(*) AS BIGINT) AS n_vertices,
+              |    CAST(sum(deg.d) AS BIGINT) AS degree_sum
+              |  FROM deg JOIN cmp USING (v) GROUP BY cmp.comp),
+              |ie AS (SELECT ca.comp, CAST(count(*) AS BIGINT) AS intra_edges
+              |  FROM p JOIN cmp ca ON ca.v = p.a JOIN cmp cb ON cb.v = p.b
+              |  WHERE ca.comp = cb.comp GROUP BY ca.comp),
+              |per AS (SELECT bc.comp, n_vertices,
+              |    CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges, degree_sum,
+              |    4 * CAST(m.m AS HUGEINT) * coalesce(ie.intra_edges, 0)
+              |      - CAST(degree_sum AS HUGEINT) * degree_sum AS num, m.m AS m
+              |  FROM bc LEFT JOIN ie ON ie.comp = bc.comp, m)
+              |SELECT comp, n_vertices, intra_edges, degree_sum,
+              |  CAST((num * 1000000) // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_ppm
+              |FROM per
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(sum(n_vertices) AS BIGINT),
+              |  CAST(sum(intra_edges) AS BIGINT), CAST(sum(degree_sum) AS BIGINT),
+              |  CAST((sum(num) * 1000000) // (4 * CAST(max(m) AS HUGEINT) * max(m))
+              |    AS BIGINT)
+              |FROM per
+              |ORDER BY comp""".stripMargin))
   )
 }

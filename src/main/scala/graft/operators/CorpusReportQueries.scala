@@ -708,5 +708,80 @@ object CorpusReportQueries {
            |$steps
            |SELECT CAST(step AS INTEGER) AS rank, doc_id, sc AS mmr_score
            |FROM c10 ORDER BY step""".stripMargin
-      })))
+      })),
+
+    // ---- per-source vocabulary distinctiveness: MI(source; word)
+    // decomposition in integer micro-nats (per-term ln quantized before
+    // the sum, the q64/q112 convention)
+    Q("q164_slice_word_mi",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.sliceWordMI(t.documents, "text", "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH toks AS (SELECT source AS src,
+             |    unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
+             |  FROM documents),
+             |t2 AS (SELECT src, w FROM toks WHERE w <> ''),
+             |csw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM t2 GROUP BY src, w),
+             |cs AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs FROM csw GROUP BY src),
+             |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM csw GROUP BY w),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM csw),
+             |t3 AS (SELECT csw.src, cs.cs,
+             |    csw.c * CAST(round(ln((CAST(csw.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+             |      / (CAST(cs.cs AS DOUBLE) * CAST(cw.cw AS DOUBLE))) * 1000000.0)
+             |      AS BIGINT) AS t
+             |  FROM csw JOIN cs USING (src) JOIN cw USING (w), n)
+             |SELECT src, max(cs) AS n_tokens,
+             |  CAST(sum(t) AS BIGINT) // max(cs) AS mi_micro
+             |FROM t3 GROUP BY src
+             |ORDER BY src""".stripMargin)),
+
+    // ---- Simpson concentration per source: exact-rational diversity
+    // collapse alarm from the same (slice, word) counts
+    Q("q165_simpson_index",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.simpsonConcentration(t.documents, "text", "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH toks AS (SELECT source AS src,
+             |    unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
+             |  FROM documents),
+             |t2 AS (SELECT src, w FROM toks WHERE w <> ''),
+             |c AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM t2 GROUP BY src, w),
+             |a AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS ss
+             |  FROM c GROUP BY src)
+             |SELECT src, n_tokens,
+             |  CAST((ss * 1000000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+             |    AS BIGINT) AS simpson_ppm
+             |FROM a WHERE n_tokens >= 2
+             |ORDER BY src""".stripMargin)),
+
+    // ---- Kish effective sample size per source under exact-dup
+    // soft-weights (w = 1e6 div group size): how much data REALLY remains
+    Q("q166_weight_ess",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = t.documents.select(col("source"), md5(col("text")).as("_h"))
+        val sizes = docs.groupBy(col("_h")).agg(count(lit(1)).as("_gs"))
+        val weighted = docs.join(sizes, "_h")
+          .select(col("source"), expr("1000000 div _gs").as("_w"))
+        graft.sampling.Sampling.effectiveSampleSize(weighted, "source", col("_w"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH b AS (SELECT source, md5(text) AS h FROM documents),
+             |s AS (SELECT h, CAST(count(*) AS BIGINT) AS gs FROM b GROUP BY h),
+             |w AS (SELECT source AS grp, 1000000 // gs AS w FROM b JOIN s USING (h)),
+             |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(w) AS BIGINT) AS sum_w,
+             |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+             |  FROM w GROUP BY grp)
+             |SELECT grp, n_rows, sum_w,
+             |  CAST((CAST(sum_w AS HUGEINT) * sum_w * 1000000)
+             |    // (CAST(n_rows AS HUGEINT) * sw2) AS BIGINT) AS ess_ppm
+             |FROM a ORDER BY grp""".stripMargin)))
 }

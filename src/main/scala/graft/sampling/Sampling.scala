@@ -411,6 +411,27 @@ object Sampling {
       .select(col("replica"), col("n_eff"),
         expr("(_graft_sum * 1000) div n_eff").as("mean_milli"))
   }
+
+  /** Kish effective sample size of an integer weight column per group —
+    * the standard "how much data is really left" number for any weighted
+    * corpus (dedup soft-weights, DSIR importance weights, mixture rates):
+    * `ESS/n = (Σw)² / (n·Σw²)` in exact ppm. Uniform weights → 10⁶;
+    * weight mass concentrated on few rows → → 0. One partial-agg'd pass;
+    * DECIMAL(38)/HUGEINT keeps (Σw)² exact at scale. Rows with w ≤ 0 are
+    * rejected upstream by contract (quantize positive weights to integer
+    * units first).
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weight: Column): DataFrame = {
+    df.select(col(groupCol).as("grp"), weight.cast("long").as("_w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("sum_w"),
+        sum(expr("CAST(_w AS DECIMAL(38,0)) * _w")).as("_sw2"))
+      .select(col("grp"), col("n_rows"), col("sum_w"),
+        expr("""CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000) div
+               |  (CAST(n_rows AS DECIMAL(38,0)) * _sw2) AS BIGINT)"""
+          .stripMargin).as("ess_ppm"))
+  }
 }
 
 /** (draw, id) sample candidate: ordered by the hash draw, tie-broken by the

@@ -138,12 +138,15 @@ object ScaleBench {
       "q147_sample_quantile_audit", "q150_mmr_rerank",
       "q151_blocklist_screen", "q152_margin_knn", "q153_cusum",
       "q154_stylometry", "q155_silhouette", "q156_semantic_screen",
-      "q157_burstiness", "q158_cooccurrence") ++
+      "q157_burstiness", "q158_cooccurrence", "q159_ks_drift",
+      "q160_kaplan_meier", "q161_length_token_corr",
+      "q162_bootstrap_means", "q164_slice_word_mi", "q165_simpson_index",
+      "q166_weight_ess") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above
       (if (mult <= 10) Seq("q72_semdedup", "q148_triangle_census",
-        "q149_pagerank") else Nil)
+        "q149_pagerank", "q163_modularity") else Nil)
     // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
     // shares ~40% of shingles verbatim across replicas, and at the loose
     // threshold the candidate volume is the q107 artifact magnified

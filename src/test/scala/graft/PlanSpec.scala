@@ -817,6 +817,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "five-sums corr needs no join:\n" + p)
   }
 
+  test("q163 modularity: vertex-keyed equi-joins only, edge count broadcast") {
+    val p = plan("q163_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q164 slice-word MI: one (slice,word) exchange, marginals broadcast") {
+    val p = plan("q164_slice_word_mi")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "marginals must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q165 simpson: pure partial-agg chain, no join") {
+    val p = plan("q165_simpson_index")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), "mergeable counts need no join:\n" + p)
+  }
+
+  test("q166 weight ESS: hash-group equi-join, no cartesian, partial aggs") {
+    val p = plan("q166_weight_ess")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

@@ -67,6 +67,63 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got("flat").isEmpty)
   }
 
+  test("modularity: disjoint cliques score 1/4 each, trivial partition scores 0") {
+    import spark.implicits._
+    import graft.cluster.GraphStats
+    // two disjoint triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id1", "id2")
+    val byComp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "component")
+    val got = GraphStats.modularity(edges, "id1", "id2", byComp, "id", "component")
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per clique: m=6, e_c=3, d_c=6 → (4·6·3 − 36)/(4·36) = 36/144 = 1/4
+    assert(got.toSeq == Seq((-1L, 6L, 6L, 12L, 500000L),
+      (1L, 3L, 3L, 6L, 250000L), (4L, 3L, 3L, 6L, 250000L)))
+    // one community holding everything → Q = 0 exactly
+    val trivial = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("id", "component")
+    val q0 = GraphStats.modularity(edges, "id1", "id2", trivial, "id", "component")
+      .filter(col("comp") === -1L).collect().head.getLong(4)
+    assert(q0 == 0L)
+  }
+
+  test("sliceWordMI: disjoint vocabularies → ln 2 per token; identical → 0") {
+    import spark.implicits._
+    import graft.curation.CorpusStats
+    val disjoint = Seq(("a", "x x"), ("b", "y y")).toDF("source", "text")
+    val g1 = CorpusStats.sliceWordMI(disjoint, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(g1("a") == 693147L && g1("b") == 693147L) // round(ln(2)·1e6)
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val g2 = CorpusStats.sliceWordMI(same, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(g2("a") == 0L && g2("b") == 0L)
+  }
+
+  test("simpsonConcentration: single type → 1e6, all distinct → 0") {
+    import spark.implicits._
+    import graft.curation.CorpusStats
+    val df = Seq(("a", "x x x x"), ("b", "p q r s")).toDF("source", "text")
+    val got = CorpusStats.simpsonConcentration(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got("a") == 1000000L && got("b") == 0L)
+  }
+
+  test("effectiveSampleSize: uniform → 1e6, concentrated → collapses") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("u", 5L)) ++ Seq(("c", 1000000L), ("c", 1L)))
+      .toDF("g", "w")
+    val got = Sampling.effectiveSampleSize(df, "g", col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got("u") == 1000000L)
+    // (1e6+1)²·1e6 div (2·(1e12+1)) — heavily concentrated ≈ half
+    val sw = 1000001L
+    val expected = (BigInt(sw) * sw * 1000000L /
+      (BigInt(2) * (BigInt(1000000L) * 1000000L + 1L))).toLong
+    assert(got("c") == expected && expected < 510000L)
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
