@@ -52,4 +52,43 @@ object DriftStats {
         expr("CAST((_dmax * 1000000) div " +
           "(CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)").as("ks_ppm"))
   }
+
+  /** Population Stability Index per slice against the whole corpus — the
+    * scorecard-monitoring drift number (rule of thumb: < 0.1 stable,
+    * > 0.25 act), complementary to KS (which keys on the single worst
+    * point; PSI integrates shift across the distribution).
+    *
+    * Bins are the corpus's 10 equal-count bins over the bounded value
+    * grid: `bin(v) = ((cum_all(v) − 1)·10) div N`, so every engine and
+    * every slice shares ONE binning. Per (slice, bin) with slice count c,
+    * global count g: `term = (c·10⁶ div n_s − g·10⁶ div N) ·
+    * round(ln((c·N)/(g·n_s))·10⁶) div 10⁶` micro-nats, summed over bins
+    * where the slice has mass (empty-bin terms are skipped, documented —
+    * the usual ε-smoothing is arbitrary and breaks exactness). Same
+    * bounded-grid contract as [[ksDriftBySource]].
+    */
+  def psiBySource(df: DataFrame, valueCol: Column, sourceCol: String): DataFrame = {
+    val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
+    val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    val binned = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("_cum", sum(col("cv")).over(Window.orderBy(col("v"))))
+      .crossJoin(broadcast(nAll))
+      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"))
+    val withBin = counts.join(broadcast(binned), "v")
+    val bySrc = withBin.groupBy(col("src"), col("bin")).agg(sum(col("c")).as("c"))
+    val global = withBin.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+    val totals = bySrc.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
+    bySrc.join(broadcast(global), "bin").join(broadcast(totals), "src")
+      .crossJoin(broadcast(nAll))
+      .select(col("src"), col("n_src"),
+        expr("""((c * 1000000 div n_src) - (g * 1000000 div n_all)) *
+               |  CAST(round(ln((CAST(c AS DOUBLE) * CAST(n_all AS DOUBLE)) /
+               |    (CAST(g AS DOUBLE) * CAST(n_src AS DOUBLE))) * 1000000.0)
+               |    AS BIGINT) div 1000000""".stripMargin).as("_t"))
+      .groupBy(col("src"))
+      .agg(max(col("n_src")).as("n_src"), count(lit(1)).as("n_bins"),
+        sum(col("_t")).as("psi_micro"))
+  }
 }

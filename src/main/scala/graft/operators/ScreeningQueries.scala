@@ -407,6 +407,41 @@ object ScreeningQueries {
              |SELECT CAST(replica AS INTEGER) AS replica, n_eff,
              |  (s * 1000) // n_eff AS mean_milli
              |FROM a WHERE n_eff > 0
-             |ORDER BY replica""".stripMargin))
+             |ORDER BY replica""".stripMargin)),
+
+    // ---- PSI drift per source vs the corpus over shared equal-count
+    // bins: the integrated-shift complement to q159's KS max-point
+    Q("q168_psi_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        DriftStats.psiBySource(t.documents, col("n_chars"), "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH base AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY src, v),
+             |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+             |binned AS (SELECT v,
+             |    ((CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) - 1) * 10)
+             |      // na.n_all AS bin
+             |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY v), na),
+             |wb AS (SELECT counts.src, binned.bin, counts.c
+             |  FROM counts JOIN binned USING (v)),
+             |bysrc AS (SELECT src, bin, CAST(sum(c) AS BIGINT) AS c
+             |  FROM wb GROUP BY src, bin),
+             |gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM wb GROUP BY bin),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src
+             |  FROM bysrc GROUP BY src),
+             |terms AS (SELECT b.src, t.n_src,
+             |    ((b.c * 1000000 // t.n_src) - (g.g * 1000000 // na.n_all)) *
+             |      CAST(round(ln((CAST(b.c AS DOUBLE) * CAST(na.n_all AS DOUBLE)) /
+             |        (CAST(g.g AS DOUBLE) * CAST(t.n_src AS DOUBLE))) * 1000000.0)
+             |        AS BIGINT) // 1000000 AS t
+             |  FROM bysrc b JOIN gl g USING (bin) JOIN tot t USING (src), na)
+             |SELECT src, max(n_src) AS n_src, CAST(count(*) AS BIGINT) AS n_bins,
+             |  CAST(sum(t) AS BIGINT) AS psi_micro
+             |FROM terms GROUP BY src
+             |ORDER BY src""".stripMargin))
   )
 }

@@ -65,7 +65,7 @@ object TextDedupQueries {
     * (hits, profile priority) becomes a CASE chain where profile i wins when
     * its hits are >= every later profile's (earlier profile wins ties).
     */
-  private val langIdOracleSql: String = {
+  private[operators] val langIdPredSql: String = {
     val profiles = TextFunctions.LangProfiles
     val hitCols = profiles.zipWithIndex.map { case ((_, sw), i) =>
       val arr = sw.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -84,9 +84,11 @@ object TextDedupQueries {
        |    len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
        |    $hitCols
        |  FROM (SELECT doc_id, lang, text,
-       |        regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |        regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))""".stripMargin
   }
+
+  private val langIdOracleSql: String =
+    langIdPredSql + "\nORDER BY doc_id"
 
   val all: Seq[Q] = Seq(
     // ---- exact dedup: hash-group + duplicate count + canonical keep flag
@@ -853,6 +855,60 @@ object TextDedupQueries {
               |  (matches * 1000000) // 16 AS est_ppm,
               |  (inter * 1000000) // (ns - inter) AS jac_ppm,
               |  (matches * 1000000) // 16 - (inter * 1000000) // (ns - inter) AS err_ppm
-              |FROM v ORDER BY id1, id2""".stripMargin))
+              |FROM v ORDER BY id1, id2""".stripMargin)),
+
+    // ---- language-ID confusion matrix: predicted vs labeled language,
+    // the model-eval audit over the q23 classifier (same per-row kernel)
+    Q("q167_langid_confusion",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents
+          .groupBy(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("lang_pred"))
+      },
+      Some(s"""WITH p AS ($langIdPredSql)
+              |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+              |FROM p GROUP BY lang, lang_pred
+              |ORDER BY lang, lang_pred""".stripMargin)),
+
+    // ---- empirical LSH recall by jaccard decile vs the exact join —
+    // the measured twin of the q128 S-curve prediction; one shingle scan
+    // feeds both sides
+    Q("q169_lsh_recall",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.LshPlanner.empiricalRecallCurve(t.documents, "doc_id",
+            "text", shingleLen = 3, numHashes = 16, bands = 4,
+            minJacPpm = 50000L)
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |w AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS w FROM docs),
+              |ex AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter,
+              |    max(a.n) AS n1, max(b.n) AS n2
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |j AS (SELECT id1, id2,
+              |    (inter * 1000000) // (n1 + n2 - inter) AS jac_ppm
+              |  FROM ex
+              |  WHERE (inter * 1000000) // (n1 + n2 - inter) >= 50000),
+              |signed AS (SELECT doc_id, ${graft.dedup.Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT),
+              |      CAST(band*4+4 AS INT)), ',')) AS key
+              |  FROM banded),
+              |cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+              |  FROM bh b1 JOIN bh b2 ON b1.key = b2.key AND b1.doc_id < b2.doc_id),
+              |f AS (SELECT j.jac_ppm,
+              |    CASE WHEN cand.id1 IS NULL THEN 0 ELSE 1 END AS caught
+              |  FROM j LEFT JOIN cand USING (id1, id2))
+              |SELECT jac_ppm // 100000 AS bucket, CAST(count(*) AS BIGINT) AS n_exact,
+              |  CAST(sum(caught) AS BIGINT) AS n_caught,
+              |  (CAST(sum(caught) AS BIGINT) * 1000000) // count(*) AS recall_ppm
+              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

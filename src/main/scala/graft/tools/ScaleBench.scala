@@ -141,7 +141,7 @@ object ScaleBench {
       "q157_burstiness", "q158_cooccurrence", "q159_ks_drift",
       "q160_kaplan_meier", "q161_length_token_corr",
       "q162_bootstrap_means", "q164_slice_word_mi", "q165_simpson_index",
-      "q166_weight_ess") ++
+      "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above
@@ -156,7 +156,8 @@ object ScaleBench {
     // mid-range idf), so the token inverted index gains a dense topical-glue
     // term per replica — a replication artifact, not an operator property.
     val extras1x = extras ++
-      Seq("q114_dedup_threshold_sweep", "q115_cross_source_dups",
+      Seq("q169_lsh_recall", // exact-join side inherits the q107 artifact
+        "q114_dedup_threshold_sweep", "q115_cross_source_dups",
         "q123_cosine_pairs")
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
       s"1x($src) extras"))

@@ -844,6 +844,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q167 langid confusion: per-row kernel + one partial-agg'd exchange, no join") {
+    val p = plan("q167_langid_confusion")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), "confusion counts need no join:\n" + p)
+  }
+
+  test("q168 PSI: grid-bounded bin frames broadcast, partial aggs, no cartesian") {
+    val p = plan("q168_psi_drift")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q169 LSH recall: shared-shingle and band-bucket equi-joins only") {
+    val p = plan("q169_lsh_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

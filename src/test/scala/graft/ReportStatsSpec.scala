@@ -124,6 +124,41 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got("c") == expected && expected < 510000L)
   }
 
+  test("psiBySource: identical slices → exactly 0; concentrated slice → large") {
+    import spark.implicits._
+    val twin = (1 to 100).flatMap(v => Seq(("a", v), ("b", v))).toDF("src", "v")
+    val g1 = DriftStats.psiBySource(twin, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(g1("a") == 0L && g1("b") == 0L)
+    val skewed = ((1 to 100).map(v => ("a", v)) ++
+      (1 to 100).map(_ => ("c", 99))).toDF("src", "v")
+    val g2 = DriftStats.psiBySource(skewed, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // both slices are far from the pooled distribution → both past the
+    // 0.25 action threshold (a's is LARGER: it has mass in every bin, so
+    // every divergent bin contributes, while c's empty-bin terms are
+    // skipped by the documented no-smoothing contract)
+    assert(g2("c") > 250000L, g2.toString)
+    assert(g2("a") > g2("c"), g2.toString)
+  }
+
+  test("empiricalRecallCurve: exact duplicates are always caught by banding") {
+    import spark.implicits._
+    import graft.dedup.LshPlanner
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " x y z q r s t u v"),
+      (4L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = LshPlanner.empiricalRecallCurve(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, minJacPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // the identical pair (1,2) sits in bucket 10 and MUST be caught
+    val top = got.find(_._1 == 10L).get
+    assert(top._2 >= 1L && top._4 == 1000000L, got.toString)
+    // doc 4 shares nothing — no pair involving it can appear
+    assert(got.map(_._2).sum <= 3L)
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
