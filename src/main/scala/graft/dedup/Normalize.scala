@@ -50,9 +50,13 @@ object Normalize {
     */
   def normalizedDedupAudit(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // ONE scan: the normalize regexp chain + both md5s are the dominant
+    // cost at scale, and this frame feeds two aggregates plus the final
+    // probe (the q62/q119 single-scan lesson)
     val base = df.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol)).as("_graft_rh"),
-      md5(normalizeText(col(textCol))).as("_graft_nh"))
+        md5(col(textCol)).as("_graft_rh"),
+        md5(normalizeText(col(textCol))).as("_graft_nh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawGroups = base.groupBy(col("_graft_rh"))
       .agg(count(lit(1)).as("raw_group_size"))
     val normGroups = base.groupBy(col("_graft_nh"))
