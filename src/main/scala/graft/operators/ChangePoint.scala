@@ -60,4 +60,50 @@ object ChangePoint {
         col("r.s").as("cusum"),
         (col("r.s") * 1000000L >= col("tot") * hPpm).as("alarm"))
   }
+
+  /** Lag-k autocorrelation of per-day volume per event type — the
+    * weekly-seasonality / trend-persistence report next to the CUSUM
+    * alarm: `r_k = Σ_t dev_t·dev_{t+k} / Σ_t dev_t²` in exact ppm, where
+    * `dev_t = c_t·D − T` is the same zero-mean integer deviation the
+    * CUSUM uses (zero-filled dense grid, so silent days count). The lag
+    * join is day-arithmetic on the bounded grid; negative correlations
+    * divide consistently (both engines truncate toward zero). Constant
+    * series (den 0) report null.
+    */
+  def dailyAutocorrelation(events: DataFrame, tsCol: String, typeCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
+    val base = events.select(col(typeCol).as("event_type"),
+      to_date(col(tsCol)).as("day"))
+    val days = base.select(col("day")).distinct()
+    val types = base.select(col("event_type")).distinct()
+    val counts = base.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tot"))
+    val dd = days.agg(count(lit(1)).as("nd"))
+    val grid = types.crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(stats), "event_type")
+      .crossJoin(broadcast(dd))
+      .select(col("event_type"), col("day"),
+        (col("c") * col("nd") - col("tot")).as("dev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val den = grid.groupBy(col("event_type"))
+      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("_den"))
+    val lagDim = grid.sparkSession.createDataFrame(
+      lags.map(l => Tuple1(l))).toDF("lag")
+    grid.as("a").crossJoin(broadcast(lagDim))
+      .join(grid.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          expr("date_add(a.day, lag)") === col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(a.dev AS DECIMAL(38,0)) * b.dev")).as("_num"))
+      .join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag").cast("int").as("lag"), col("n_pairs"),
+        when(col("_den") > 0,
+          expr("CAST((_num * 1000000) div _den AS BIGINT)")).as("r_ppm"))
+  }
 }

@@ -442,6 +442,124 @@ object ScreeningQueries {
              |SELECT src, max(n_src) AS n_src, CAST(count(*) AS BIGINT) AS n_bins,
              |  CAST(sum(t) AS BIGINT) AS psi_micro
              |FROM terms GROUP BY src
-             |ORDER BY src""".stripMargin))
+             |ORDER BY src""".stripMargin)),
+
+    // ---- dominant principal direction by integer power iteration on the
+    // one-pass covariance: the embedding-collapse health check; oracle
+    // unrolls the same 3 renormalized iterations
+    Q("q170_power_iteration",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.similarity.PowerIteration.dominantDirection(
+            t.embeddings, "embedding", dim = 64, iterations = 3)
+          .orderBy(col("dim"))
+      },
+      Some("""WITH v AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000.0) AS BIGINT)) AS q FROM embeddings),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |sv AS (SELECT CAST(s.dim AS BIGINT) AS i, CAST(sum(s.v) AS BIGINT) AS si
+             |  FROM (SELECT unnest(list_transform(range(1, len(q) + 1),
+             |    k -> {'dim': k - 1, 'v': q[k]})) AS s FROM v) GROUP BY 1),
+             |pp AS (SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+             |    CAST(sum(p.pv) AS BIGINT) AS pij
+             |  FROM (SELECT unnest(flatten(list_transform(range(1, len(q) + 1), a ->
+             |    list_transform(range(1, len(q) + 1),
+             |      b -> {'i': a - 1, 'j': b - 1, 'pv': q[a] * q[b]})))) AS p FROM v)
+             |  GROUP BY 1, 2),
+             |cov AS (SELECT pp.i, pp.j, n.n * pp.pij - sa.si * sb.si AS cv
+             |  FROM pp JOIN sv sa ON sa.i = pp.i JOIN sv sb ON sb.i = pp.j, n),
+             |sc AS (SELECT greatest(CAST(1 AS BIGINT),
+             |    CAST(max(abs(cv)) AS BIGINT) // 1000000) AS mscale FROM cov),
+             |m AS (SELECT i, j, cv // sc.mscale AS ms FROM cov, sc),
+             |it0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS dim,
+             |  CAST(1000 AS BIGINT) AS v),
+             |y1 AS (SELECT m.i AS dim, CAST(sum(m.ms * it0.v) AS BIGINT) AS y
+             |  FROM m JOIN it0 ON it0.dim = m.j GROUP BY 1),
+             |x1 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(y))) AS mx FROM y1),
+             |it1 AS (SELECT dim, (y * 1000) // x1.mx AS v FROM y1, x1),
+             |y2 AS (SELECT m.i AS dim, CAST(sum(m.ms * it1.v) AS BIGINT) AS y
+             |  FROM m JOIN it1 ON it1.dim = m.j GROUP BY 1),
+             |x2 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(y))) AS mx FROM y2),
+             |it2 AS (SELECT dim, (y * 1000) // x2.mx AS v FROM y2, x2),
+             |y3 AS (SELECT m.i AS dim, CAST(sum(m.ms * it2.v) AS BIGINT) AS y
+             |  FROM m JOIN it2 ON it2.dim = m.j GROUP BY 1),
+             |x3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(y))) AS mx FROM y3),
+             |it3 AS (SELECT dim, (y * 1000) // x3.mx AS v FROM y3, x3)
+             |SELECT dim, v AS v_milli FROM it3
+             |UNION ALL SELECT CAST(-1 AS BIGINT), x3.mx // 1000 FROM x3
+             |UNION ALL SELECT CAST(-2 AS BIGINT), mscale FROM sc
+             |ORDER BY dim""".stripMargin)),
+
+    // ---- exact Mann-Whitney U + rank-biserial effect size between every
+    // source pair over document length (tie-exact doubled ranks)
+    Q("q171_mann_whitney",
+      (s, d) => {
+        val t = Tables(s, d)
+        RankCompare.mannWhitneyPairs(t.documents, col("n_chars"), "source")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH base AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY src, v),
+             |vals AS (SELECT DISTINCT v FROM counts),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY src),
+             |grid AS (SELECT t.src, t.n, va.v, coalesce(c.c, 0) AS c
+             |  FROM tot t CROSS JOIN vals va
+             |  LEFT JOIN counts c ON c.src = t.src AND c.v = va.v),
+             |g2 AS (SELECT src, n, v, c,
+             |    CAST(sum(c) OVER (PARTITION BY src ORDER BY v) - c AS BIGINT) AS lt
+             |  FROM grid),
+             |pair AS (SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b,
+             |    a.c * (2 * (a.lt + b.lt) + a.c + b.c + 1) AS t
+             |  FROM g2 a JOIN g2 b ON a.v = b.v AND a.src < b.src),
+             |agg AS (SELECT src_a, src_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             |    CAST(sum(t) AS BIGINT) AS r2
+             |  FROM pair GROUP BY src_a, src_b),
+             |u AS (SELECT src_a, src_b, n_a, n_b,
+             |    2 * n_a * n_b + n_a * (n_a + 1) - r2 AS u2x
+             |  FROM agg)
+             |SELECT src_a, src_b, n_a, n_b, u2x,
+             |  CAST(1000000 - (CAST(u2x AS HUGEINT) * 1000000)
+             |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS rb_ppm
+             |FROM u ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- lag-1/lag-7 autocorrelation of daily volume per event type:
+    // the seasonality/persistence report on the CUSUM's zero-mean grid
+    Q("q172_autocorrelation",
+      (s, d) => {
+        val t = Tables(s, d)
+        ChangePoint.dailyAutocorrelation(t.events, "ts", "event_type",
+            lags = Seq(1, 7))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |days AS (SELECT DISTINCT day FROM base),
+             |types AS (SELECT DISTINCT event_type FROM base),
+             |counts AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+             |  FROM counts GROUP BY 1),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM days),
+             |grid AS (SELECT t.event_type, d.day,
+             |    coalesce(c.c, 0) * nd.nd - tot.tot AS dev
+             |  FROM types t CROSS JOIN days d
+             |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+             |  JOIN tot ON tot.event_type = t.event_type, nd),
+             |den AS (SELECT event_type,
+             |    CAST(sum(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS den
+             |  FROM grid GROUP BY 1),
+             |lagd AS (SELECT CAST(unnest([1, 7]) AS INTEGER) AS lag),
+             |num AS (SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(CAST(a.dev AS HUGEINT) * b.dev) AS HUGEINT) AS num
+             |  FROM grid a CROSS JOIN lagd l
+             |  JOIN grid b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+             |  GROUP BY 1, 2)
+             |SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
+             |  CASE WHEN d.den > 0
+             |    THEN CAST((n.num * 1000000) // d.den AS BIGINT) END AS r_ppm
+             |FROM num n JOIN den d USING (event_type)
+             |ORDER BY event_type, lag""".stripMargin))
   )
 }

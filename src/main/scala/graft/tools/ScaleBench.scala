@@ -141,7 +141,9 @@ object ScaleBench {
       "q157_burstiness", "q158_cooccurrence", "q159_ks_drift",
       "q160_kaplan_meier", "q161_length_token_corr",
       "q162_bootstrap_means", "q164_slice_word_mi", "q165_simpson_index",
-      "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift") ++
+      "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift",
+      "q170_power_iteration", "q171_mann_whitney",
+      "q172_autocorrelation") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above

@@ -864,6 +864,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q170 power iteration: one corpus-sized aggregate; iterations on the " +
+      "d²-bounded frame with broadcast vectors") {
+    val p = plan("q170_power_iteration")
+    assert(p.contains("partial_"), "covariance must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "iteration vectors must broadcast:\n" + p)
+  }
+
+  test("q171 Mann-Whitney: one (slice,value) exchange, bounded-grid pair join") {
+    val p = plan("q171_mann_whitney")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q172 autocorrelation: grid partial aggs, lag equi-join, no cartesian") {
+    val p = plan("q172_autocorrelation")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

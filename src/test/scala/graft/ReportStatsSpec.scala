@@ -159,6 +159,60 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum <= 3L)
   }
 
+  test("powerIteration finds the dominant axis of an anisotropic cloud") {
+    import spark.implicits._
+    import graft.similarity.PowerIteration
+    // variance concentrated on dim 0; dim 1 is near-constant noise
+    val vecs = Seq(Seq(2.0f, 0.01f), Seq(-2.0f, 0.02f), Seq(1.5f, 0.0f),
+      Seq(-1.6f, 0.01f), Seq(1.9f, 0.02f), Seq(-1.8f, 0.0f))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = PowerIteration.dominantDirection(vecs, "embedding", dim = 2,
+        iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(math.abs(got(0L)) == 1000L, got.toString) // max-norm lands on dim 0
+    assert(math.abs(got(1L)) < 100L, got.toString)
+    assert(got(-1L) > 0L && got(-2L) >= 1L)
+  }
+
+  test("mannWhitneyPairs: clean separation → rb ±1e6; full ties → 0") {
+    import spark.implicits._
+    import graft.operators.RankCompare
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(9, 9).map(("t1", _)) ++ Seq(9, 9).map(("t2", _))).toDF("src", "v")
+    val got = RankCompare.mannWhitneyPairs(df, col("v"), "src")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(4), r.getLong(5)))).toMap
+    // every b exceeds every a → U(a)=0, u2x=2·U(b)=18, rb(a vs b) = −1e6
+    assert(got(("a", "b")) == (18L, -1000000L), got.toString)
+    // identical tied samples → rb exactly 0
+    assert(got(("t1", "t2"))._2 == 0L, got.toString)
+  }
+
+  test("dailyAutocorrelation: alternating volume → strongly negative lag-1, " +
+      "positive lag-2; constant series → null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.ChangePoint
+    // type "alt": 3,1,3,1,... over 10 days; type "flat": 2 every day
+    val rows = (0 until 10).flatMap { day =>
+      val altN = if (day % 2 == 0) 3 else 1
+      (0 until altN).map(i => (s"alt-$day-$i",
+        Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"), "alt")) ++
+        (0 until 2).map(i => (s"flat-$day-$i",
+          Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"), "flat"))
+    }
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val got = ChangePoint.dailyAutocorrelation(df, "ts", "event_type",
+        lags = Seq(1, 2))
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // exact: dev alternates ±10 (c·D−T = 3·10−20 / 1·10−20); 9 lag-1 pairs
+    // each −100, den = 10·100 → r1 = −900·1e6/1000
+    assert(got(("alt", 1)).contains(-900000L), got.toString)
+    assert(got(("alt", 2)).contains(800000L), got.toString)
+    assert(got(("flat", 1)).isEmpty && got(("flat", 2)).isEmpty)
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
