@@ -102,7 +102,10 @@ object GraphStats {
       assign: DataFrame, idCol: String, compCol: String): DataFrame = {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the assignment is typically an iterative CC result — pin it so the
+    // degree-sum and intra-edge joins don't re-run the whole fixpoint
     val c = assign.select(col(idCol).as("v"), col(compCol).cast("long").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val byComp = deg.join(c, "v").groupBy(col("comp"))

@@ -30,12 +30,16 @@ object Stylometry {
   def burrowsDelta(df: DataFrame, textCol: String, sourceCol: String,
       words: Seq[String] = TextFunctions.DefaultStopwords): DataFrame = {
     require(words.nonEmpty, "burrowsDelta needs a non-empty word list")
-    val toks = df.select(col(sourceCol).as("src"),
+    // ONE corpus scan: aggregate to the vocab-bounded (src, word) grid
+    // first; token totals and function-word counts both derive from it
+    val tokCounts = df.select(col(sourceCol).as("src"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    val totals = toks.groupBy(col("src")).agg(count(lit(1)).as("n"))
-    val counts = toks.filter(col("w").isInCollection(words))
       .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = tokCounts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val counts = tokCounts.filter(col("w").isInCollection(words))
+      .select(col("src"), col("w"), col("c"))
     val wordDim = totals.sparkSession.createDataFrame(
       words.map(Tuple1(_))).toDF("w")
     val rates = totals.crossJoin(broadcast(wordDim))

@@ -26,17 +26,20 @@ object ChangePoint {
   def cusumDaily(events: DataFrame, tsCol: String, typeCol: String,
       hPpm: Long, maxDays: Int = 4096): DataFrame = {
     require(hPpm > 0, s"hPpm must be > 0, got $hPpm")
-    val base = events.select(col(typeCol).as("event_type"),
-      to_date(col(tsCol)).as("day"))
-    val days = base.select(col("day")).distinct()
+    // ONE corpus scan: the grid-sized count frame is the only reduction;
+    // day and type dimensions derive from it (every grid day/type has data)
+    val counts = events.select(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = counts.select(col("day")).distinct()
     val nDays = days.limit(maxDays + 1).count() // bounded probe, fails fast
     if (nDays > maxDays) throw new IllegalArgumentException(
       s"cusumDaily: more than $maxDays grid days — the per-type fold is " +
         "calendar-bounded by contract; raise maxDays deliberately for " +
         "multi-decade grids")
-    val types = base.select(col("event_type")).distinct()
-    val counts = base.groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("c"))
+    val types = counts.select(col("event_type")).distinct()
     val grid = types.crossJoin(broadcast(days))
       .join(counts, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("c"))
@@ -73,12 +76,14 @@ object ChangePoint {
   def dailyAutocorrelation(events: DataFrame, tsCol: String, typeCol: String,
       lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
-    val base = events.select(col(typeCol).as("event_type"),
-      to_date(col(tsCol)).as("day"))
-    val days = base.select(col("day")).distinct()
-    val types = base.select(col("event_type")).distinct()
-    val counts = base.groupBy(col("event_type"), col("day"))
+    // same one-scan shape as cusumDaily: dims derive from the count frame
+    val counts = events.select(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = counts.select(col("day")).distinct()
+    val types = counts.select(col("event_type")).distinct()
     val stats = counts.groupBy(col("event_type"))
       .agg(sum(col("c")).as("tot"))
     val dd = days.agg(count(lit(1)).as("nd"))

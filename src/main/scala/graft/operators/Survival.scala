@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
 object Survival {
 
   def kaplanMeierDaily(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val days = events.select(col(userCol).as("user_id"),
-      to_date(col(tsCol)).as("day"))
-    val span = days.groupBy(col("user_id"))
+    // ONE corpus scan: the per-user span is the only reduction; the
+    // observation horizon derives from it (max last-active = max day)
+    val span = events.select(col(userCol).as("user_id"),
+        to_date(col(tsCol)).as("day"))
+      .groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
-    val horizon = days.agg(max(col("day")).as("end_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val horizon = span.agg(max(col("last_day")).as("end_day"))
     val lives = span.crossJoin(broadcast(horizon))
       .select(datediff(col("last_day"), col("first_day")).cast("long").as("t"),
         (col("last_day") < col("end_day")).as("churned"))

@@ -32,8 +32,11 @@ object PowerIteration {
   def dominantDirection(emb: DataFrame, vecCol: String, dim: Int,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 8, s"iterations 1..8, got $iterations")
+    // persist the d²-bounded covariance frame: the corpus-sized aggregate
+    // behind it must run ONCE, not once per downstream consumer
     val cov = EmbeddingStats.covarianceAudit(emb, vecCol, dim)
       .select(col("i"), col("j"), col("cov_num"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val full = cov.unionAll(cov.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
     val scale = full.agg(greatest(lit(1L),
