@@ -560,6 +560,84 @@ object ScreeningQueries {
              |  CASE WHEN d.den > 0
              |    THEN CAST((n.num * 1000000) // d.den AS BIGINT) END AS r_ppm
              |FROM num n JOIN den d USING (event_type)
-             |ORDER BY event_type, lag""".stripMargin))
+             |ORDER BY event_type, lag""".stripMargin)),
+
+    // ---- Gini concentration of document length per source: the
+    // inequality data-card number, exact over tie-broken ascending ranks
+    Q("q173_gini_length",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.Inequality.giniBySlice(t.documents, "doc_id",
+            col("n_chars"), "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH b AS (SELECT source AS src, doc_id, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents),
+             |r AS (SELECT src, x, CAST(row_number() OVER (PARTITION BY src
+             |    ORDER BY x, doc_id) AS BIGINT) AS i FROM b),
+             |a AS (SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(x) AS BIGINT) AS sum_x,
+             |    CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS ix
+             |  FROM r GROUP BY src)
+             |SELECT src, n_docs, sum_x,
+             |  CAST(((2 * ix - CAST(n_docs + 1 AS HUGEINT) * sum_x) * 1000000)
+             |    // (CAST(n_docs AS HUGEINT) * sum_x) AS BIGINT) AS gini_ppm
+             |FROM a WHERE sum_x > 0
+             |ORDER BY src""".stripMargin)),
+
+    // ---- dedup-method agreement matrix: is the cheap exact screen a
+    // safe proxy for near-dup, and what does normalization reveal?
+    Q("q174_dedup_agreement",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.MethodAgreement.dedupMethodAgreement(t.documents,
+            "doc_id", "text", shingleLen = 3, nearThreshold = 0.8)
+          .orderBy(col("method_a"), col("method_b"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, md5(text) AS rh,
+              |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS nh
+              |  FROM documents),
+              |re AS (SELECT rh, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY rh),
+              |rn AS (SELECT nh, CAST(count(*) AS BIGINT) AS nc FROM b GROUP BY nh),
+              |${TextDedupQueries.shinglesCte},
+              |w AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS w FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter, max(a.n) AS n1, max(b.n) AS n2
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2 FROM i
+              |  WHERE inter * 1000000 >= 800000 * (n1 + n2 - inter)),
+              |ni AS (SELECT DISTINCT doc_id FROM
+              |  (SELECT id1 AS doc_id FROM pr UNION ALL SELECT id2 FROM pr)),
+              |f AS (SELECT b.doc_id, re.rc > 1 AS ex, rn.nc > 1 AS nm,
+              |    ni.doc_id IS NOT NULL AS nr
+              |  FROM b JOIN re USING (rh) JOIN rn USING (nh)
+              |  LEFT JOIN ni USING (doc_id)),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN ex AND nm THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+              |  CAST(sum(CASE WHEN ex OR nm THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+              |  CAST(sum(CASE WHEN ex = nm THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+              |  CAST(sum(CASE WHEN ex AND nr THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+              |  CAST(sum(CASE WHEN ex OR nr THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+              |  CAST(sum(CASE WHEN ex = nr THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+              |  CAST(sum(CASE WHEN nm AND nr THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+              |  CAST(sum(CASE WHEN nm OR nr THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+              |  CAST(sum(CASE WHEN nm = nr THEN 1 ELSE 0 END) AS BIGINT) AS a3
+              |  FROM f)
+              |SELECT method_a, method_b, n_both, n_either, jaccard_ppm, agree_ppm
+              |FROM (
+              |  SELECT 'exact' AS method_a, 'near' AS method_b, b2 AS n_both,
+              |    e2 AS n_either,
+              |    CASE WHEN e2 > 0 THEN (b2 * 1000000) // e2 END AS jaccard_ppm,
+              |    (a2 * 1000000) // n AS agree_ppm FROM m
+              |  UNION ALL
+              |  SELECT 'exact', 'normalized', b1, e1,
+              |    CASE WHEN e1 > 0 THEN (b1 * 1000000) // e1 END,
+              |    (a1 * 1000000) // n FROM m
+              |  UNION ALL
+              |  SELECT 'normalized', 'near', b3, e3,
+              |    CASE WHEN e3 > 0 THEN (b3 * 1000000) // e3 END,
+              |    (a3 * 1000000) // n FROM m)
+              |ORDER BY method_a, method_b""".stripMargin))
   )
 }

@@ -143,7 +143,7 @@ object ScaleBench {
       "q162_bootstrap_means", "q164_slice_word_mi", "q165_simpson_index",
       "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift",
       "q170_power_iteration", "q171_mann_whitney",
-      "q172_autocorrelation") ++
+      "q172_autocorrelation", "q173_gini_length") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above
@@ -159,6 +159,7 @@ object ScaleBench {
     // term per replica — a replication artifact, not an operator property.
     val extras1x = extras ++
       Seq("q169_lsh_recall", // exact-join side inherits the q107 artifact
+        "q174_dedup_agreement", // near side = the same exact join
         "q114_dedup_threshold_sweep", "q115_cross_source_dups",
         "q123_cosine_pairs")
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),

@@ -885,6 +885,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q173 gini: slice-keyed rank window, one partial-agg'd reduction") {
+    val p = plan("q173_gini_length")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), "rank + sums need no join:\n" + p)
+  }
+
+  test("q174 dedup agreement: hash-group + shared-shingle equi-joins only") {
+    val p = plan("q174_dedup_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

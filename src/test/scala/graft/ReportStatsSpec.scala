@@ -213,6 +213,37 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got(("flat", 1)).isEmpty && got(("flat", 2)).isEmpty)
   }
 
+  test("giniBySlice: uniform mass → 0, fully concentrated → (n−1)/n") {
+    import spark.implicits._
+    import graft.curation.Inequality
+    val df = (Seq.tabulate(4)(i => ("u", i.toLong, 5L)) ++
+      Seq(("c", 0L, 0L), ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 10L)))
+      .toDF("src", "id", "x")
+    val got = Inequality.giniBySlice(df, "id", col("x"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got("u") == 0L)
+    assert(got("c") == 750000L) // (2·40 − 5·10)/(4·10)
+  }
+
+  test("dedupMethodAgreement: hand-built corpus with known verdict sets") {
+    import spark.implicits._
+    import graft.dedup.MethodAgreement
+    val long = (1 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "dup dup dup dup"), (2L, "dup dup dup dup"),      // exact pair
+      (3L, "Alpha beta gamma delta!"), (4L, "alpha beta gamma delta"), // norm-only
+      (5L, long + " xx"), (6L, long + " yy"),                // near-only (jac 9/11)
+      (7L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = MethodAgreement.dedupMethodAgreement(docs, "doc_id", "text",
+        shingleLen = 3, nearThreshold = 0.8)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // ex={1,2}, nm={1,2,3,4}, nr={1,2,5,6}, n=7
+    assert(got(("exact", "near")) == (2L, 4L, 500000L, 714285L), got.toString)
+    assert(got(("exact", "normalized")) == (2L, 4L, 500000L, 714285L), got.toString)
+    assert(got(("normalized", "near")) == (2L, 6L, 333333L, 428571L), got.toString)
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
