@@ -872,6 +872,75 @@ object TextDedupQueries {
               |FROM p GROUP BY lang, lang_pred
               |ORDER BY lang, lang_pred""".stripMargin)),
 
+    // ---- Cramér's V² between labeled and predicted language: the
+    // one-number effect size over the q167 confusion matrix (dense grid —
+    // zero cells contribute, which present-cells-only sums drop)
+    Q("q175_cramers_v",
+      (s, d) => {
+        val t = Tables(s, d)
+        Association.cramersV2(t.documents, col("lang"),
+            TextFunctions.langId(col("text")))
+          .orderBy(col("n"))
+      },
+      Some(s"""WITH p AS ($langIdPredSql),
+              |cells AS (SELECT lang AS a, lang_pred AS b,
+              |    CAST(count(*) AS BIGINT) AS o FROM p GROUP BY 1, 2),
+              |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+              |c AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+              |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+              |dense AS (SELECT r.a, c.b, coalesce(cells.o, 0) AS o, r.r, c.c, n.n
+              |  FROM r CROSS JOIN c
+              |  LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b, n),
+              |agg AS (SELECT max(n) AS n,
+              |    CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+              |    CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+              |    CAST(sum(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+              |      // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_micro
+              |  FROM dense)
+              |SELECT n, n_rows, n_cols, chi2_micro,
+              |  CASE WHEN least(n_rows - 1, n_cols - 1) > 0
+              |    THEN chi2_micro // (n * least(n_rows - 1, n_cols - 1))
+              |  END AS v2_ppm
+              |FROM agg ORDER BY n""".stripMargin)),
+
+    // ---- rank-biased overlap of per-source top-20 vocabularies: the
+    // top-weighted vocabulary-churn drift number; p-powers precomputed as
+    // one exact integer fold and inlined into BOTH engines
+    Q("q176_rbo_vocab",
+      (s, d) => {
+        val t = Tables(s, d)
+        Association.rboTopK(t.documents, "text", "source", k = 20,
+            pPpm = 900000L)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        val pows = Association.powersPpm(900000L, 20)
+        val values = pows.zipWithIndex
+          .map { case (pw, i) => s"(${i + 1}, $pw)" }.mkString(", ")
+        s"""WITH tc AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT source AS src,
+           |      unnest(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY 1, 2),
+           |rk AS (SELECT src, w, rk FROM (
+           |    SELECT src, w, CAST(row_number() OVER (PARTITION BY src
+           |      ORDER BY c DESC, w) AS BIGINT) AS rk FROM tc)
+           |  WHERE rk <= 20),
+           |j AS (SELECT a.src AS src_a, b.src AS src_b,
+           |    greatest(a.rk, b.rk) AS m
+           |  FROM rk a JOIN rk b ON a.w = b.w AND a.src < b.src),
+           |dp AS (SELECT CAST(d AS BIGINT) AS d, CAST(ppow AS BIGINT) AS ppow
+           |  FROM (VALUES $values) t(d, ppow)),
+           |t AS (SELECT src_a, src_b,
+           |    (dp.ppow * CAST(count(*) AS BIGINT) * 100000)
+           |      // (dp.d * 1000000) AS t
+           |  FROM j JOIN dp ON j.m <= dp.d GROUP BY src_a, src_b, dp.d, dp.ppow)
+           |SELECT src_a, src_b, CAST(sum(t) AS BIGINT) AS rbo_micro
+           |FROM t GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
     // ---- empirical LSH recall by jaccard decile vs the exact join —
     // the measured twin of the q128 S-curve prediction; one shingle scan
     // feeds both sides

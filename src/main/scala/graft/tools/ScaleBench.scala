@@ -143,7 +143,8 @@ object ScaleBench {
       "q162_bootstrap_means", "q164_slice_word_mi", "q165_simpson_index",
       "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift",
       "q170_power_iteration", "q171_mann_whitney",
-      "q172_autocorrelation", "q173_gini_length") ++
+      "q172_autocorrelation", "q173_gini_length", "q175_cramers_v",
+      "q176_rbo_vocab") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above

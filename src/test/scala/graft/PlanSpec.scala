@@ -897,6 +897,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q175 Cramér's V²: contingency partial agg, bounded dense grid") {
+    val p = plan("q175_cramers_v")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q176 RBO: k-bounded rank windows, token equi-join, depth broadcast") {
+    val p = plan("q176_rbo_vocab")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "depth frame must broadcast:\n" + p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

@@ -244,6 +244,34 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got(("normalized", "near")) == (2L, 6L, 333333L, 428571L), got.toString)
   }
 
+  test("cramersV2: perfect association → exactly 1e6; independence → 0") {
+    import spark.implicits._
+    import graft.operators.Association
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    val g1 = Association.cramersV2(perfect, col("a"), col("b")).collect().head
+    assert(g1.getLong(4) == 1000000L, g1.toString)
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 3)
+      yield (a, b)).toDF("a", "b")
+    val g2 = Association.cramersV2(indep, col("a"), col("b")).collect().head
+    assert(g2.getLong(3) == 0L && g2.getLong(4) == 0L, g2.toString)
+  }
+
+  test("rboTopK: identical ranked vocabularies → 1 − p^k (quantized)") {
+    import spark.implicits._
+    import graft.operators.Association
+    // same text in both sources → identical top-k lists at every depth
+    val text = (1 to 25).map(i => Seq.fill(26 - i)(s"w$i").mkString(" ")).mkString(" ")
+    val df = Seq(("a", text), ("b", text), ("c", "zz qq")).toDF("source", "text")
+    val got = Association.rboTopK(df, "text", "source", k = 20, pPpm = 900000L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = Association.powersPpm(900000L, 20)
+      .map(p => p * 100000L / 1000000L).sum
+    assert(got(("a", "b")) == expected, s"${got(("a", "b"))} vs $expected")
+    // c shares no top-k token with a/b → those pairs don't surface
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
