@@ -363,6 +363,56 @@ object CorpusStats {
         expr("_sum div n_tokens").as("mi_micro"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between slice unigram
+    * distributions in integer micro-nats — the symmetric, ALWAYS-FINITE
+    * corpus-comparison number (KL explodes on disjoint support; JS caps at
+    * ln 2), the pairwise complement of the per-stratum-vs-global KL (q64).
+    *
+    * Exact decomposition that needs only the SHARED-support join: for word
+    * w with counts (c_a, c_b) and totals (n_a, n_b),
+    * `p/m = 2·c_a·n_b / (c_a·n_b + c_b·n_a)`; words in A∖B contribute
+    * exactly `c_a·ln 2`, so each side's KL(side‖mixture) is
+    * `(Σ_{A∩B} c_a·lnq(p/m) + (n_a − Σ_{A∩B} c_a)·ln2_micro) div n_a`
+    * with per-term micro-quantized ln (the q64/q164 convention) — no
+    * full-outer join, no zero-fill grid. JS = the two sides' mean.
+    *
+    * One (slice, word) partial agg feeds everything; the pair join fans
+    * each word to (slices-sharing-it)² rows — slices are bounded by
+    * construction.
+    */
+  def jsDivergencePairs(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val ln2Micro = 693147L // round(ln(2)·1e6), shared literal both engines
+    val counts = docs.select(col(groupCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val inter = counts.as("a").join(counts.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .join(broadcast(totals).as("ta"), col("a.src") === col("ta.src"))
+      .join(broadcast(totals).as("tb"), col("b.src") === col("tb.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        col("ta.n").as("n_a"), col("tb.n").as("n_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("ca"), col("cb"),
+        expr("""ca * CAST(round(ln((2.0 * ca * n_b) /
+               |  (CAST(ca AS DOUBLE) * n_b + CAST(cb AS DOUBLE) * n_a))
+               |  * 1000000.0) AS BIGINT)""".stripMargin).as("_ta"),
+        expr("""cb * CAST(round(ln((2.0 * cb * n_a) /
+               |  (CAST(ca AS DOUBLE) * n_b + CAST(cb AS DOUBLE) * n_a))
+               |  * 1000000.0) AS BIGINT)""".stripMargin).as("_tb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("ca")).as("_sca"), sum(col("cb")).as("_scb"),
+        sum(col("_ta")).as("_sta"), sum(col("_tb")).as("_stb"))
+    inter.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+      expr(s"""(((_sta + (n_a - _sca) * $ln2Micro) div n_a)
+              |  + ((_stb + (n_b - _scb) * $ln2Micro) div n_b)) div 2"""
+        .stripMargin).as("js_micro"))
+  }
+
   /** Simpson concentration per slice: the probability two random tokens of
     * the slice are the same TYPE, `Σ_w c_w(c_w−1) / (N(N−1))` in exact ppm
     * — the diversity collapse alarm (a template-spam source concentrates;

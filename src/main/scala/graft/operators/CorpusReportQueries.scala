@@ -761,6 +761,41 @@ object CorpusReportQueries {
              |FROM a WHERE n_tokens >= 2
              |ORDER BY src""".stripMargin)),
 
+    // ---- pairwise Jensen-Shannon divergence between source vocabularies:
+    // symmetric, always-finite corpus comparison (KL explodes on disjoint
+    // support); shared-support join only, A∖B mass folds to c·ln2
+    Q("q177_js_divergence",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.jsDivergencePairs(t.documents, "text", "source")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (SELECT source AS src,
+             |    unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
+             |  FROM documents),
+             |t2 AS (SELECT src, w FROM toks WHERE w <> ''),
+             |counts AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM t2 GROUP BY src, w),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY src),
+             |inter AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    ta.n AS n_a, tb.n AS n_b, a.c AS ca, b.c AS cb,
+             |    a.c * CAST(round(ln((2.0 * a.c * tb.n) /
+             |      (CAST(a.c AS DOUBLE) * tb.n + CAST(b.c AS DOUBLE) * ta.n))
+             |      * 1000000.0) AS BIGINT) AS tta,
+             |    b.c * CAST(round(ln((2.0 * b.c * ta.n) /
+             |      (CAST(a.c AS DOUBLE) * tb.n + CAST(b.c AS DOUBLE) * ta.n))
+             |      * 1000000.0) AS BIGINT) AS ttb
+             |  FROM counts a JOIN counts b ON a.w = b.w AND a.src < b.src
+             |  JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src),
+             |agg AS (SELECT src_a, src_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             |    CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+             |    CAST(sum(tta) AS BIGINT) AS sta, CAST(sum(ttb) AS BIGINT) AS stb
+             |  FROM inter GROUP BY src_a, src_b)
+             |SELECT src_a, src_b, n_a, n_b,
+             |  (((sta + (n_a - sca) * 693147) // n_a)
+             |    + ((stb + (n_b - scb) * 693147) // n_b)) // 2 AS js_micro
+             |FROM agg ORDER BY src_a, src_b""".stripMargin)),
+
     // ---- Kish effective sample size per source under exact-dup
     // soft-weights (w = 1e6 div group size): how much data REALLY remains
     Q("q166_weight_ess",

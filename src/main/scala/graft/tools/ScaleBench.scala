@@ -144,7 +144,7 @@ object ScaleBench {
       "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift",
       "q170_power_iteration", "q171_mann_whitney",
       "q172_autocorrelation", "q173_gini_length", "q175_cramers_v",
-      "q176_rbo_vocab") ++
+      "q176_rbo_vocab", "q177_js_divergence") ++
       // unperturbed embedding replication makes the near-dup graph (and
       // everything over it) grow quadratically in mult — replication
       // artifact, not an operator property; see the q72 note above

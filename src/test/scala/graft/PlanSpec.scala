@@ -911,6 +911,14 @@ class PlanSpec extends AnyFunSuite {
       "depth frame must broadcast:\n" + p)
   }
 
+  test("q177 JS divergence: one (slice,word) exchange, totals broadcast, " +
+      "shared-support equi-join only") {
+    val p = plan("q177_js_divergence")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "totals must broadcast:\n" + p)
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")

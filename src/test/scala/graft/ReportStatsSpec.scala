@@ -272,6 +272,20 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
 
+  test("jsDivergencePairs: identical slices → 0; near-disjoint → near ln 2") {
+    import spark.implicits._
+    import graft.curation.CorpusStats
+    val df = Seq(("a", "x y z x"), ("b", "x y z x"),
+      ("c", "p q r s x"), ("d", "x x x x")).toDF("source", "text")
+    val got = CorpusStats.jsDivergencePairs(df, "text", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(got(("a", "b")) == 0L, got.toString) // identical → every term ln 1
+    // c vs d share only 'x' (1/5 vs 4/4): heavy disjoint mass → large JS
+    assert(got(("c", "d")) > 400000L && got(("c", "d")) < 693147L, got.toString)
+    // symmetric-by-construction sanity: a-vs-d equals the mirrored formula
+    assert(got.contains(("a", "d")))
+  }
+
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {
     import spark.implicits._
     val df = Seq((7L, 100L), (8L, 200L)).toDF("id", "m")
