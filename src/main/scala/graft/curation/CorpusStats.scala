@@ -376,9 +376,15 @@ object CorpusStats {
     * with per-term micro-quantized ln (the q64/q164 convention) — no
     * full-outer join, no zero-fill grid. JS = the two sides' mean.
     *
+    * The pair UNIVERSE is every src_a < src_b pair from the totals frame,
+    * not just pairs sharing support: two slices with fully DISJOINT
+    * vocabularies — the maximal-divergence case this drift report exists
+    * to flag — emit an explicit `js_micro = ln2_micro` row (shared-support
+    * sums left-joined and coalesced to 0), never a silent absence.
+    *
     * One (slice, word) partial agg feeds everything; the pair join fans
     * each word to (slices-sharing-it)² rows — slices are bounded by
-    * construction.
+    * construction, and the universe frame is slices² rows of totals.
     */
   def jsDivergencePairs(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
@@ -404,13 +410,18 @@ object CorpusStats {
                |  (CAST(ca AS DOUBLE) * n_b + CAST(cb AS DOUBLE) * n_a))
                |  * 1000000.0) AS BIGINT)""".stripMargin).as("_tb"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        sum(col("ca")).as("_sca"), sum(col("cb")).as("_scb"),
+      .agg(sum(col("ca")).as("_sca"), sum(col("cb")).as("_scb"),
         sum(col("_ta")).as("_sta"), sum(col("_tb")).as("_stb"))
-    inter.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-      expr(s"""(((_sta + (n_a - _sca) * $ln2Micro) div n_a)
-              |  + ((_stb + (n_b - _scb) * $ln2Micro) div n_b)) div 2"""
-        .stripMargin).as("js_micro"))
+    val universe = totals.as("ua").join(broadcast(totals).as("ub"),
+        col("ua.src") < col("ub.src"))
+      .select(col("ua.src").as("src_a"), col("ub.src").as("src_b"),
+        col("ua.n").as("n_a"), col("ub.n").as("n_b"))
+    universe.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("_sca", "_scb", "_sta", "_stb"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        expr(s"""(((_sta + (n_a - _sca) * $ln2Micro) div n_a)
+                |  + ((_stb + (n_b - _scb) * $ln2Micro) div n_b)) div 2"""
+          .stripMargin).as("js_micro"))
   }
 
   /** Simpson concentration per slice: the probability two random tokens of

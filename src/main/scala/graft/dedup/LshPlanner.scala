@@ -77,6 +77,25 @@ object LshPlanner {
         expr("(n_caught * 1000000) div n_exact").as("recall_ppm"))
   }
 
+  /** [[empiricalRecallCurve]] over a deterministic hash-sampled document
+    * slice (the q39 Bernoulli draw: keep iff md5(salt:id) < threshold) —
+    * the form that runs AT ANY SCALE. The exact arm is the audit's
+    * quadratic half; sampling documents at fraction f cuts the exact
+    * shared-shingle join to ~f² of its pairs while leaving recall unbiased
+    * (each pair is kept iff both endpoints draw in, independent of its
+    * similarity — banding, shingling, and jaccard are computed on the kept
+    * docs exactly as the full audit would). A recall ESTIMATE needs
+    * thousands of pairs, not the corpus; the full exact mode stays for
+    * small-slice gate parity. The sample filter is a pure per-row
+    * predicate that pushes to the scan.
+    */
+  def empiricalRecallCurveSampled(docs: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, numHashes: Int, bands: Int,
+      minJacPpm: Long, fraction: Double, salt: String): DataFrame =
+    empiricalRecallCurve(
+      graft.sampling.Sampling.hashSample(docs, idCol, fraction, salt),
+      idCol, textCol, shingleLen, numHashes, bands, minJacPpm)
+
   /** (bands, rows, s_ppm, p_band_ppm, p_cand_ppm) for each layout × grid
     * point; `sGridStepPpm` spaces the similarity grid (50000 → 5%..95%). */
   def sCurve(spark: SparkSession, configs: Seq[(Int, Int)],

@@ -59,8 +59,14 @@ object Association {
     * depth's term `(p^{d−1}·ov_d·(1−p)_ppm) div (d·10⁶)` is identical
     * integer arithmetic. Ranking ties break by token (deterministic).
     *
+    * The pair UNIVERSE is every src_a < src_b pair of slices that have at
+    * least one token: two slices whose top-k lists share ZERO tokens — the
+    * maximally-churned pairs a vocabulary-drift ranking exists to surface —
+    * emit an explicit `rbo_micro = 0` row, never a silent absence.
+    *
     * Scale: one (slice, token) partial agg; per-slice top-k via a
-    * k-bounded rank window; the pair stage runs on slices × k rows.
+    * k-bounded rank window; the pair stage runs on slices × k rows plus a
+    * slices² universe frame (slices bounded by construction).
     */
   def rboTopK(df: DataFrame, textCol: String, sourceCol: String, k: Int,
       pPpm: Long): DataFrame = {
@@ -81,13 +87,19 @@ object Association {
     val pow = powersPpm(pPpm, k) // p^0 .. p^(k-1), exact integer fold
     val depth = df.sparkSession.createDataFrame(
       (1 to k).map(d => (d.toLong, pow(d - 1)))).toDF("d", "ppow")
-    joined.join(broadcast(depth), col("m") <= col("d"))
+    val scored = joined.join(broadcast(depth), col("m") <= col("d"))
       .groupBy(col("src_a"), col("src_b"), col("d"), col("ppow"))
       .agg(count(lit(1)).as("ov"))
       .select(col("src_a"), col("src_b"),
         expr(s"(ppow * ov * ${1000000L - pPpm}) div (d * 1000000)").as("_t"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(col("_t")).as("rbo_micro"))
+      .agg(sum(col("_t")).as("_rbo"))
+    val srcs = ranked.select(col("src")).distinct()
+    srcs.as("ua").join(broadcast(srcs).as("ub"), col("ua.src") < col("ub.src"))
+      .select(col("ua.src").as("src_a"), col("ub.src").as("src_b"))
+      .join(scored, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("_rbo"), lit(0L)).as("rbo_micro"))
   }
 
   /** exact integer p^0..p^(k-1) in ppm via repeated `x·p div 10⁶` */

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * per-type day array is bounded by the calendar (a year of days, not data
   * volume), same bounded-by-construction contract as `mixtureSample`'s
   * strata; `maxDays` makes it crash-proof.
+  *
+  * The day grid is the DENSE calendar `sequence(min(day), max(day))`, not
+  * the distinct observed days: a calendar day with zero events
+  * corpus-wide — a total outage, the loudest alarm this detector exists to
+  * fire on — still contributes `dev = −T` to every type's CUSUM, matching
+  * the streaming twin's silent-gap finalization.
   */
 object ChangePoint {
 
@@ -27,13 +33,15 @@ object ChangePoint {
       hPpm: Long, maxDays: Int = 4096): DataFrame = {
     require(hPpm > 0, s"hPpm must be > 0, got $hPpm")
     // ONE corpus scan: the grid-sized count frame is the only reduction;
-    // day and type dimensions derive from it (every grid day/type has data)
+    // day and type dimensions derive from it (days as the DENSE calendar
+    // between min and max observed day, so silent days are on the grid)
     val counts = events.select(col(typeCol).as("event_type"),
         to_date(col(tsCol)).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val days = counts.select(col("day")).distinct()
+    val days = counts.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
     val nDays = days.limit(maxDays + 1).count() // bounded probe, fails fast
     if (nDays > maxDays) throw new IllegalArgumentException(
       s"cusumDaily: more than $maxDays grid days — the per-type fold is " +
@@ -68,10 +76,11 @@ object ChangePoint {
     * weekly-seasonality / trend-persistence report next to the CUSUM
     * alarm: `r_k = Σ_t dev_t·dev_{t+k} / Σ_t dev_t²` in exact ppm, where
     * `dev_t = c_t·D − T` is the same zero-mean integer deviation the
-    * CUSUM uses (zero-filled dense grid, so silent days count). The lag
-    * join is day-arithmetic on the bounded grid; negative correlations
-    * divide consistently (both engines truncate toward zero). Constant
-    * series (den 0) report null.
+    * CUSUM uses (zero-filled dense grid, so silent days count — including
+    * globally silent calendar days, same dense `sequence(min, max)` grid
+    * as the CUSUM). The lag join is day-arithmetic on the bounded grid;
+    * negative correlations divide consistently (both engines truncate
+    * toward zero). Constant series (den 0) report null.
     */
   def dailyAutocorrelation(events: DataFrame, tsCol: String, typeCol: String,
       lags: Seq[Int]): DataFrame = {
@@ -82,7 +91,8 @@ object ChangePoint {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val days = counts.select(col("day")).distinct()
+    val days = counts.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
     val types = counts.select(col("event_type")).distinct()
     val stats = counts.groupBy(col("event_type"))
       .agg(sum(col("c")).as("tot"))

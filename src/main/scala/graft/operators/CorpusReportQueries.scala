@@ -763,7 +763,9 @@ object CorpusReportQueries {
 
     // ---- pairwise Jensen-Shannon divergence between source vocabularies:
     // symmetric, always-finite corpus comparison (KL explodes on disjoint
-    // support); shared-support join only, A∖B mass folds to c·ln2
+    // support); shared-support join only, A∖B mass folds to c·ln2; the
+    // pair universe is ALL src_a < src_b pairs (disjoint vocabularies
+    // emit js_micro = ln2, never a silent absence)
     Q("q177_js_divergence",
       (s, d) => {
         val t = Tables(s, d)
@@ -787,14 +789,20 @@ object CorpusReportQueries {
              |      * 1000000.0) AS BIGINT) AS ttb
              |  FROM counts a JOIN counts b ON a.w = b.w AND a.src < b.src
              |  JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src),
-             |agg AS (SELECT src_a, src_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             |agg AS (SELECT src_a, src_b,
              |    CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
              |    CAST(sum(tta) AS BIGINT) AS sta, CAST(sum(ttb) AS BIGINT) AS stb
-             |  FROM inter GROUP BY src_a, src_b)
-             |SELECT src_a, src_b, n_a, n_b,
-             |  (((sta + (n_a - sca) * 693147) // n_a)
-             |    + ((stb + (n_b - scb) * 693147) // n_b)) // 2 AS js_micro
-             |FROM agg ORDER BY src_a, src_b""".stripMargin)),
+             |  FROM inter GROUP BY src_a, src_b),
+             |univ AS (SELECT ta.src AS src_a, tb.src AS src_b,
+             |    ta.n AS n_a, tb.n AS n_b
+             |  FROM tot ta JOIN tot tb ON ta.src < tb.src)
+             |SELECT u.src_a, u.src_b, u.n_a, u.n_b,
+             |  (((coalesce(sta, 0) + (u.n_a - coalesce(sca, 0)) * 693147) // u.n_a)
+             |    + ((coalesce(stb, 0) + (u.n_b - coalesce(scb, 0)) * 693147) // u.n_b))
+             |    // 2 AS js_micro
+             |FROM univ u LEFT JOIN agg a
+             |  ON a.src_a = u.src_a AND a.src_b = u.src_b
+             |ORDER BY 1, 2""".stripMargin)),
 
     // ---- Kish effective sample size per source under exact-dup
     // soft-weights (w = 1e6 div group size): how much data REALLY remains

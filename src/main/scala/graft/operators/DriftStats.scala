@@ -48,6 +48,10 @@ object DriftStats {
       .groupBy(col("src"))
       .agg(max(col("n_src")).as("n_src"), max(col("n_rest")).as("n_rest"),
         max(col("_d")).as("_dmax"))
+      // one-source corpora have no "rest" to compare against: drop the
+      // degenerate n_rest = 0 row (div-by-zero is engine-divergent — Spark
+      // nulls, DuckDB raises), same guard shape as giniBySlice's sum_x > 0
+      .filter(col("n_rest") > 0)
       .select(col("src"), col("n_src"), col("n_rest"),
         expr("CAST((_dmax * 1000000) div " +
           "(CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)").as("ks_ppm"))

@@ -102,7 +102,10 @@ object ScreeningQueries {
           .orderBy(col("event_type"), col("day"))
       },
       Some("""WITH RECURSIVE days AS (
-             |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |  SELECT CAST(unnest(generate_series(
+             |      (SELECT min(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      (SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      INTERVAL 1 DAY)) AS DATE) AS day),
              |types AS (SELECT DISTINCT event_type FROM events),
              |dcnt AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              |    CAST(count(*) AS BIGINT) AS c
@@ -312,7 +315,7 @@ object ScreeningQueries {
              |SELECT src, n_src, n_rest,
              |  CAST((max(dn) * 1000000) // (CAST(n_src AS HUGEINT) * n_rest)
              |    AS BIGINT) AS ks_ppm
-             |FROM dd GROUP BY src, n_src, n_rest
+             |FROM dd WHERE n_rest > 0 GROUP BY src, n_src, n_rest
              |ORDER BY src""".stripMargin)),
 
     // ---- Kaplan–Meier survival over user activity lifetimes with
@@ -535,7 +538,9 @@ object ScreeningQueries {
       },
       Some("""WITH base AS (SELECT event_type,
              |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
-             |days AS (SELECT DISTINCT day FROM base),
+             |days AS (SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM base), (SELECT max(day) FROM base),
+             |    INTERVAL 1 DAY)) AS DATE) AS day),
              |types AS (SELECT DISTINCT event_type FROM base),
              |counts AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
              |  FROM base GROUP BY 1, 2),

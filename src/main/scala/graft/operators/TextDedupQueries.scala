@@ -935,9 +935,16 @@ object TextDedupQueries {
            |t AS (SELECT src_a, src_b,
            |    (dp.ppow * CAST(count(*) AS BIGINT) * 100000)
            |      // (dp.d * 1000000) AS t
-           |  FROM j JOIN dp ON j.m <= dp.d GROUP BY src_a, src_b, dp.d, dp.ppow)
-           |SELECT src_a, src_b, CAST(sum(t) AS BIGINT) AS rbo_micro
-           |FROM t GROUP BY 1, 2
+           |  FROM j JOIN dp ON j.m <= dp.d GROUP BY src_a, src_b, dp.d, dp.ppow),
+           |sc AS (SELECT src_a, src_b, CAST(sum(t) AS BIGINT) AS rbo
+           |  FROM t GROUP BY 1, 2),
+           |srcs AS (SELECT DISTINCT src FROM rk),
+           |univ AS (SELECT a.src AS src_a, b.src AS src_b
+           |  FROM srcs a JOIN srcs b ON a.src < b.src)
+           |SELECT u.src_a, u.src_b,
+           |  coalesce(sc.rbo, CAST(0 AS BIGINT)) AS rbo_micro
+           |FROM univ u LEFT JOIN sc
+           |  ON sc.src_a = u.src_a AND sc.src_b = u.src_b
            |ORDER BY 1, 2""".stripMargin
       }),
 
@@ -953,6 +960,52 @@ object TextDedupQueries {
           .orderBy(col("bucket"))
       },
       Some(s"""WITH $shinglesCte,
+              |w AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS w FROM docs),
+              |ex AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter,
+              |    max(a.n) AS n1, max(b.n) AS n2
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |j AS (SELECT id1, id2,
+              |    (inter * 1000000) // (n1 + n2 - inter) AS jac_ppm
+              |  FROM ex
+              |  WHERE (inter * 1000000) // (n1 + n2 - inter) >= 50000),
+              |signed AS (SELECT doc_id, ${graft.dedup.Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT),
+              |      CAST(band*4+4 AS INT)), ',')) AS key
+              |  FROM banded),
+              |cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+              |  FROM bh b1 JOIN bh b2 ON b1.key = b2.key AND b1.doc_id < b2.doc_id),
+              |f AS (SELECT j.jac_ppm,
+              |    CASE WHEN cand.id1 IS NULL THEN 0 ELSE 1 END AS caught
+              |  FROM j LEFT JOIN cand USING (id1, id2))
+              |SELECT jac_ppm // 100000 AS bucket, CAST(count(*) AS BIGINT) AS n_exact,
+              |  CAST(sum(caught) AS BIGINT) AS n_caught,
+              |  (CAST(sum(caught) AS BIGINT) * 1000000) // count(*) AS recall_ppm
+              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- the same recall audit over a deterministic hash-sampled slice
+    // (the q39 draw): the exact arm's quadratic cost falls to ~f² of the
+    // pairs, so the audit runs at ANY scale; recall stays unbiased
+    Q("q178_lsh_recall_sampled",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.LshPlanner.empiricalRecallCurveSampled(t.documents,
+            "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+            minJacPpm = 50000L, fraction = 0.5, salt = "lr1")
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              |    FROM documents
+              |    WHERE substr(md5('lr1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |      < '${graft.sampling.Sampling.fractionThreshold(0.5)}')
+              |  WHERE len(t) >= 3),
               |w AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS w FROM docs),
               |ex AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
               |    CAST(count(*) AS BIGINT) AS inter,

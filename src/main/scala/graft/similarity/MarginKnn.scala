@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * broadcast join — linear in the corpus, never corpus × corpus. Ranking
   * windows partition by corpus id (|probe| rows per group) or probe id
   * (top-k via one partial-agg'd sort), so no global sort appears anywhere.
+  *
+  * Contract: probe and corpus are DISTINCT frames; every (probe, corpus)
+  * row pair is scored, including pairs whose ids happen to collide — ids
+  * from the two frames are unrelated namespaces, so no exclusion predicate
+  * is applied (a probe that also appears in the corpus under the same id
+  * IS its own nearest neighbor, which is the correct mining semantics).
+  * Callers who pass overlapping frames must pre-filter themselves.
   */
 object MarginKnn {
 
@@ -61,7 +68,7 @@ object MarginKnn {
     val p = quantized(probe, idCol, vecCol, "probe_id", "_pq")
     val c = graft.operators.Parallelism.ensure(
       quantized(corpus, idCol, vecCol, "cand_id", "_cq"))
-    val pairs = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+    val pairs = c.crossJoin(broadcast(p))
       .select(col("probe_id"), col("cand_id"),
         dotMicro(col("_pq"), col("_cq")).as("dot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +107,7 @@ object MarginKnn {
     val e = quantized(eval, idCol, vecCol, "eval_id", "_eq")
     val c = graft.operators.Parallelism.ensure(
       quantized(corpus, idCol, vecCol, "vec_id", "_cq"))
-    c.join(broadcast(e), col("vec_id") =!= col("eval_id"))
+    c.crossJoin(broadcast(e))
       .select(col("vec_id"), col("eval_id"),
         dotMicro(col("_cq"), col("_eq")).as("dot"))
       .withColumn("_r", row_number().over(

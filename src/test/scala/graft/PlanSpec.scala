@@ -240,6 +240,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 containment audit derives shingles exactly once (one shared cache)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the audit threads ONE persisted (doc_id, sh) frame through the
+    // containment join (prefix build + both verify probes) AND its own
+    // signature pass: every branch must read that cache — zero direct
+    // parquet scans, >= 4 cache reads, all of the SAME cached plan (a
+    // second shingle derivation would surface as a second relation)
+    val p = exec("q119_containment_estimate")
+    val fileScans = p.collect { case f: FileSourceScanExec => f }
+    assert(fileScans.isEmpty,
+      s"q119: all branches must read the persisted shingle frame, got " +
+        s"${fileScans.size} direct parquet scans:\n$p")
+    val cacheScans = p.collect { case c: InMemoryTableScanExec => c }
+    assert(cacheScans.size >= 4, s"q119: expected >= 4 cache reads:\n$p")
+    val relations = cacheScans
+      .map(c => System.identityHashCode(c.relation.cacheBuilder.cachedPlan))
+      .distinct
+    assert(relations.size == 1,
+      s"q119: ${relations.size} distinct cached plans — shingles derived " +
+        s"more than once:\n$p")
+  }
+
   test("q68 tf-idf top-k is a bounded aggregate, not a global window") {
     val p = plan("q68_tfidf_topk")
     assert(!p.contains("Window"), "top-k must not window the vocabulary:\n" + p)

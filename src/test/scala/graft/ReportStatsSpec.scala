@@ -36,6 +36,12 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got("c") == 1000000L)
   }
 
+  test("ksDrift: single-source corpus has no 'rest' → empty, not div-by-zero") {
+    import spark.implicits._
+    val df = Seq.tabulate(10)(i => ("only", i)).toDF("src", "v")
+    assert(DriftStats.ksDriftBySource(df, col("v"), "src").count() == 0L)
+  }
+
   test("kaplanMeier: censored users never count as deaths; product-limit steps") {
     import spark.implicits._
     import java.sql.Timestamp
@@ -268,15 +274,16 @@ class ReportStatsSpec extends AnyFunSuite {
     val expected = Association.powersPpm(900000L, 20)
       .map(p => p * 100000L / 1000000L).sum
     assert(got(("a", "b")) == expected, s"${got(("a", "b"))} vs $expected")
-    // c shares no top-k token with a/b → those pairs don't surface
-    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+    // c shares no top-k token with a/b → explicit rbo 0 rows from the
+    // pair universe (the most-churned pairs must never silently vanish)
+    assert(got(("a", "c")) == 0L && got(("b", "c")) == 0L, got.toString)
   }
 
   test("jsDivergencePairs: identical slices → 0; near-disjoint → near ln 2") {
     import spark.implicits._
     import graft.curation.CorpusStats
     val df = Seq(("a", "x y z x"), ("b", "x y z x"),
-      ("c", "p q r s x"), ("d", "x x x x")).toDF("source", "text")
+      ("c", "p q r s x"), ("d", "x x x x"), ("e", "mm nn")).toDF("source", "text")
     val got = CorpusStats.jsDivergencePairs(df, "text", "source")
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
     assert(got(("a", "b")) == 0L, got.toString) // identical → every term ln 1
@@ -284,6 +291,10 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got(("c", "d")) > 400000L && got(("c", "d")) < 693147L, got.toString)
     // symmetric-by-construction sanity: a-vs-d equals the mirrored formula
     assert(got.contains(("a", "d")))
+    // FULLY disjoint vocabularies — the maximal-divergence alarm — emit an
+    // explicit ln2 row, never a silent absence (universe covers all pairs)
+    assert(got(("d", "e")) == 693147L, got.toString)
+    assert(got.size == 10, got.toString) // C(5,2) pairs, no drops
   }
 
   test("bootstrapMeans: weights follow the md5 hex-digit law, means exact") {

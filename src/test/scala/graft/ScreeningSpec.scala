@@ -62,6 +62,23 @@ class ScreeningSpec extends AnyFunSuite {
     assert(got(5).getLong(3) == 24L && got(5).getBoolean(4))
   }
 
+  test("cusumDaily grid is the dense calendar: a totally silent day still counts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // events on days 1,2,4 (3 each); day 3 is silent CORPUS-WIDE.
+    // dense grid: D=4, T=9 → dev = c·4−9: +3,+3,−9,+3; cusum 3,6,0,3
+    val rows = Seq(1, 2, 4).flatMap { day =>
+      (0 until 3).map(i => (day.toLong * 100 + i,
+        Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), "tick"))
+    }
+    val got = ChangePoint.cusumDaily(rows.toDF("event_id", "ts", "event_type"),
+        "ts", "event_type", hPpm = 1000000L)
+      .orderBy("day").collect()
+    assert(got.length == 4, got.mkString("; ")) // day 3 materialized with c=0
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 3L, 0L, 3L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(3L, 6L, 0L, 3L))
+  }
+
   test("burrowsDelta materializes zero-count cells and scales by MAD") {
     import spark.implicits._
     // srcA uses 'the' heavily, srcB never does; 'and' identical rates
