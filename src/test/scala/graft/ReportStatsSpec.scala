@@ -165,6 +165,30 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum <= 3L)
   }
 
+  test("empiricalRecallCurveSampled ≡ full audit on the kept slice; f=1 keeps all") {
+    import spark.implicits._
+    import graft.dedup.LshPlanner
+    import graft.sampling.Sampling
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = (1L to 40L).map(i => (i, base + s" t$i u$i v$i"))
+      .toDF("doc_id", "text")
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      LshPlanner.empiricalRecallCurve(df, "doc_id", "text", 3, 16, 4, 100000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the sampled audit IS the full audit on the q39-kept slice — same
+    // buckets, same exact-pair and caught counts, bit for bit
+    val sampled = LshPlanner.empiricalRecallCurveSampled(docs, "doc_id",
+        "text", 3, 16, 4, 100000L, fraction = 0.5, salt = "sp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kept = Sampling.hashSample(docs, "doc_id", 0.5, "sp")
+    assert(kept.count() > 0 && kept.count() < 40, "draw must be a strict subset")
+    assert(sampled == curve(kept), s"$sampled vs ${curve(kept)}")
+    // fraction 1 degenerates to the exact audit
+    assert(LshPlanner.empiricalRecallCurveSampled(docs, "doc_id", "text",
+      3, 16, 4, 100000L, 1.0, "sp").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == curve(docs))
+  }
+
   test("powerIteration finds the dominant axis of an anisotropic cloud") {
     import spark.implicits._
     import graft.similarity.PowerIteration
