@@ -95,4 +95,47 @@ object DriftStats {
       .agg(max(col("n_src")).as("n_src"), count(lit(1)).as("n_bins"),
         sum(col("_t")).as("psi_micro"))
   }
+
+  /** Classical ε-smoothed PSI per slice — the variant every scorecard
+    * library ships, beside [[psiBySource]]'s exact empty-bin-skip
+    * contract (which is the reproducible one; smoothing is an arbitrary
+    * ε choice, so it lives in its OWN operator and the exact one never
+    * changes). Per (slice, bin) over the DENSE slice × bin grid (zero-mass
+    * bins materialized — the whole point of smoothing is that a bin the
+    * slice never hits contributes `(ε − q)·ln(ε/q)`):
+    * `p = max(c·10⁶ div n_s, ε)`, `q = max(g·10⁶ div N, ε)` in ppm, term
+    * `(p − q) · round(ln(p/q)·10⁶) div 10⁶` micro-nats. Same binning,
+    * same bounded-grid shape, one extra broadcast of the ≤10-row bin dim.
+    */
+  def psiBySourceSmoothed(df: DataFrame, valueCol: Column, sourceCol: String,
+      epsPpm: Long = 100L): DataFrame = {
+    require(epsPpm > 0, s"epsPpm must be > 0, got $epsPpm")
+    val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
+    val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    val binned = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("_cum", sum(col("cv")).over(Window.orderBy(col("v"))))
+      .crossJoin(broadcast(nAll))
+      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"))
+    val withBin = counts.join(broadcast(binned), "v")
+    val bySrc = withBin.groupBy(col("src"), col("bin")).agg(sum(col("c")).as("c"))
+    val global = withBin.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+    val totals = bySrc.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
+    val dense = totals.crossJoin(broadcast(global))
+      .join(bySrc, Seq("src", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nAll))
+    dense
+      .select(col("src"), col("n_src"),
+        greatest(expr("c * 1000000 div n_src"), lit(epsPpm)).as("_p"),
+        greatest(expr("g * 1000000 div n_all"), lit(epsPpm)).as("_q"))
+      .select(col("src"), col("n_src"),
+        expr("""(_p - _q) * CAST(round(ln(CAST(_p AS DOUBLE) /
+               |  CAST(_q AS DOUBLE)) * 1000000.0) AS BIGINT)
+               |div 1000000""".stripMargin).as("_t"))
+      .groupBy(col("src"))
+      .agg(max(col("n_src")).as("n_src"), count(lit(1)).as("n_bins"),
+        sum(col("_t")).as("psi_micro"))
+  }
 }

@@ -447,6 +447,49 @@ object ScreeningQueries {
              |FROM terms GROUP BY src
              |ORDER BY src""".stripMargin)),
 
+    // ---- classical eps-smoothed PSI beside q168's exact empty-bin-skip
+    // contract: dense slice x bin grid, zero-mass bins contribute
+    // (eps - q)*ln(eps/q); the exact variant never changes
+    Q("q179_psi_smoothed",
+      (s, d) => {
+        val t = Tables(s, d)
+        DriftStats.psiBySourceSmoothed(t.documents, col("n_chars"), "source",
+            epsPpm = 100L)
+          .orderBy(col("src"))
+      },
+      Some("""WITH base AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY src, v),
+             |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+             |binned AS (SELECT v,
+             |    ((CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) - 1) * 10)
+             |      // na.n_all AS bin
+             |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY v), na),
+             |wb AS (SELECT counts.src, binned.bin, counts.c
+             |  FROM counts JOIN binned USING (v)),
+             |bysrc AS (SELECT src, bin, CAST(sum(c) AS BIGINT) AS c
+             |  FROM wb GROUP BY src, bin),
+             |gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM wb GROUP BY bin),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src
+             |  FROM bysrc GROUP BY src),
+             |dense AS (SELECT t.src, t.n_src, gl.bin, gl.g,
+             |    coalesce(b.c, 0) AS c, na.n_all
+             |  FROM tot t CROSS JOIN gl
+             |  LEFT JOIN bysrc b ON b.src = t.src AND b.bin = gl.bin, na),
+             |pq AS (SELECT src, n_src,
+             |    greatest(c * 1000000 // n_src, 100) AS p,
+             |    greatest(g * 1000000 // n_all, 100) AS q
+             |  FROM dense),
+             |terms AS (SELECT src, n_src,
+             |    (p - q) * CAST(round(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) // 1000000 AS t
+             |  FROM pq)
+             |SELECT src, max(n_src) AS n_src, CAST(count(*) AS BIGINT) AS n_bins,
+             |  CAST(sum(t) AS BIGINT) AS psi_micro
+             |FROM terms GROUP BY src
+             |ORDER BY src""".stripMargin)),
+
     // ---- dominant principal direction by integer power iteration on the
     // one-pass covariance: the embedding-collapse health check; oracle
     // unrolls the same 3 renormalized iterations

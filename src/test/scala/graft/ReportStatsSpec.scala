@@ -148,6 +148,28 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(g2("a") > g2("c"), g2.toString)
   }
 
+  test("psiBySourceSmoothed: zero-mass bins contribute via eps; identical → 0") {
+    import spark.implicits._
+    val twin = (1 to 100).flatMap(v => Seq(("a", v), ("b", v))).toDF("src", "v")
+    val g1 = DriftStats.psiBySourceSmoothed(twin, col("v"), "src")
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    // p = q in every bin → every term ln 1 = 0; dense grid has all 10 bins
+    assert(g1("a") == ((10L, 0L)) && g1("b") == ((10L, 0L)), g1.toString)
+    val skewed = ((1 to 100).map(v => ("a", v)) ++
+      (1 to 100).map(_ => ("c", 99))).toDF("src", "v")
+    val gx = DriftStats.psiBySource(skewed, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    val gs = DriftStats.psiBySourceSmoothed(skewed, col("v"), "src")
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    // c hits one bin only: the exact contract SKIPS its empty bins, the
+    // smoothed one materializes them at eps — so smoothed strictly exceeds
+    // exact for c, and every slice reports the SAME dense bin count (the
+    // tie-lumped global binning yields < 10 occupied bins here; dense means
+    // all slices share that grid, not that 10 always materialize)
+    assert(gs("c")._1 == gs("a")._1 && gs("c")._1 > 1L, gs.toString)
+    assert(gs("c")._2 > gx("c"), s"smoothed ${gs("c")} vs exact ${gx("c")}")
+  }
+
   test("empiricalRecallCurve: exact duplicates are always caught by banding") {
     import spark.implicits._
     import graft.dedup.LshPlanner
