@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * two containers a pure JVM can fully decode — YUV4MPEG2 raw planes and
   * MJPEG-in-AVI via the JDK JPEG reader ([[VideoCodecs]]): probe,
   * frame-sample, per-frame perceptual hashes, and frame-level video
-  * near-dup pairs. Compressed bitstreams (H.264/VP9/compressed audio)
-  * remain behind the `MediaCodecs` stub — the JDK has no entropy decoder;
-  * the schema and batch shapes are identical, so a JNI decoder swaps in as
-  * one function.
+  * near-dup pairs. ISO-BMFF (MP4/MOV) CONTAINER probing is also real —
+  * [[Bmff]] walks the public 14496-12 box tree for brand, per-track codec
+  * fourcc, dimensions, timescale/duration, and sample counts without any
+  * entropy decoding. Only the compressed BITSTREAM payloads
+  * (H.264/HEVC/VP9/compressed audio frames) remain behind the
+  * `MediaCodecs` stub — the JDK has no entropy decoder; the schema and
+  * batch shapes are identical, so a JNI decoder swaps in as one function.
   *
   * Scale notes: media rows are large; keep `spark.sql.files.maxPartitionBytes`
   * at the default 128 MB so tasks stay memory-bounded, and store binaries in

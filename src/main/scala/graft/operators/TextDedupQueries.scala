@@ -388,6 +388,45 @@ object TextDedupQueries {
              |FROM p GROUP BY doc_id, w, h, n
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- ISO-BMFF (MP4/MOV) container probe: a structurally-valid box
+    // tree is synthesized per document (brand/codec/dims/duration/samples
+    // are pure functions of doc_id), then walked back through the public
+    // 14496-12 framing — the q67 pattern's BMFF twin; a hash match proves
+    // byte-level box walking (ftyp/moov/trak/mdia/mdhd/hdlr/stsd/stsz),
+    // not just schema plumbing
+    Q("q180_bmff_probe",
+      (s, d) => {
+        val t = Tables(s, d)
+        val mk = udf((id: Long) => {
+          val codec = (id % 3) match {
+            case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
+          }
+          graft.multimodal.Bmff.encode(graft.multimodal.Bmff.Info("isom", 512L,
+            Seq(graft.multimodal.Bmff.Track("vide", codec,
+              (320 + 16 * (id % 8)).toInt, (240 + 16 * (id % 5)).toInt,
+              600L, 600L * (1 + id % 10), 24L + id % 100))))
+        })
+        val probe = udf((b: Array[Byte]) =>
+          graft.multimodal.Bmff.probe(b).flatMap(info =>
+            info.tracks.headOption.map(tr => (info.brand, tr.codec,
+              tr.width, tr.height, tr.duration * 1000L / tr.timescale,
+              tr.nSamples))))
+        t.documents.select(col("doc_id").cast("long").as("doc_id"))
+          .withColumn("p", probe(mk(col("doc_id"))))
+          .select(col("doc_id"), col("p._1").as("brand"), col("p._2").as("codec"),
+            col("p._3").as("width"), col("p._4").as("height"),
+            col("p._5").as("duration_ms"), col("p._6").as("n_samples"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'isom' AS brand,
+             |  CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+             |    ELSE 'vp09' END AS codec,
+             |  CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS width,
+             |  CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS height,
+             |  (600 * (1 + doc_id % 10) * 1000) // 600 AS duration_ms,
+             |  CAST(24 + doc_id % 100 AS BIGINT) AS n_samples
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- exact duplicated spans (suffix-array dedup, re-expressed as the
     //      word-n-gram inverted index + gaps-and-islands)
     Q("q70_dup_spans",

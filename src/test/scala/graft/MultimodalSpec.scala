@@ -323,4 +323,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)),
       s"only the two-shared-look pair must survive, got $pairs")
   }
+
+  test("bmff round-trip: multi-track probe recovers brand, codec, dims, timing") {
+    import graft.multimodal.Bmff
+    val info = Bmff.Info("mp42", 1L, Seq(
+      Bmff.Track("vide", "avc1", 1920, 1080, 90000L, 900000L, 240L),
+      Bmff.Track("soun", "mp4a", 0, 0, 48000L, 480000L, 469L)))
+    val got = Bmff.probe(Bmff.encode(info))
+    assert(got.contains(info), s"$got")
+  }
+
+  test("bmff probe handles 64-bit largesize boxes and v1 mdhd") {
+    import graft.multimodal.Bmff
+    val bytes = Bmff.encode(Bmff.Info("isom", 0L,
+      Seq(Bmff.Track("vide", "hev1", 640, 360, 600L, 6000L, 100L))))
+    // rewrite the top-level moov header to the size==1 + largesize form
+    val moovAt = {
+      var p = 0; var found = -1
+      while (found < 0 && p + 8 <= bytes.length) {
+        val sz = ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+          ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+        if (new String(bytes, p + 4, 4, "ISO-8859-1") == "moov") found = p
+        else p += sz.toInt
+      }
+      found
+    }
+    assert(moovAt > 0)
+    val moovSize = bytes.length - moovAt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, moovAt)
+    out.write(Array[Byte](0, 0, 0, 1))           // size == 1 marker
+    out.write("moov".getBytes("ISO-8859-1"))
+    val ls = moovSize + 8L                       // largesize includes itself
+    (7 to 0 by -1).foreach(i => out.write(((ls >> (8 * i)) & 0xff).toInt))
+    out.write(bytes, moovAt + 8, moovSize - 8)
+    val probed = Bmff.probe(out.toByteArray)
+    assert(probed.exists(_.tracks.map(_.codec) == Seq("hev1")), s"$probed")
+    // v1 mdhd: hand-build vf=1 layout (timescale at +20, duration 64-bit)
+    val mdhdV1 = {
+      val b = new java.io.ByteArrayOutputStream()
+      def be32(n: Long): Unit = (3 to 0 by -1).foreach(i =>
+        b.write(((n >> (8 * i)) & 0xff).toInt))
+      be32(44L); b.write("mdhd".getBytes("ISO-8859-1"))
+      b.write(1); b.write(new Array[Byte](3))    // version 1, flags
+      b.write(new Array[Byte](16))               // 64-bit ctime + mtime
+      be32(1000L)                                // timescale
+      be32(0L); be32(123456L)                    // 64-bit duration
+      b.write(new Array[Byte](4))                // language + pre_defined
+      b.toByteArray
+    }
+    assert(mdhdV1.length == 44)
+    // splice: minimal mdia{mdhd(v1), hdlr, minf{stbl{stsd,stsz}}} via encode
+    // of a track, then verify the v1 parse standalone through a tiny file
+    val hdlr = {
+      val b = new java.io.ByteArrayOutputStream()
+      def be32(n: Long): Unit = (3 to 0 by -1).foreach(i =>
+        b.write(((n >> (8 * i)) & 0xff).toInt))
+      be32(21L); b.write("hdlr".getBytes("ISO-8859-1"))
+      be32(0L); be32(0L); b.write("soun".getBytes("ISO-8859-1"))
+      b.write(new Array[Byte](1))
+      b.toByteArray
+    }
+    def boxOf(t: String, inner: Array[Byte]*): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val tot = 8 + inner.map(_.length).sum
+      (3 to 0 by -1).foreach(i => b.write(((tot >> (8 * i)) & 0xff).toInt))
+      b.write(t.getBytes("ISO-8859-1")); inner.foreach(b.write); b.toByteArray
+    }
+    val stsd = boxOf("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1),
+      boxOf("mp4a", new Array[Byte](8)))
+    val stsz = boxOf("stsz", new Array[Byte](8) ++ Array[Byte](0, 0, 0, 7))
+    val file = boxOf("ftyp", "isom".getBytes("ISO-8859-1"),
+        new Array[Byte](4)) ++
+      boxOf("moov", boxOf("trak", boxOf("mdia", mdhdV1, hdlr,
+        boxOf("minf", boxOf("stbl", stsd, stsz)))))
+    val p2 = Bmff.probe(file)
+    assert(p2.exists(_.tracks == Seq(
+      Bmff.Track("soun", "mp4a", 0, 0, 1000L, 123456L, 7L))), s"$p2")
+  }
+
+  test("bmff probe is crash-proof on garbage and truncation; None without ftyp") {
+    import graft.multimodal.Bmff
+    assert(Bmff.probe(Array.emptyByteArray).isEmpty)
+    assert(Bmff.probe("RIFF1234AVI LIST".getBytes("ISO-8859-1")).isEmpty)
+    val good = Bmff.encode(Bmff.Info("isom", 0L,
+      Seq(Bmff.Track("vide", "vp09", 320, 240, 600L, 600L, 24L))))
+    // truncating anywhere must never throw
+    Seq(4, 9, 17, good.length / 2, good.length - 3).foreach { cut =>
+      Bmff.probe(java.util.Arrays.copyOfRange(good, 0, cut)) // no exception
+    }
+    // a truncated moov loses the track but keeps the valid ftyp framing
+    val cut = Bmff.probe(java.util.Arrays.copyOfRange(good, 0, 24))
+    assert(cut.exists(i => i.brand == "isom" && i.tracks.isEmpty), s"$cut")
+  }
 }
