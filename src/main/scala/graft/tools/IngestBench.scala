@@ -68,7 +68,13 @@ object IngestBench {
       var at = n + batch
       while (at < grow.toLong * n) {
         val step = math.min(n, grow.toLong * n - at).toInt
+        // per-step wall at the current table size: each step is an
+        // n-record ingest, so a flat sequence here IS the
+        // batch-proportional-I/O evidence across the whole growth range
+        val t0 = System.nanoTime()
         r.ingest(mkBatch(at, step))
+        println(f"[soak] grow step ($step recs) at table=$at: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
         at += step
       }
     }

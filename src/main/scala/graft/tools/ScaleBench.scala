@@ -17,16 +17,28 @@ import org.apache.spark.sql.functions._
   * replica instead of widening — treat the slope as a lower bound on
   * dimension-side growth effects.
   *
-  * Usage: runMain graft.tools.ScaleBench [mult] [srcDir] [workDir] [keep]
-  * (`keep` retains the replicated dir — e.g. as the target of a full
-  * oracle-gate correctness run at ~sf1)
+  * Usage: runMain graft.tools.ScaleBench [mult] [srcDir] [workDir] [flags...]
+  * Flags: `keep` retains the replicated dir — e.g. as the target of a full
+  * oracle-gate correctness run at ~sf1. `wordsalt` switches the text
+  * replication to WORD-level salting (every word of a non-zero replica is
+  * suffixed with its replica tag, so every 3-gram shingle window changes
+  * and cross-replica shingle sharing drops to ZERO, while within-replica
+  * dup/near-dup structure is preserved bijectively) and perturbs replica
+  * embeddings by a per-replica cyclic dimension shift (an exact isometry
+  * within each replica — inner products preserved — while clone pairs
+  * across replicas decorrelate). Under `wordsalt` the shingle-join and
+  * near-dup-graph operators that the default every-4-words salting
+  * poisons (q107/q114/q115/q119/q123/q169/q174/q178, q72/q148/q149/q163)
+  * get REAL Nx slopes instead of the documented replication artifact.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(2).getOrElse("/tmp/graft-scalebench")
-    val keep = args.lift(3).contains("keep")
+    val flags = args.drop(3).toSet
+    val keep = flags("keep")
+    val wordSalt = flags("wordsalt")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.benchSession("graft-scalebench")
 
@@ -82,11 +94,31 @@ object ScaleBench {
       .withColumn("text", udf { (text: String, docId: Long) =>
         val rep = docId / docSpan
         if (rep == 0L) text
+        else if (wordSalt)
+          // suffix EVERY word: no 3-gram window survives across replicas
+          // (zero cross-replica shingle sharing); within a replica the
+          // transformation is a bijection on shingle sets, so dup groups
+          // and jaccard values are preserved exactly
+          text.split(" ").map(w => s"$w~r$rep").mkString(" ")
         else text.split(" ").grouped(4)
           .map(g => (g :+ s"rep$rep").mkString(" ")).mkString(" ")
       }.apply(col("text"), col("doc_id"))), "documents")
-    write(replicate(read("embeddings"),
-      Map("vec_id" -> (maxOf("embeddings", "vec_id") + 1L))), "embeddings")
+    val embSpan = maxOf("embeddings", "vec_id") + 1L
+    val embRep = replicate(read("embeddings"), Map("vec_id" -> embSpan))
+    write(
+      if (!wordSalt) embRep
+      else embRep.withColumn("embedding",
+        udf { (v: Seq[Float], vecId: Long) =>
+          // cyclic dimension shift per replica: an exact isometry within
+          // the replica (all inner products preserved), while each clone
+          // pair across replicas decorrelates like random vectors
+          val rep = (vecId / embSpan).toInt
+          if (rep == 0 || v == null || v.isEmpty) v
+          else {
+            val s = (rep * 13) % v.length
+            v.drop(s) ++ v.take(s)
+          }
+        }.apply(col("embedding"), col("vec_id"))), "embeddings")
     // events replicate by shifting BOTH id domains: 10x users over the same
     // time range (per-user event spans unchanged — the realistic growth for
     // user-keyed session/window operators). ts goes through Tables.events'
@@ -144,33 +176,36 @@ object ScaleBench {
       "q166_weight_ess", "q167_langid_confusion", "q168_psi_drift",
       "q170_power_iteration", "q171_mann_whitney",
       "q172_autocorrelation", "q173_gini_length", "q175_cramers_v",
-      "q176_rbo_vocab", "q177_js_divergence") ++
-      // unperturbed embedding replication makes the near-dup graph (and
-      // everything over it) grow quadratically in mult — replication
-      // artifact, not an operator property; see the q72 note above
-      (if (mult <= 10) Seq("q72_semdedup", "q148_triangle_census",
-        "q149_pagerank", "q163_modularity") else Nil)
-    // q114/q115 (t=0.5 prefix joins) run at 1x ONLY: the salted replication
-    // shares ~40% of shingles verbatim across replicas, and at the loose
-    // threshold the candidate volume is the q107 artifact magnified
-    // (BENCH_sf1 comment) — their ~sf1 correctness is still pinned by the
-    // full oracle gate on the kept dir. q123 joins them: the per-replica
-    // "repN" salt token lands in EVERY doc of a replica (df ≈ docs/mult,
-    // mid-range idf), so the token inverted index gains a dense topical-glue
-    // term per replica — a replication artifact, not an operator property.
-    val extras1x = extras ++
-      Seq("q169_lsh_recall", // exact-join side inherits the q107 artifact
-        "q174_dedup_agreement", // near side = the same exact join
-        "q114_dedup_threshold_sweep", "q115_cross_source_dups",
-        "q123_cosine_pairs")
+      "q176_rbo_vocab", "q177_js_divergence", "q179_psi_smoothed",
+      "q180_bmff_probe")
+    // near-dup-graph queries: unperturbed embedding replication makes the
+    // graph (and everything over it) grow quadratically in mult — under
+    // `wordsalt` the cyclic-shift perturbation removes the artifact and
+    // they get real Nx slopes at any mult
+    val graphGated = Seq("q72_semdedup", "q148_triangle_census",
+      "q149_pagerank", "q163_modularity")
+    // shingle-join queries: the default every-4-words salting shares ~40%
+    // of shingles verbatim across replicas, so t=0.5 prefix joins and the
+    // exact recall-audit arm see the q107 artifact magnified; q123 joins
+    // them because the per-replica "repN" token lands in EVERY doc of a
+    // replica (dense topical-glue term). Under `wordsalt` no shingle
+    // crosses replicas — all of them get real Nx slopes.
+    val textGated = Seq("q169_lsh_recall", "q174_dedup_agreement",
+      "q178_lsh_recall_sampled", "q114_dedup_threshold_sweep",
+      "q115_cross_source_dups", "q123_cosine_pairs")
+    val extrasNx = extras ++
+      (if (wordSalt) graphGated ++ textGated
+       else if (mult <= 10) graphGated else Nil)
+    val extras1x = extras ++ graphGated ++ textGated
+    val mode = if (wordSalt) " wordsalt" else ""
     println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
       s"1x($src) extras"))
     spark.catalog.clearCache() // q62/q64 persist per-dir token frames
 
     println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
-      s"${mult}x($src)"))
-    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extras),
-      s"${mult}x($src) extras"))
+      s"${mult}x($src)$mode"))
+    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extrasNx),
+      s"${mult}x($src)$mode extras"))
     spark.catalog.clearCache()
     if (!keep) fs.delete(new Path(work), true)
     spark.stop()
