@@ -427,6 +427,33 @@ object TextDedupQueries {
              |  CAST(24 + doc_id % 100 AS BIGINT) AS n_samples
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- edit-distance-bounded join over short keys (FastSS deletion
+    // neighborhoods): lossless candidate equi-join on <=1-deletion
+    // variants + one exact levenshtein verify per candidate — the typo
+    // matcher shingle-jaccard misses on short strings
+    Q("q181_edit_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val keyed = t.documents.filter(col("text").isNotNull &&
+            length(col("text")) > 0)
+          .select(col("doc_id"), lower(substring(col("text"), 1, 12)).as("k"))
+        graft.dedup.EditDistance.deletionNeighborhoodJoin(keyed, "doc_id",
+            "k", maxDist = 1)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH b AS (SELECT doc_id AS id, lower(substr(text, 1, 12)) AS s
+             |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+             |v AS (SELECT id, s, unnest(list_distinct(list_concat([s],
+             |    list_transform(range(1, len(s) + 1),
+             |      i -> substr(s, 1, CAST(i - 1 AS INT))
+             |        || substr(s, CAST(i + 1 AS INT)))))) AS v
+             |  FROM b),
+             |p AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+             |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id)
+             |SELECT id1, id2, s1, s2, CAST(levenshtein(s1, s2) AS INTEGER) AS dist
+             |FROM p WHERE levenshtein(s1, s2) <= 1
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ---- exact duplicated spans (suffix-array dedup, re-expressed as the
     //      word-n-gram inverted index + gaps-and-islands)
     Q("q70_dup_spans",

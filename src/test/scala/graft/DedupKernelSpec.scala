@@ -273,4 +273,41 @@ class DedupKernelSpec extends AnyFunSuite {
           s"missing=${(plain -- chunked).take(3)} extra=${(chunked -- plain).take(3)}")
     }
   }
+
+  test("deletionNeighborhoodJoin finds exactly the <=d pairs (vs brute force)") {
+    import spark.implicits._
+    import graft.dedup.EditDistance
+    val rows = Seq(
+      (1L, "spark"), (2L, "sparc"),   // sub, d=1
+      (3L, "spak"),                   // del from spark, d=1
+      (4L, "sparks"),                 // ins, d=1
+      (5L, "hadoop"), (6L, "hadop"),  // d=1
+      (7L, "flink"), (8L, ""),        // empty excluded
+      (9L, "spray"))                  // d=2 from spark
+    val df = rows.toDF("id", "s")
+    def brute(d: Int): Set[(Long, Long)] = {
+      def lev(a: String, b: String): Int = {
+        val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      (for {
+        (i1, s1) <- rows; (i2, s2) <- rows
+        if i1 < i2 && s1.nonEmpty && s2.nonEmpty && lev(s1, s2) <= d
+      } yield (i1, i2)).toSet
+    }
+    Seq(1, 2).foreach { d =>
+      val got = EditDistance.deletionNeighborhoodJoin(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(d), s"d=$d: $got vs ${brute(d)}")
+    }
+    // maxDf cap: a variant shared by too many rows generates no candidates
+    val many = (1L to 20L).map(i => (i, "same")) :+ (100L, "samey")
+    val capped = EditDistance.deletionNeighborhoodJoin(
+      many.toDF("id", "s"), "id", "s", 1, maxDf = Some(5L))
+    assert(capped.count() == 0L, "all variants above cap must yield no pairs")
+  }
 }
