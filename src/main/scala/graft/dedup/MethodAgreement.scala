@@ -58,4 +58,43 @@ object MethodAgreement {
       .unionAll(rowOf("exact", "normalized", "b1", "e1", "a1"))
       .unionAll(rowOf("normalized", "near", "b3", "e3", "a3"))
   }
+
+  /** B³ (B-cubed, Bagga & Baldwin 1998) precision/recall/F1 of a PREDICTED
+    * clustering against a GOLD clustering — the standard extrinsic dedup-
+    * cluster quality number (unlike pair-counting Rand/Jaccard it weights
+    * every ITEM equally, so one giant over-merged cluster can't hide
+    * behind many correct small ones). Per item i with predicted cluster P
+    * and gold cluster G: precision_i = |P ∩ G| / |P|, recall_i = |P ∩ G| /
+    * |G|; B³P/B³R are the item means, F1 their harmonic mean.
+    *
+    * Exact integers with the q64 convention: per-item precision quantizes
+    * as `c·10⁶ div sp` (c = the item's (pred, gold) cell size), every item
+    * of a cell shares it, so the item sum is `Σ_cells c·(c·10⁶ div sp)` —
+    * one (pred × gold) partial-agg'd cell count feeds everything, and the
+    * means divide once at the end. No per-item state anywhere.
+    *
+    * Scale: cluster-size frames are cluster-cardinality-sized (can be
+    * corpus-order), so they join the cell frame by KEY — partial-agg'd
+    * shuffle joins, deliberately NOT broadcast.
+    */
+  def bcubed(df: DataFrame, predCol: org.apache.spark.sql.Column,
+      goldCol: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(predCol.cast("string").as("_p"),
+        goldCol.cast("string").as("_g"))
+      .groupBy(col("_p"), col("_g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sp = cells.groupBy(col("_p")).agg(sum(col("c")).as("sp"))
+    val sg = cells.groupBy(col("_g")).agg(sum(col("c")).as("sg"))
+    cells.join(sp, "_p").join(sg, "_g")
+      .agg(sum(col("c")).as("n_items"),
+        sum(expr("c * (c * 1000000 div sp)")).as("_tp"),
+        sum(expr("c * (c * 1000000 div sg)")).as("_tr"))
+      .select(col("n_items"),
+        expr("_tp div n_items").as("b3p_ppm"),
+        expr("_tr div n_items").as("b3r_ppm"),
+        expr("""CASE WHEN (_tp div n_items) + (_tr div n_items) > 0 THEN
+               |  (2 * (_tp div n_items) * (_tr div n_items))
+               |    div ((_tp div n_items) + (_tr div n_items)) END"""
+          .stripMargin).as("b3f_ppm"))
+  }
 }

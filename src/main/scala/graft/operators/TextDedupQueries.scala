@@ -454,6 +454,35 @@ object TextDedupQueries {
              |FROM p WHERE levenshtein(s1, s2) <= 1
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ---- B-cubed precision/recall of the normalized-hash clustering
+    // scored against raw-hash gold: the standard extrinsic cluster-eval
+    // number over the same two groupings q121/q174 compare setwise
+    Q("q182_bcubed",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.MethodAgreement.bcubed(
+            t.documents.select(
+              md5(graft.dedup.Normalize.normalizeText(col("text"))).as("p"),
+              md5(col("text")).as("g")),
+            col("p"), col("g"))
+          .orderBy(col("n_items"))
+      },
+      Some(s"""WITH b AS (SELECT md5(${graft.dedup.Normalize.normalizeSql("text")}) AS p,
+              |    md5(text) AS g FROM documents),
+              |cells AS (SELECT p, g, CAST(count(*) AS BIGINT) AS c
+              |  FROM b GROUP BY 1, 2),
+              |sp AS (SELECT p, CAST(sum(c) AS BIGINT) AS sp FROM cells GROUP BY p),
+              |sg AS (SELECT g, CAST(sum(c) AS BIGINT) AS sg FROM cells GROUP BY g),
+              |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_items,
+              |    CAST(sum(c * (c * 1000000 // sp.sp)) AS BIGINT) AS tp,
+              |    CAST(sum(c * (c * 1000000 // sg.sg)) AS BIGINT) AS tr
+              |  FROM cells JOIN sp USING (p) JOIN sg USING (g))
+              |SELECT n_items, tp // n_items AS b3p_ppm, tr // n_items AS b3r_ppm,
+              |  CASE WHEN (tp // n_items) + (tr // n_items) > 0 THEN
+              |    (2 * (tp // n_items) * (tr // n_items))
+              |      // ((tp // n_items) + (tr // n_items)) END AS b3f_ppm
+              |FROM a ORDER BY n_items""".stripMargin)),
+
     // ---- exact duplicated spans (suffix-array dedup, re-expressed as the
     //      word-n-gram inverted index + gaps-and-islands)
     Q("q70_dup_spans",

@@ -192,7 +192,10 @@ object ScaleBench {
     // crosses replicas — all of them get real Nx slopes.
     val textGated = Seq("q169_lsh_recall", "q174_dedup_agreement",
       "q178_lsh_recall_sampled", "q114_dedup_threshold_sweep",
-      "q115_cross_source_dups", "q123_cosine_pairs")
+      "q115_cross_source_dups", "q123_cosine_pairs",
+      // default replication leaves every replica's 12-char prefix
+      // verbatim -> quadratic identical-key pairs; wordsalt perturbs it
+      "q181_edit_join")
     val extrasNx = extras ++
       (if (wordSalt) graphGated ++ textGated
        else if (mult <= 10) graphGated else Nil)

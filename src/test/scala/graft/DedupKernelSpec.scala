@@ -310,4 +310,24 @@ class DedupKernelSpec extends AnyFunSuite {
       many.toDF("id", "s"), "id", "s", 1, maxDf = Some(5L))
     assert(capped.count() == 0L, "all variants above cap must yield no pairs")
   }
+
+  test("bcubed matches the hand-computed textbook example; identity → 1e6") {
+    import spark.implicits._
+    import graft.dedup.MethodAgreement
+    // gold {1,2,3},{4,5},{6}; pred {1,2},{3,4,5},{6}
+    val df = Seq((1, "p1", "gA"), (2, "p1", "gA"), (3, "p2", "gA"),
+      (4, "p2", "gB"), (5, "p2", "gB"), (6, "p3", "gC"))
+      .toDF("id", "p", "g")
+    val r = MethodAgreement.bcubed(df, col("p"), col("g")).collect().head
+    // item precisions: 1,1,1/3,2/3,2/3,1 -> mean 7/9; recalls mirror here
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 777777L, r.toString)
+    assert(r.getLong(2) == 777777L, r.toString)
+    assert(r.getLong(3) == 777777L, r.toString)
+    val perfect = MethodAgreement.bcubed(
+      df.select(col("id"), col("g").as("p"), col("g")), col("p"), col("g"))
+      .collect().head
+    assert(perfect.getLong(1) == 1000000L && perfect.getLong(2) == 1000000L &&
+      perfect.getLong(3) == 1000000L, perfect.toString)
+  }
 }
