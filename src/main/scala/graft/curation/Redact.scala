@@ -46,4 +46,34 @@ object Redact {
     }
     df.select(cols.toSeq: _*)
   }
+
+  /** Free-text PII patterns: (type, regex, replacement). Restricted to the
+    * construct subset where Java regex and RE2 agree exactly (explicit
+    * classes, bounded counts, `\b`/`\d` ASCII semantics, leftmost-greedy
+    * on unambiguous shapes — no backrefs, no lookaround): the same pattern
+    * string runs verbatim in Spark and the DuckDB oracle.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{1,3} \\d{3} \\d{4}", "[PHONE]"))
+
+  /** Per-row PII match counts over free text — the Dolma/CCNet-style
+    * pre-training scrubbing audit: adds one `n_<type>` column per
+    * [[PiiPatterns]] entry. Pure codegen'd per-row regex, no shuffle.
+    */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(df) { case (d, (name, re, _)) =>
+      // typed-lit pattern (a SQL-string literal would eat the backslashes)
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"))
+    }
+
+  /** Scrub every PII match to its typed placeholder — the redaction pass
+    * itself, same patterns, same engine-parity contract.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl) // placeholders carry no $/\ specials
+    }
 }

@@ -135,6 +135,39 @@ object CurationQueries {
              |  c_mktsegment
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ---- free-text PII scan + scrub: engine-portable regexes (email/
+    // ipv4/phone) counted and redacted over per-doc synthesized PII; the
+    // scrub md5 pins cross-engine regex semantics, not just counts
+    Q("q183_pii_scan",
+      (s, d) => {
+        val t = Tables(s, d)
+        val synth = t.documents.select(col("doc_id"),
+          concat(col("text"), lit(" reach u"), col("doc_id").cast("string"),
+            lit("@mail-example.org or 10.1."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 tel +1 555 0199 x"),
+            col("doc_id").cast("string")).as("t2"))
+        Redact.piiCounts(synth, "t2")
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+            md5(Redact.scrubPii(col("t2"))).as("scrub_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val Seq(em, ip, ph) = Redact.PiiPatterns.map(_._2)
+        s"""WITH s AS (SELECT doc_id,
+           |    text || ' reach u' || doc_id || '@mail-example.org or 10.1.'
+           |      || (doc_id % 256) || '.7 tel +1 555 0199 x' || doc_id AS t2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t2, '$em')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phone,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+           |    '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+           |    '$ph', '[PHONE]', 'g')) AS scrub_md5
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- BM25 keyword relevance for a fixed seed-term set: scalar tf
     // columns + ONE 1-row corpus aggregate broadcast back — no corpus shuffle
     Q("q46_bm25",

@@ -392,4 +392,24 @@ class CurationSpec extends AnyFunSuite {
     val de = got.filter(_.getString(1) == "de")
     assert(de.map(_.getAs[Int]("bucket")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("piiCounts/scrubPii: counts per type and typed placeholders") {
+    import spark.implicits._
+    import graft.curation.Redact
+    val df = Seq(
+      (1L, "mail a.b-c@foo.example.com and x@y.io, host 192.168.0.1 call +44 123 4567"),
+      (2L, "no pii here, just words and 3.14 and 1.2.3 (three octets only)"),
+      (3L, "")).toDF("id", "t")
+    val got = Redact.piiCounts(df, "t")
+      .select(col("id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        Redact.scrubPii(col("t")).as("s"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 1L, got.toString)
+    assert(got(1L)._4 ==
+      "mail [EMAIL] and [EMAIL], host [IP] call [PHONE]", got(1L)._4)
+    assert(got(2L) == ((0L, 0L, 0L,
+      "no pii here, just words and 3.14 and 1.2.3 (three octets only)")))
+    assert(got(3L) == ((0L, 0L, 0L, "")))
+  }
 }
