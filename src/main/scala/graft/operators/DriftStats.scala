@@ -57,6 +57,49 @@ object DriftStats {
           "(CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)").as("ks_ppm"))
   }
 
+  /** Wasserstein-1 (earth mover's) distance per slice vs the rest of the
+    * corpus — the integrated-shift drift metric in the VALUE's own units
+    * (a 50-char median length shift reads as ~50), complementing KS
+    * (max-point, unit-free) and PSI (binned, density-ratio): for 1-D
+    * distributions W₁ = ∫ |F_s(v) − F_rest(v)| dv, which over the bounded
+    * distinct-value grid is the exact integer sum
+    * `Σ_i |cum_s·n_rest − cum_rest·n_s| · (v_{i+1} − v_i)` divided by
+    * `n_s·n_rest`, reported in milli value-units. Same ONE partial-agg'd
+    * (source × value) grid and n_rest > 0 guard as [[ksDriftBySource]];
+    * the gap factor comes from a lead() on the tiny grid.
+    */
+  def wasserstein1BySource(df: DataFrame, valueCol: Column,
+      sourceCol: String): DataFrame = {
+    val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
+    val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val values = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(Window.orderBy(col("v"))))
+      .withColumn("gap",
+        lead(col("v"), 1).over(Window.orderBy(col("v"))) - col("v"))
+      .select(col("v"), col("cum_all"), col("gap"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    totals.crossJoin(broadcast(values))
+      .join(counts, Seq("src", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy(col("src")).orderBy(col("v"))))
+      .crossJoin(broadcast(nAll))
+      .filter(col("gap").isNotNull) // last grid point spans no interval
+      .select(col("src"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
+        (abs(expr("CAST(cum_src AS DECIMAL(38,0)) * (n_all - n_src) " +
+          "- CAST(cum_all - cum_src AS DECIMAL(38,0)) * n_src")) *
+          col("gap")).as("_t"))
+      .groupBy(col("src"))
+      .agg(max(col("n_src")).as("n_src"), max(col("n_rest")).as("n_rest"),
+        sum(col("_t")).as("_w"))
+      .filter(col("n_rest") > 0)
+      .select(col("src"), col("n_src"), col("n_rest"),
+        expr("CAST((_w * 1000) div " +
+          "(CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)").as("w1_milli"))
+  }
+
   /** Population Stability Index per slice against the whole corpus — the
     * scorecard-monitoring drift number (rule of thumb: < 0.1 stable,
     * > 0.25 act), complementary to KS (which keys on the single worst

@@ -447,6 +447,43 @@ object ScreeningQueries {
              |FROM terms GROUP BY src
              |ORDER BY src""".stripMargin)),
 
+    // ---- Wasserstein-1 drift per source vs the rest: integrated ECDF
+    // gap in value units over the bounded grid (KS integrates the max
+    // point; this integrates the whole shift, unbinned)
+    Q("q184_emd_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        DriftStats.wasserstein1BySource(t.documents, col("n_chars"), "source")
+          .orderBy(col("src"))
+      },
+      Some("""WITH base AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY src, v),
+             |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY v),
+             |valc AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all,
+             |    lead(v) OVER (ORDER BY v) - v AS gap
+             |  FROM vals),
+             |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src
+             |  FROM counts GROUP BY src),
+             |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+             |grid AS (SELECT t.src, t.n_src, vc.v, vc.cum_all, vc.gap,
+             |    coalesce(c.c, 0) AS c
+             |  FROM tot t CROSS JOIN valc vc
+             |  LEFT JOIN counts c ON c.src = t.src AND c.v = vc.v),
+             |cum AS (SELECT src, n_src, v, cum_all, gap,
+             |    CAST(sum(c) OVER (PARTITION BY src ORDER BY v) AS BIGINT) AS cum_src
+             |  FROM grid),
+             |dd AS (SELECT src, n_src, na.n_all - n_src AS n_rest,
+             |    abs(CAST(cum_src AS HUGEINT) * (na.n_all - n_src)
+             |      - CAST(cum_all - cum_src AS HUGEINT) * n_src) * gap AS t
+             |  FROM cum, na WHERE gap IS NOT NULL)
+             |SELECT src, n_src, n_rest,
+             |  CAST((sum(t) * 1000) // (CAST(n_src AS HUGEINT) * n_rest)
+             |    AS BIGINT) AS w1_milli
+             |FROM dd WHERE n_rest > 0 GROUP BY src, n_src, n_rest
+             |ORDER BY src""".stripMargin)),
+
     // ---- classical eps-smoothed PSI beside q168's exact empty-bin-skip
     // contract: dense slice x bin grid, zero-mass bins contribute
     // (eps - q)*ln(eps/q); the exact variant never changes

@@ -263,6 +263,19 @@ class PlanSpec extends AnyFunSuite {
         s"more than once:\n$p")
   }
 
+  test("q181 edit join: candidates from the variant equi-join, never all pairs") {
+    val p = plan("q181_edit_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on deletion variants:\n" + p)
+  }
+
+  test("q182 b-cubed: cluster-size joins partial-agg, no broadcast of cluster dims") {
+    val p = plan("q182_bcubed")
+    assert(p.contains("partial_"), "cell counts must partial-agg:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q68 tf-idf top-k is a bounded aggregate, not a global window") {
     val p = plan("q68_tfidf_topk")
     assert(!p.contains("Window"), "top-k must not window the vocabulary:\n" + p)

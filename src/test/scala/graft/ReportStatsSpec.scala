@@ -36,6 +36,25 @@ class ReportStatsSpec extends AnyFunSuite {
     assert(got("c") == 1000000L)
   }
 
+  test("wasserstein1: constant shift reads in value units; identical → 0") {
+    import spark.implicits._
+    // a: 20 values at v; b: the same shape shifted by +7 → W1(a vs b) = 7
+    val df = (Seq.tabulate(20)(i => ("a", i % 5)) ++
+      Seq.tabulate(20)(i => ("b", (i % 5) + 7))).toDF("src", "v")
+    val got = DriftStats.wasserstein1BySource(df, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got("a") == 7000L && got("b") == 7000L, got.toString)
+    val twin = (Seq.tabulate(20)(i => ("x", i % 5)) ++
+      Seq.tabulate(20)(i => ("y", i % 5))).toDF("src", "v")
+    val g2 = DriftStats.wasserstein1BySource(twin, col("v"), "src")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(g2("x") == 0L && g2("y") == 0L, g2.toString)
+    // single source → empty (n_rest guard)
+    assert(DriftStats.wasserstein1BySource(
+      Seq.tabulate(5)(i => ("only", i)).toDF("src", "v"), col("v"), "src")
+      .count() == 0L)
+  }
+
   test("ksDrift: single-source corpus has no 'rest' → empty, not div-by-zero") {
     import spark.implicits._
     val df = Seq.tabulate(10)(i => ("only", i)).toDF("src", "v")
