@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Capacity-planning operators for laying a 100 TB corpus onto compute:
+  * deterministic shard packing and token-budget allocation. Both collapse
+  * the corpus to a per-group weight frame in ONE partial-agg'd groupBy and
+  * run their (bounded, group-cardinality-sized) planning arithmetic as
+  * window functions over that tiny frame — no driver loop, no iteration,
+  * exact integers end to end.
+  */
+object CapacityPlan {
+
+  /** Serpentine (boustrophedon) shard packing: groups ranked by total
+    * weight descending are dealt into `nShards` bins in a zigzag
+    * (1..n, n..1, 1..n, …), the classical deterministic approximation of
+    * longest-processing-time bin packing that needs ONE rank — no greedy
+    * state, so it stays a window function (LPT's "least-loaded bin" needs
+    * a sequential fold; serpentine is within a few percent on heavy-tailed
+    * corpus weights and is engine-reproducible).
+    *
+    * Output: (grp, w, shard) plus each shard's total and its imbalance vs
+    * the ideal `total/nShards` in ppm — the number a scheduler actually
+    * checks before committing the layout.
+    */
+  def serpentinePack(df: DataFrame, groupCol: String, weightCol: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val weights = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(weightCol).as("w"))
+    val ranked = weights.withColumn("_r",
+      row_number().over(Window.orderBy(col("w").desc, col("grp"))) - 1)
+    val assigned = ranked.select(col("grp"), col("w"),
+      expr(s"""CASE WHEN (_r div $nShards) % 2 = 0 THEN _r % $nShards
+              |ELSE $nShards - 1 - (_r % $nShards) END""".stripMargin)
+        .cast("int").as("shard"))
+    val loads = assigned.groupBy(col("shard"))
+      .agg(sum(col("w")).as("shard_w"))
+    val total = loads.agg(sum(col("shard_w")).as("_tw"))
+    assigned.join(broadcast(loads), "shard")
+      .crossJoin(broadcast(total))
+      .select(col("grp"), col("w"), col("shard"), col("shard_w"),
+        // imbalance of THIS group's shard vs the ideal equal split
+        expr(s"(shard_w * $nShards * 1000000) div _tw - 1000000")
+          .as("imbalance_ppm"))
+  }
+
+  /** Water-filling token-budget allocation: give every group an equal
+    * share of `budget`, capped at the group's own capacity — the standard
+    * training-mixture primitive ("N tokens total, no source beyond its
+    * cap"). With caps c sorted ascending and prefix sums P, a group is
+    * FULLY FUNDED iff `c_i·(n−i+1) + P_{i−1} <= budget` (funding it fully
+    * still leaves an equal share for everyone after it); the water level
+    * is `λ = (budget − P_k) div (n−k)` at the funded/unfunded boundary k,
+    * and every unfunded group gets exactly λ. All exact integers — the
+    * ≤ n-token division remainder stays unallocated (documented).
+    *
+    * Output: (grp, cap, alloc, funded) — Σ alloc = min(budget, Σ cap) −
+    * remainder. One bounded window, no iteration.
+    */
+  def waterfill(df: DataFrame, groupCol: String, capCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val caps = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(capCol).as("cap"))
+    val w = Window.orderBy(col("cap"), col("grp"))
+    val ranked = caps
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_p", sum(col("cap")).over(w)) // prefix INCLUDING self
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("funded",
+        expr(s"cap * (_n - _i + 1) + (_p - cap) <= $budget"))
+    // water level from the funded prefix: λ = (budget − P_k) div (n − k);
+    // when everything is funded the level is irrelevant (alloc = cap)
+    val level = ranked.agg(
+        max(when(col("funded"), col("_i"))).as("_k"),
+        max(when(col("funded"), col("_p"))).as("_pk"),
+        max(col("_n")).as("_nn"))
+      .select(expr(s"""CASE WHEN _k IS NULL THEN $budget div _nn
+                      |WHEN _k = _nn THEN NULL
+                      |ELSE ($budget - _pk) div (_nn - _k) END"""
+        .stripMargin).as("_lambda"))
+    ranked.crossJoin(broadcast(level))
+      .select(col("grp"), col("cap"),
+        when(col("funded") || col("_lambda").isNull, col("cap"))
+          .otherwise(col("_lambda")).as("alloc"),
+        col("funded"))
+  }
+}

@@ -271,7 +271,59 @@ object PipelineQueries {
              |  epoch_us(least(a.end_ts, b.end_ts)) - epoch_us(greatest(a.start_ts, b.start_ts)) AS overlap_us
              |FROM iv a JOIN iv b
              |  ON a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts AND a.sid < b.sid
-             |ORDER BY id1, id2""".stripMargin))
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- serpentine shard packing: groups ranked by weight dealt into
+    // shards in a zigzag — the deterministic one-rank LPT approximation,
+    // with per-shard imbalance vs the ideal split
+    Q("q185_shard_pack",
+      (s, d) => {
+        val t = Tables(s, d)
+        CapacityPlan.serpentinePack(t.documents, "source", col("n_chars"),
+            nShards = 4)
+          .orderBy(col("grp"))
+      },
+      Some("""WITH wts AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             |r AS (SELECT grp, w,
+             |    row_number() OVER (ORDER BY w DESC, grp) - 1 AS r FROM wts),
+             |a AS (SELECT grp, w, CAST(CASE WHEN (r // 4) % 2 = 0 THEN r % 4
+             |    ELSE 4 - 1 - (r % 4) END AS INTEGER) AS shard FROM r),
+             |l AS (SELECT shard, CAST(sum(w) AS BIGINT) AS shard_w
+             |  FROM a GROUP BY shard),
+             |t AS (SELECT CAST(sum(shard_w) AS BIGINT) AS tw FROM l)
+             |SELECT grp, w, shard, shard_w,
+             |  (shard_w * 4 * 1000000) // tw - 1000000 AS imbalance_ppm
+             |FROM a JOIN l USING (shard), t ORDER BY grp""".stripMargin)),
+
+    // ---- water-filling token-budget allocation: equal share capped at
+    // each group's capacity, water level from one bounded window
+    Q("q186_waterfill",
+      (s, d) => {
+        val t = Tables(s, d)
+        CapacityPlan.waterfill(t.documents, "source", col("n_chars"),
+            budget = 100000L)
+          .orderBy(col("grp"))
+      },
+      Some("""WITH caps AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS cap
+             |  FROM documents GROUP BY source),
+             |r AS (SELECT grp, cap,
+             |    CAST(row_number() OVER (ORDER BY cap, grp) AS BIGINT) AS i,
+             |    CAST(sum(cap) OVER (ORDER BY cap, grp) AS BIGINT) AS p,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM caps),
+             |f AS (SELECT grp, cap, i, p, n,
+             |    cap * (n - i + 1) + (p - cap) <= 100000 AS funded FROM r),
+             |lv AS (SELECT CASE
+             |    WHEN max(CASE WHEN funded THEN i END) IS NULL THEN 100000 // max(n)
+             |    WHEN max(CASE WHEN funded THEN i END) = max(n) THEN NULL
+             |    ELSE (100000 - max(CASE WHEN funded THEN p END))
+             |      // (max(n) - max(CASE WHEN funded THEN i END)) END AS lambda
+             |  FROM f)
+             |SELECT grp, cap,
+             |  CASE WHEN funded OR lambda IS NULL THEN cap ELSE lambda END AS alloc,
+             |  funded
+             |FROM f, lv ORDER BY grp""".stripMargin))
   )
 }
 

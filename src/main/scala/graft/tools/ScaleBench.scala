@@ -177,7 +177,8 @@ object ScaleBench {
       "q170_power_iteration", "q171_mann_whitney",
       "q172_autocorrelation", "q173_gini_length", "q175_cramers_v",
       "q176_rbo_vocab", "q177_js_divergence", "q179_psi_smoothed",
-      "q180_bmff_probe", "q182_bcubed", "q183_pii_scan", "q184_emd_drift")
+      "q180_bmff_probe", "q182_bcubed", "q183_pii_scan", "q184_emd_drift",
+      "q185_shard_pack", "q186_waterfill")
     // near-dup-graph queries: unperturbed embedding replication makes the
     // graph (and everything over it) grow quadratically in mult — under
     // `wordsalt` the cyclic-shift perturbation removes the artifact and
