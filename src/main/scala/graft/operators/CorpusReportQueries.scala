@@ -74,6 +74,48 @@ object CorpusReportQueries {
              |FROM g JOIN o USING (gram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- APSS with the ABSOLUTE df cap — the production scale path: a
+    // RELATIVE (corpus-fraction) cap under-protects a corpus that is a
+    // union of disjoint slices (a per-language stopword sits below a
+    // global 20% cap, so that language's docs pair all-vs-all — the q123
+    // 195x wordsalt-ScaleBench find); an absolute cap bounds candidate
+    // volume at maxDf² per token REGARDLESS of corpus composition
+    Q("q187_cosine_pairs_capped",
+      (s, d) => {
+        val t = Tables(s, d)
+        TfIdf.cosinePairs(t.documents, "doc_id", "text",
+            t2Ppm = 250000L, maxDf = Some(100L))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |        FROM documents)
+             |  WHERE token <> '' GROUP BY doc_id, token),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+             |dfs AS (SELECT token, df FROM
+             |  (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+             |   GROUP BY token)
+             |  WHERE df <= 100),
+             |w AS (SELECT doc_id, token,
+             |    tf * CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e3)
+             |      AS BIGINT) AS w
+             |  FROM tf JOIN dfs USING (token), nd),
+             |w2 AS (SELECT * FROM w WHERE w > 0),
+             |norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS ss FROM w2
+             |  GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(sum(a.w*b.w) AS BIGINT) AS num
+             |  FROM w2 a JOIN w2 b ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b, num,
+             |    CAST((CAST(num AS HUGEINT) * num * 1000000)
+             |      // (CAST(sa.ss AS HUGEINT) * sb.ss) AS BIGINT) AS cos2_ppm
+             |  FROM p JOIN norms sa ON sa.doc_id = id_a
+             |  JOIN norms sb ON sb.doc_id = id_b)
+             |SELECT id_a, id_b, num, cos2_ppm FROM sc
+             |WHERE cos2_ppm >= 250000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- all-pairs TF-IDF cosine (APSS): weighted topical similarity from
     // the shared-term inverted index; maxDf caps the boilerplate tail (the
     // oracle applies the SAME cap, so the gate pins the capped path exactly)

@@ -276,6 +276,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q183 pii scan is pure per-row work: no exchange anywhere") {
+    val p = plan("q183_pii_scan")
+    assert(!p.contains("Exchange"),
+      "regex count/scrub must stay a per-row projection:\n" + p)
+  }
+
+  test("q184/q185/q186 collapse the corpus in one partial agg before windows") {
+    Seq("q184_emd_drift", "q185_shard_pack", "q186_waterfill").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: corpus reduce must partial-agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q68 tf-idf top-k is a bounded aggregate, not a global window") {
     val p = plan("q68_tfidf_topk")
     assert(!p.contains("Window"), "top-k must not window the vocabulary:\n" + p)
