@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ClusterQueries, CorpusAuditQueries, CorpusReportQueries, CqlQueries, CurationQueries, EventAnalyticsQueries, FunctionQueries, PipelineQueries, Q, Relational, SamplingQueries, ScreeningQueries, TextDedupQueries}
+import graft.operators.{ClusterQueries, CorpusAuditQueries, CorpusReportQueries, CqlQueries, CurationQueries, EventAnalyticsQueries, FunctionQueries, LabelQualityQueries, PipelineQueries, Q, Relational, SamplingQueries, ScreeningQueries, TextDedupQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
     Relational.all ++ TextDedupQueries.all ++ ClusterQueries.all ++
       CqlQueries.all ++ FunctionQueries.all ++ PipelineQueries.all ++
       SamplingQueries.all ++ CurationQueries.all ++ CorpusAuditQueries.all ++
-      CorpusReportQueries.all ++ EventAnalyticsQueries.all ++ ScreeningQueries.all
+      CorpusReportQueries.all ++ EventAnalyticsQueries.all ++ ScreeningQueries.all ++
+      LabelQualityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,48 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chance-corrected inter-labeler agreement — the scalar that says whether
+  * two labeling passes (a heuristic vs a model, two model versions, a
+  * model vs declared metadata) actually agree beyond what their marginal
+  * label distributions force. Raw accuracy is inflated exactly when one
+  * label dominates; Cohen's κ subtracts that chance floor.
+  */
+object Agreement {
+
+  /** Per-group Cohen's κ between two label columns, exact integer
+    * micro-units: with N rows, A agreeing rows, and chance mass
+    * `C = Σ_l rowmarg_l · colmarg_l`,
+    * `κ = (N·A − C) / (N² − C)`, emitted as
+    * `kappa_micro = (N·A − C)·10⁶ div (N² − C)`.
+    *
+    * One (group, a, b) partial-agg'd count is the only corpus-sized
+    * exchange; marginals and the chance term derive from that bounded
+    * cell frame. Degenerate groups where both labelers are constant and
+    * identical (N² = C, κ is 0/0) are dropped — in BOTH engines, the
+    * q159 lesson (a guard beats an engine-divergent division).
+    */
+  def cohenKappa(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).cast("string").as("g"),
+        col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val ra = cells.groupBy(col("g"), col("a")).agg(sum(col("c")).as("ra"))
+    val rb = cells.groupBy(col("g"), col("b")).agg(sum(col("c")).as("rb"))
+    val chance = ra.join(rb,
+        ra("g") === rb("g") && ra("a") === rb("b"))
+      .groupBy(ra("g").as("g"))
+      .agg(sum(col("ra") * col("rb")).as("chance"))
+    totals.join(broadcast(chance), Seq("g"), "left")
+      .na.fill(0L, Seq("chance"))
+      .filter(col("n") * col("n") > col("chance"))
+      .select(col("g"), col("n"), col("agree"), col("chance"),
+        expr("((n * agree - chance) * 1000000) div (n * n - chance)")
+          .as("kappa_micro"))
+  }
+}

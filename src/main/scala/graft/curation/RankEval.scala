@@ -80,6 +80,41 @@ object RankEval {
     * n-weighted mean absolute gap (expected calibration error), repeated
     * on every row like the other audit summaries.
     */
+  /** Precision/recall at score-quantile operating points — the threshold-
+    * selection table AUC (one scalar) can't give: for each requested
+    * quantile of the SCORE distribution (type-1 order statistic via the
+    * scalable [[graft.operators.Quantiles]] histogram search), treat
+    * `score >= threshold` as the positive prediction and emit exact
+    * integer precision/recall. The bounded threshold frame is broadcast
+    * and the corpus aggregated ONCE across all operating points (each row
+    * fans out to at most |quantiles| threshold buckets inside a
+    * partial-agg'd groupBy — never a per-threshold scan).
+    *
+    * Emits nothing when the corpus has no positive rows (recall is 0/0;
+    * the engine-divergent-division guard, both engines).
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      qsPpm: Seq[Long] = (1L to 9L).map(_ * 100000L)): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("_graft_lab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = graft.operators.Quantiles.exactQuantiles(
+        base.select(lit("all").as("g"), col("s")), "g", "s", qsPpm)
+      .select(col("q_ppm"), col("value").as("threshold"))
+    val tot = base.agg(
+      sum(when(col("_graft_lab"), 1L).otherwise(0L)).as("n_pos"))
+    base.crossJoin(broadcast(thr))
+      .filter(col("s") >= col("threshold"))
+      .groupBy(col("q_ppm"), col("threshold"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("_graft_lab"), 1L).otherwise(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_pos") > 0L)
+      .select(col("q_ppm"), col("threshold"), col("n_pred"), col("tp"),
+        expr("(tp * 1000000) div n_pred").as("precision_ppm"),
+        expr("(tp * 1000000) div n_pos").as("recall_ppm"))
+  }
+
   def calibrationAudit(df: DataFrame, scoreMicroCol: String,
       labelCol: String): DataFrame = {
     val p = round(lit(1e6) /

@@ -89,4 +89,36 @@ object CapacityPlan {
           .otherwise(col("_lambda")).as("alloc"),
         col("funded"))
   }
+
+  /** Sliding-window chunk plan — the RAG/context-packing arithmetic: a doc
+    * of n tokens cut into `window`-token chunks advancing by
+    * `window − overlap` yields `1 + ⌈max(n − window, 0) / stride⌉` chunks
+    * (empty docs yield 0), each chunk padded to `window`. Emits per-doc
+    * chunk counts plus the padded-token bill and its waste share — the
+    * storage/compute multiplier a chunking config costs BEFORE anyone
+    * materializes the chunks. Pure per-row integer arithmetic on the
+    * token count: no shuffle, no explode — the plan for 100 TB is priced
+    * by the same scan that would read it.
+    */
+  def chunkPlan(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap (window $window)")
+    val stride = window - overlap
+    docs.select(col(idCol).as("doc_id"),
+        graft.text.TextFunctions.tokenCount(col(textCol)).cast("long")
+          .as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr(s"1 + (greatest(n_tokens - $window, 0) + " +
+            s"${stride - 1}) div $stride"))
+          .as("n_chunks"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        (col("n_chunks") * window).as("padded_tokens"),
+        when(col("n_chunks") === 0L, 0L)
+          .otherwise(expr(s"((n_chunks * $window - n_tokens) * 1000000) " +
+            s"div (n_chunks * $window)"))
+          .as("waste_ppm"))
+  }
 }

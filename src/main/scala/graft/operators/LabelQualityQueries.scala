@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.curation.{Agreement, QualityClassifier, RankEval, RobustStats}
+import graft.similarity.LabelAudit
+import graft.text.TextFunctions
+
+/** Round-10 label-quality / robust-screening operators: kNN label-noise
+  * detection, Matryoshka truncation fidelity, chance-corrected labeler
+  * agreement (Cohen's κ), median/MAD outlier screening, and sliding-window
+  * chunk planning.
+  *
+  * Oracle parity: the repo-wide integer conventions — exact counts,
+  * cross-multiplied ratio compares, ppm via integral division, type-1
+  * order statistics (the q108 rank convention).
+  */
+object LabelQualityQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- kNN label-noise screen: per-probe agreement between its own
+    // label and its 10 nearest neighbors' labels; minority rows are the
+    // re-annotation queue (confident-learning's cheap first pass)
+    Q("q188_knn_label_noise",
+      (s, d) => {
+        val t = Tables(s, d)
+        LabelAudit.knnLabelAgreement(
+            t.embeddings.filter(col("vec_id") < 100), t.embeddings,
+            "vec_id", "embedding", "label", k = 10)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    label FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, q.label AS qlab,
+             |    c.vec_id AS neighbor_id, c.label AS nlab,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v))
+             |         * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+             |top AS (SELECT query_id, qlab, nlab FROM (
+             |  SELECT query_id, qlab, nlab, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             |  FROM scored) WHERE r <= 10)
+             |SELECT query_id AS vec_id, qlab AS label,
+             |  CAST(count(*) AS BIGINT) AS k_found,
+             |  CAST(count(*) FILTER (WHERE nlab = qlab) AS BIGINT) AS n_agree,
+             |  (CAST(count(*) FILTER (WHERE nlab = qlab) AS BIGINT) * 1000000)
+             |    // CAST(count(*) AS BIGINT) AS agree_ppm,
+             |  CAST(count(*) FILTER (WHERE nlab = qlab) AS BIGINT) * 2
+             |    < CAST(count(*) AS BIGINT) AS suspect
+             |FROM top GROUP BY query_id, qlab
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- Matryoshka cut fidelity: top-10 overlap between full-64-dim and
+    // leading-16-dim neighbor lists per probe — recall@k of the cheap space
+    Q("q189_mrl_fidelity",
+      (s, d) => {
+        val t = Tables(s, d)
+        LabelAudit.truncationFidelity(
+            t.embeddings.filter(col("vec_id") < 100), t.embeddings,
+            "vec_id", "embedding", dims = 16, k = 10)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+             |sf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v))
+             |         * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+             |st AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, c.v)
+             |      / (sqrt(list_dot_product(q.v, q.v))
+             |         * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM et q JOIN et c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+             |f AS (SELECT query_id, list(neighbor_id) AS fl FROM (
+             |  SELECT query_id, neighbor_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             |  FROM sf) WHERE r <= 10 GROUP BY query_id),
+             |t AS (SELECT query_id, list(neighbor_id) AS tl FROM (
+             |  SELECT query_id, neighbor_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+             |  FROM st) WHERE r <= 10 GROUP BY query_id)
+             |SELECT query_id AS vec_id, CAST(len(fl) AS BIGINT) AS k_full,
+             |  CAST(len(list_intersect(fl, tl)) AS BIGINT) AS overlap,
+             |  (CAST(len(list_intersect(fl, tl)) AS BIGINT) * 1000000)
+             |    // CAST(len(fl) AS BIGINT) AS overlap_ppm
+             |FROM f JOIN t USING (query_id)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- Cohen's kappa per source between declared lang and the langid
+    // heuristic (q167's confusion matrix collapsed to its chance-corrected
+    // scalar): the per-slice "is the metadata trustworthy" number
+    Q("q190_lang_kappa",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pred = t.documents.select(col("source"), col("lang"),
+          graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+        Agreement.cohenKappa(pred, "source", "lang", "lang_pred")
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH p AS (${TextDedupQueries.langIdPredSql}),
+              |j AS (SELECT d.source AS g, p.lang AS a, p.lang_pred AS b
+              |  FROM p JOIN documents d ON p.doc_id = d.doc_id),
+              |cells AS (SELECT g, a, b, CAST(count(*) AS BIGINT) AS c
+              |  FROM j GROUP BY g, a, b),
+              |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+              |    CAST(sum(c) FILTER (WHERE a = b) AS BIGINT) AS agree
+              |  FROM cells GROUP BY g),
+              |ra AS (SELECT g, a, CAST(sum(c) AS BIGINT) AS ra
+              |  FROM cells GROUP BY g, a),
+              |rb AS (SELECT g, b, CAST(sum(c) AS BIGINT) AS rb
+              |  FROM cells GROUP BY g, b),
+              |ch AS (SELECT ra.g AS g, CAST(sum(ra.ra * rb.rb) AS BIGINT)
+              |    AS chance
+              |  FROM ra JOIN rb ON ra.g = rb.g AND ra.a = rb.b GROUP BY ra.g)
+              |SELECT t.g, n, agree, COALESCE(chance, 0) AS chance,
+              |  CAST(((n * agree - COALESCE(chance, 0)) * 1000000)
+              |    // (n * n - COALESCE(chance, 0)) AS BIGINT) AS kappa_micro
+              |FROM tot t LEFT JOIN ch ON t.g = ch.g
+              |WHERE n * n > COALESCE(chance, 0)
+              |ORDER BY t.g""".stripMargin)),
+
+    // ---- robust per-source length outliers: median/MAD (both type-1
+    // order statistics via the scalable histogram-refinement search),
+    // cross-multiplied 3.5-MAD cut — no division in either engine
+    Q("q191_mad_outliers",
+      (s, d) => {
+        val t = Tables(s, d)
+        RobustStats.madOutliers(t.documents, "source", "n_chars",
+            kTenths = 35)
+          .orderBy(col("g"))
+      },
+      Some("""WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |r AS (SELECT g, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+             |      AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+             |med AS (SELECT g, min(CASE WHEN rn >= (n + 1) // 2 THEN v END)
+             |    AS med FROM r GROUP BY g),
+             |dd AS (SELECT v.g, v.v, med, abs(v.v - med) AS dv
+             |  FROM v JOIN med USING (g)),
+             |r2 AS (SELECT g, dv,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY dv) AS BIGINT)
+             |      AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM dd),
+             |mad AS (SELECT g, min(CASE WHEN rn >= (n + 1) // 2 THEN dv END)
+             |    AS mad FROM r2 GROUP BY g)
+             |SELECT dd.g, CAST(count(*) AS BIGINT) AS n, max(dd.med) AS med,
+             |  max(mad) AS mad,
+             |  CAST(count(*) FILTER (WHERE dv * 10 > 35 * mad) AS BIGINT)
+             |    AS n_outliers,
+             |  (CAST(count(*) FILTER (WHERE dv * 10 > 35 * mad) AS BIGINT)
+             |    * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
+             |FROM dd JOIN mad USING (g) GROUP BY dd.g
+             |ORDER BY g""".stripMargin)),
+
+    // ---- sliding-window chunk plan: per-doc chunk count + padded-token
+    // bill for window=128 / overlap=32 — the RAG chunking config priced by
+    // one scan, before anything is materialized
+    Q("q192_chunk_plan",
+      (s, d) => {
+        val t = Tables(s, d)
+        CapacityPlan.chunkPlan(t.documents, "doc_id", "text",
+            window = 128, overlap = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+             |      AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CASE WHEN n_tokens = 0 THEN 0
+             |    ELSE 1 + (greatest(n_tokens - 128, 0) + 95) // 96 END
+             |      AS n_chunks FROM tok)
+             |SELECT doc_id, n_tokens, n_chunks,
+             |  n_chunks * 128 AS padded_tokens,
+             |  CASE WHEN n_chunks = 0 THEN 0
+             |  ELSE ((n_chunks * 128 - n_tokens) * 1000000)
+             |    // (n_chunks * 128) END AS waste_ppm
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- precision/recall operating points of the q71/q127 distilled
+    // classifier at score-decile thresholds — the threshold-selection
+    // table AUC's single scalar can't give
+    Q("q193_pr_curve",
+      (s, d) => {
+        val t = Tables(s, d)
+        val tok = t.documents
+          .select(col("doc_id"), (col("lang") === "en").as("lab"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = QualityClassifier.scoreTokens(tok, "doc_id", "token",
+          QualityClassifier.trainTokens(tok, "token", "lab"))
+        RankEval.prCurve(
+            scored.join(t.documents.select(col("doc_id"),
+              (col("lang") === "en").as("lab")), "doc_id"),
+            "score_micro", "lab")
+          .orderBy(col("q_ppm"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, (lang = 'en') AS lab, token FROM (
+             |    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |c AS (SELECT token,
+             |    count(*) FILTER (WHERE lab) AS c_pos,
+             |    count(*) FILTER (WHERE NOT lab) AS c_neg
+             |  FROM tok GROUP BY token),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS v FROM c),
+             |wt AS (SELECT token,
+             |    CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |  - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)) * 1e6) AS BIGINT)
+             |      AS weight_micro
+             |  FROM c, tot),
+             |sc AS (SELECT doc_id, CAST(sum(weight_micro) AS BIGINT) AS s
+             |  FROM tok JOIN wt USING (token) GROUP BY doc_id),
+             |lbl AS (SELECT sc.s, (d.lang = 'en') AS lab
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |r AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT)
+             |    AS rn, CAST(count(*) OVER () AS BIGINT) AS n FROM lbl),
+             |q AS (SELECT CAST(unnest([100000, 200000, 300000, 400000,
+             |    500000, 600000, 700000, 800000, 900000]) AS BIGINT)
+             |    AS q_ppm),
+             |thr AS (SELECT q_ppm, min(CASE WHEN
+             |    rn >= (q_ppm * n + 999999) // 1000000 THEN s END)
+             |    AS threshold FROM r, q GROUP BY q_ppm),
+             |tpos AS (SELECT CAST(count(*) FILTER (WHERE lab) AS BIGINT)
+             |    AS n_pos FROM lbl)
+             |SELECT q_ppm, threshold, CAST(count(*) AS BIGINT) AS n_pred,
+             |  CAST(count(*) FILTER (WHERE lab) AS BIGINT) AS tp,
+             |  (CAST(count(*) FILTER (WHERE lab) AS BIGINT) * 1000000)
+             |    // CAST(count(*) AS BIGINT) AS precision_ppm,
+             |  (CAST(count(*) FILTER (WHERE lab) AS BIGINT) * 1000000)
+             |    // n_pos AS recall_ppm
+             |FROM lbl JOIN thr ON lbl.s >= thr.threshold CROSS JOIN tpos
+             |WHERE n_pos > 0
+             |GROUP BY q_ppm, threshold, n_pos
+             |ORDER BY q_ppm""".stripMargin)))
+}

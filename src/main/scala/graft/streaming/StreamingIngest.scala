@@ -776,6 +776,51 @@ object StreamingIngest {
     checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()
   }
 
+  /** one observed item on a keyed stream (heavy-hitters input) */
+  final case class ItemEvent(source: String, item: String)
+
+  /** a heavy-hitter snapshot row: the sketch state for `source` after its
+    * `batchSeq`-th micro-batch; `minCount` is the Misra-Gries lower-ish
+    * estimate (underestimates by at most n/(k+1)) */
+  final case class HeavyHitter(source: String, batchSeq: Long, item: String,
+      minCount: Long)
+
+  /** per-source sketch state (public: Catalyst codegen needs the accessors) */
+  final case class MgState(seq: Long, counters: Map[String, Long])
+
+  /** Streaming per-source heavy hitters — the stateful twin of the batch
+    * [[graft.operators.MisraGriesAgg]] sketch (q50's beyond-memory
+    * alternative): state per source is the SAME bounded k-counter summary
+    * (the fold is delegated to the batch Aggregator's `reduce`, so the
+    * two can't drift), each micro-batch folds its arrivals in
+    * deterministic (item) order and emits the post-batch snapshot tagged
+    * with a per-source batch ordinal. The sketch guarantees carry over:
+    * every item over the running n/(k+1) threshold is present, counts
+    * underestimate by at most n/(k+1). State is O(k) per source, sharded
+    * by source — the live "top talkers per feed" panel at any scale.
+    */
+  def streamingHeavyHitters(events: Dataset[ItemEvent],
+      k: Int): Dataset[HeavyHitter] = {
+    require(k > 0, s"k must be positive, got $k")
+    import events.sparkSession.implicits._
+    val agg = new graft.operators.MisraGriesAgg(k)
+    events
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (source, batch, state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(0L, Map.empty))
+          val buf = scala.collection.mutable.Map.empty[String, Long]
+          prev.counters.foreach { case (kk, v) => buf.update(kk, v) }
+          batch.toSeq.map(_.item).sorted.foreach(agg.reduce(buf, _))
+          val next = MgState(prev.seq + 1, buf.toMap)
+          state.update(next)
+          next.counters.toSeq.sortBy(_._1).iterator.map { case (item, c) =>
+            HeavyHitter(source, next.seq, item, c)
+          }
+      }
+  }
+
   /** run a streaming frame to a named in-memory sink until drained (local
     * verification path; on a cluster this would be writeStream to the
     * catalog with checkpointLocation)

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curation.{Agreement, RobustStats}
+import graft.operators.CapacityPlan
+import graft.similarity.LabelAudit
+
+/** Hand-computed contracts for the round-10 label-quality operators:
+  * Cohen's κ closed-form cells, median/MAD on a known contaminated group,
+  * chunk-count boundary arithmetic, and constructed embedding geometries
+  * where the kNN agreement / truncation-overlap answers are forced.
+  */
+class LabelQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("cohenKappa: chance-level, perfect, and degenerate groups") {
+    import spark.implicits._
+    val rows =
+      // chance-level: marginals 2/2 each side, 2 agreements -> kappa = 0
+      Seq(("chance", "x", "x"), ("chance", "x", "y"),
+        ("chance", "y", "x"), ("chance", "y", "y"),
+        // perfect: a == b on every row -> kappa = 1
+        ("perfect", "x", "x"), ("perfect", "x", "x"), ("perfect", "y", "y"),
+        // degenerate: both raters constant and equal -> 0/0, dropped
+        ("constant", "x", "x"), ("constant", "x", "x"))
+    val got = Agreement.cohenKappa(
+        rows.toDF("src", "a", "b"), "src", "a", "b")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("kappa_micro"))
+      .toMap
+    assert(got == Map("chance" -> 0L, "perfect" -> 1000000L))
+  }
+
+  test("madOutliers: known median/MAD, zero-MAD group flags every off-median row") {
+    import spark.implicits._
+    val rows = Seq.tabulate(5)(i => ("spiky", Seq(1L, 2L, 3L, 4L, 100L)(i))) ++
+      Seq(("flat", 7L), ("flat", 7L), ("flat", 7L), ("flat", 9L))
+    val got = RobustStats.madOutliers(rows.toDF("src", "v"), "src", "v")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_ppm"))))
+      .toMap
+    // spiky: med 3 (rank ceil(5/2)=3), devs {2,1,0,1,97} -> mad 1;
+    // cut |v-3|*10 > 35 flags only 100
+    assert(got("spiky") == ((3L, 1L, 1L, 200000L)))
+    // flat: med 7, mad 0 -> every off-median row is an outlier
+    assert(got("flat") == ((7L, 0L, 1L, 250000L)))
+  }
+
+  test("chunkPlan: boundary counts at window=128 overlap=32 (stride 96)") {
+    import spark.implicits._
+    val docs = Seq(0, 1, 128, 129, 224, 225).zipWithIndex.map {
+      case (n, id) => (id.toLong, Seq.fill(n)("w").mkString(" "))
+    }
+    val got = CapacityPlan.chunkPlan(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 128, 32)
+      .collect()
+      .map(r => r.getAs[Long]("n_tokens") -> r.getAs[Long]("n_chunks")).toMap
+    // the q110 raw-split convention: "" splits to [""] -> 1 token
+    assert(got == Map(1L -> 1L, 128L -> 1L, 129L -> 2L,
+      224L -> 2L, 225L -> 3L))
+    // padded-token bill: 225 tokens over 3 chunks pads to 384
+    val waste = CapacityPlan.chunkPlan(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 128, 32)
+      .filter(col("n_tokens") === 225).collect().head
+    assert(waste.getAs[Long]("padded_tokens") == 384L)
+    assert(waste.getAs[Long]("waste_ppm") == (384L - 225L) * 1000000L / 384L)
+  }
+
+  test("knnLabelAgreement: planted mislabeled point is the only suspect") {
+    import spark.implicits._
+    // two tight clusters; id 6 sits in cluster A but carries B's label
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.01f, 0.99f), 2),
+      (5L, Array(0.02f, 0.98f), 2),
+      (6L, Array(0.97f, 0.03f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = LabelAudit.knnLabelAgreement(df, df, "vec_id", "embedding",
+        "label", k = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Boolean]("suspect")))).toMap
+    assert(got(6L) == ((0L, true)), s"mislabeled point must disagree: $got")
+    assert(got(3L) == ((2L, false)) && got(4L) == ((2L, false)))
+    // cluster-A points see id 6 as a neighbor with the wrong label, but
+    // never a MAJORITY of wrong labels
+    Seq(0L, 1L, 2L).foreach(id => assert(!got(id)._2, s"$id: $got"))
+  }
+
+  test("truncationFidelity: constructed neighbor flip under the cut") {
+    import spark.implicits._
+    // probe aligns with b in full 4-dim space but with a on the first 2 dims
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.8f, 0.1f, 0.0f, 0.9f))).toDF("vec_id", "embedding")
+    val probe = Seq((0L, Array(1.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val flip = LabelAudit.truncationFidelity(probe, corpus, "vec_id",
+        "embedding", dims = 2, k = 1).collect().head
+    assert(flip.getAs[Long]("overlap") == 0L &&
+      flip.getAs[Long]("overlap_ppm") == 0L)
+    // with k = 2 both lists contain both candidates -> full overlap
+    val both = LabelAudit.truncationFidelity(probe, corpus, "vec_id",
+        "embedding", dims = 2, k = 2).collect().head
+    assert(both.getAs[Long]("k_full") == 2L &&
+      both.getAs[Long]("overlap_ppm") == 1000000L)
+  }
+}

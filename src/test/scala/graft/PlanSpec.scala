@@ -276,10 +276,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q183 pii scan is pure per-row work: no exchange anywhere") {
+  test("q183 pii scan is pure per-row work: no shuffle beyond the gate sort") {
     val p = plan("q183_pii_scan")
-    assert(!p.contains("Exchange"),
-      "regex count/scrub must stay a per-row projection:\n" + p)
+    // the gate's presentation orderBy adds ONE rangepartitioning exchange;
+    // the scan/count/scrub itself must stay a per-row projection
+    val kinds = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(kinds.forall(_ == "rangepartitioning"),
+      s"regex count/scrub must stay a per-row projection (got $kinds):\n$p")
   }
 
   test("q184/q185/q186 collapse the corpus in one partial agg before windows") {

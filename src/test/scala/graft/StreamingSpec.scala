@@ -578,6 +578,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: MG guarantees per source across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamingIngest.ItemEvent](spark)
+    val out = StreamingIngest.streamingHeavyHitters(input.toDS(), k = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    try {
+      def items(src: String, spec: (String, Int)*): Seq[StreamingIngest.ItemEvent] =
+        spec.flatMap { case (it, n) =>
+          Seq.fill(n)(StreamingIngest.ItemEvent(src, it)) }
+      input.addData(items("a", "x" -> 6, "y" -> 2, "z" -> 1, "w" -> 1) ++
+        items("b", "q" -> 3): _*)
+      q.processAllAvailable()
+      input.addData(items("a", "x" -> 4, "v" -> 3): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh_out").as[StreamingIngest.HeavyHitter]
+        .collect()
+      // snapshots per (source, batch); at most k counters each
+      rows.groupBy(r => (r.source, r.batchSeq)).foreach { case (_, g) =>
+        assert(g.length <= 3)
+      }
+      // source a after batch 2: n = 17, threshold n/(k+1) = 4.25 —
+      // x (true 10) MUST survive with count >= 10 - 4.25
+      val a2 = rows.filter(r => r.source == "a" && r.batchSeq == 2)
+      val x = a2.find(_.item == "x")
+      assert(x.isDefined, s"heavy hitter lost: $a2")
+      assert(x.get.minCount >= 6 && x.get.minCount <= 10)
+      // independent source: b's only batch kept its exact count
+      assert(rows.filter(_.source == "b")
+        .map(r => r.item -> r.minCount).toSeq == Seq("q" -> 3L))
+    } finally q.stop()
+  }
+
   test("stateful latest-version MERGE across micro-batches") {
     import spark.implicits._
     val events = Seq(
