@@ -121,4 +121,57 @@ object ChangePoint {
         when(col("_den") > 0,
           expr("CAST((_num * 1000000) div _den AS BIGINT)")).as("r_ppm"))
   }
+
+  /** Day-of-week seasonality χ² per event type — the "is this feed's
+    * weekly rhythm real" test next to the autocorrelation report: observed
+    * volume per weekday vs the uniform-rate expectation, where the
+    * expectation honors how many of EACH weekday the dense calendar span
+    * actually contains (`exp_w = tot·d_w / D` — a Monday-to-Wednesday span
+    * is not 1/7 per weekday). Exact integers: per-weekday deviation
+    * `dev_num = obs_w·D − tot·d_w` (zero iff exactly uniform), per-term
+    * `term_micro = ⌊dev_num²·10⁶ / (D·tot·d_w)⌋` (algebraically exactly
+    * the χ² term ×10⁶), `chi2_micro` the per-type total.
+    * Weekdays are 0=Sunday..6 (Spark `dayofweek − 1` ≡ DuckDB
+    * `dayofweek`). Types with no events and weekdays absent from the
+    * span (d_w = 0, only for sub-week grids) are dropped in both engines.
+    *
+    * Same one-scan shape as [[cusumDaily]]: the corpus collapses to the
+    * (type, day) count frame; the weekday marginals come from the bounded
+    * calendar; everything after is arithmetic on a (types × 7) frame.
+    */
+  def dowSeasonality(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val counts = events.select(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = counts.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .select(col("day"), (dayofweek(col("day")) - 1).cast("long").as("dow"))
+    val dowDim = days.groupBy(col("dow")).agg(count(lit(1)).as("days_w"))
+    val dd = days.agg(count(lit(1)).as("nd"))
+    val obs = counts
+      .select(col("event_type"),
+        (dayofweek(col("day")) - 1).cast("long").as("dow"), col("c"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("c")).as("obs"))
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("tot"))
+    val cells = tot.crossJoin(broadcast(dowDim))
+      .join(obs, Seq("event_type", "dow"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(dd))
+      .filter(col("tot") > 0 && col("days_w") > 0)
+      .select(col("event_type"), col("dow"), col("days_w"), col("obs"),
+        (col("obs") * col("nd") - col("tot") * col("days_w")).as("dev_num"),
+        expr("""CAST((CAST(obs * nd - tot * days_w AS DECIMAL(38,0))
+               |  * (obs * nd - tot * days_w) * 1000000)
+               |  div (CAST(nd AS DECIMAL(38,0)) * tot * days_w) AS BIGINT)"""
+          .stripMargin).as("term_micro"))
+    val chi = cells.groupBy(col("event_type"))
+      .agg(sum(col("term_micro")).as("chi2_micro"))
+    cells.join(broadcast(chi), "event_type")
+      .select(col("event_type"), col("dow"), col("days_w"), col("obs"),
+        col("dev_num"), col("term_micro"), col("chi2_micro"))
+  }
 }

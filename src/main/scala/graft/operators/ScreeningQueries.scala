@@ -723,6 +723,111 @@ object ScreeningQueries {
               |  SELECT 'normalized', 'near', b3, e3,
               |    CASE WHEN e3 > 0 THEN (b3 * 1000000) // e3 END,
               |    (a3 * 1000000) // n FROM m)
-              |ORDER BY method_a, method_b""".stripMargin))
+              |ORDER BY method_a, method_b""".stripMargin)),
+
+    // ---- day-of-week seasonality χ² per event type: weekly-rhythm
+    // realness test; expectation honors how many of each weekday the
+    // dense calendar span contains
+    Q("q194_dow_seasonality",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.operators.ChangePoint.dowSeasonality(t.events, "ts", "event_type")
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH days AS (
+             |  SELECT CAST(unnest(generate_series(
+             |      (SELECT min(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      (SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      INTERVAL 1 DAY)) AS DATE) AS day),
+             |dw AS (SELECT dayofweek(day) AS dow,
+             |    CAST(count(*) AS BIGINT) AS days_w FROM days GROUP BY 1),
+             |dd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM days),
+             |dcnt AS (SELECT event_type,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |obs AS (SELECT event_type, dayofweek(day) AS dow,
+             |    CAST(sum(c) AS BIGINT) AS obs FROM dcnt GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+             |  FROM dcnt GROUP BY 1),
+             |cells AS (SELECT t.event_type, w.dow, w.days_w,
+             |    COALESCE(o.obs, 0) AS obs, t.tot, d.nd
+             |  FROM tot t CROSS JOIN dw w
+             |  LEFT JOIN obs o ON o.event_type = t.event_type
+             |    AND o.dow = w.dow, dd d
+             |  WHERE t.tot > 0 AND w.days_w > 0),
+             |terms AS (SELECT event_type, dow, days_w, obs,
+             |    obs * nd - tot * days_w AS dev_num,
+             |    CAST((CAST(obs * nd - tot * days_w AS HUGEINT)
+             |      * (obs * nd - tot * days_w) * 1000000)
+             |      // (CAST(nd AS HUGEINT) * tot * days_w) AS BIGINT)
+             |      AS term_micro
+             |  FROM cells)
+             |SELECT event_type, dow, days_w, obs, dev_num, term_micro,
+             |  CAST(sum(term_micro) OVER (PARTITION BY event_type)
+             |    AS BIGINT) AS chi2_micro
+             |FROM terms
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // ---- robust daily-volume anomaly screen: median/MAD of per-day
+    // counts on the DENSE calendar grid (a silent day is a zero, not a
+    // missing row) — the outage/flood day counter per event type
+    Q("q195_volume_anomaly",
+      (s, d) => {
+        val t = Tables(s, d)
+        val counts = t.events
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val days = counts
+          .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+          .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+        val grid = counts.select(col("event_type")).distinct()
+          .crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .na.fill(0L, Seq("c"))
+        graft.curation.RobustStats.madOutliers(grid, "event_type", "c",
+            kTenths = 35)
+          .orderBy(col("g"))
+      },
+      Some("""WITH days AS (
+             |  SELECT CAST(unnest(generate_series(
+             |      (SELECT min(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      (SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+             |      INTERVAL 1 DAY)) AS DATE) AS day),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |dcnt AS (SELECT event_type,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (SELECT t.event_type AS g,
+             |    CAST(COALESCE(c.c, 0) AS BIGINT) AS v
+             |  FROM types t CROSS JOIN days d
+             |  LEFT JOIN dcnt c ON c.event_type = t.event_type
+             |    AND c.day = d.day),
+             |r AS (SELECT g, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+             |      AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             |  FROM grid),
+             |med AS (SELECT g, min(CASE WHEN rn >= (n + 1) // 2 THEN v END)
+             |    AS med FROM r GROUP BY g),
+             |dv AS (SELECT grid.g, grid.v, med, abs(grid.v - med) AS dv
+             |  FROM grid JOIN med USING (g)),
+             |r2 AS (SELECT g, dv,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY dv) AS BIGINT)
+             |      AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM dv),
+             |mad AS (SELECT g, min(CASE WHEN rn >= (n + 1) // 2 THEN dv END)
+             |    AS mad FROM r2 GROUP BY g)
+             |SELECT dv.g, CAST(count(*) AS BIGINT) AS n, max(dv.med) AS med,
+             |  max(mad) AS mad,
+             |  CAST(count(*) FILTER (WHERE dv.dv * 10 > 35 * mad) AS BIGINT)
+             |    AS n_outliers,
+             |  (CAST(count(*) FILTER (WHERE dv.dv * 10 > 35 * mad) AS BIGINT)
+             |    * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
+             |FROM dv JOIN mad USING (g) GROUP BY dv.g
+             |ORDER BY dv.g""".stripMargin))
   )
 }

@@ -71,7 +71,8 @@ object LabelAudit {
     def cut(df: DataFrame): DataFrame =
       df.withColumn(vecCol, slice(col(vecCol), 1, dims))
     nn(probes, corpus, "_graft_full")
-      .join(nn(cut(probes), cut(corpus), "_graft_trunc"), "query_id")
+      .join(broadcast(nn(cut(probes), cut(corpus), "_graft_trunc")),
+        "query_id")
       .select(col("query_id").as("vec_id"),
         size(col("_graft_full")).cast("long").as("k_full"),
         size(array_intersect(col("_graft_full"), col("_graft_trunc")))

@@ -285,6 +285,26 @@ class PlanSpec extends AnyFunSuite {
       s"regex count/scrub must stay a per-row projection (got $kinds):\n$p")
   }
 
+  test("q188/q189 broadcast the bounded probe side; corpus is never shuffled into a join") {
+    Seq("q188_knn_label_noise", "q189_mrl_fidelity").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q: probe side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no corpus-shuffling join allowed:\n$p")
+    }
+  }
+
+  test("q194/q195 collapse events to the day grid in one partial agg") {
+    Seq("q194_dow_seasonality", "q195_volume_anomaly").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: day counts must partial-agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q184/q185/q186 collapse the corpus in one partial agg before windows") {
     Seq("q184_emd_drift", "q185_shard_pack", "q186_waterfill").foreach { q =>
       val p = plan(q)
