@@ -33,10 +33,14 @@ object Agreement {
       .agg(sum(col("c")).as("n"),
         sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
     val ra = cells.groupBy(col("g"), col("a")).agg(sum(col("c")).as("ra"))
-    val rb = cells.groupBy(col("g"), col("b")).agg(sum(col("c")).as("rb"))
+    // rename the self-join side up front: same-lineage column refs would
+    // otherwise lean on Spark's dataset-id disambiguation (and its
+    // trivially-true-predicate warning)
+    val rb = cells.groupBy(col("g").as("_graft_gb"), col("b"))
+      .agg(sum(col("c")).as("rb"))
     val chance = ra.join(rb,
-        ra("g") === rb("g") && ra("a") === rb("b"))
-      .groupBy(ra("g").as("g"))
+        col("g") === col("_graft_gb") && col("a") === col("b"))
+      .groupBy(col("g"))
       .agg(sum(col("ra") * col("rb")).as("chance"))
     totals.join(broadcast(chance), Seq("g"), "left")
       .na.fill(0L, Seq("chance"))
