@@ -39,6 +39,10 @@ object ScaleBench {
     val flags = args.drop(3).toSet
     val keep = flags("keep")
     val wordSalt = flags("wordsalt")
+    // `lite`: materialize + headline only (skip both extras passes) — the
+    // big-mult mode where per-query slopes come from QBench pairs on the
+    // kept dir instead of one multi-hour extras sweep
+    val lite = flags("lite")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.benchSession("graft-scalebench")
 
@@ -208,14 +212,18 @@ object ScaleBench {
        else if (mult <= 10) graphGated else Nil)
     val extras1x = extras ++ graphGated ++ textGated ++ oneXOnly
     val mode = if (wordSalt) " wordsalt" else ""
-    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
-      s"1x($src) extras"))
-    spark.catalog.clearCache() // q62/q64 persist per-dir token frames
+    if (!lite) {
+      println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
+        s"1x($src) extras"))
+      spark.catalog.clearCache() // q62/q64 persist per-dir token frames
+    }
 
     println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
       s"${mult}x($src)$mode"))
-    println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extrasNx),
-      s"${mult}x($src)$mode extras"))
+    if (!lite) {
+      println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extrasNx),
+        s"${mult}x($src)$mode extras"))
+    }
     spark.catalog.clearCache()
     if (!keep) fs.delete(new Path(work), true)
     spark.stop()
