@@ -241,5 +241,61 @@ object LabelQualityQueries {
              |FROM lbl JOIN thr ON lbl.s >= thr.threshold CROSS JOIN tpos
              |WHERE n_pos > 0
              |GROUP BY q_ppm, threshold, n_pos
-             |ORDER BY q_ppm""".stripMargin)))
+             |ORDER BY q_ppm""".stripMargin)),
+
+    // ---- token-frequency spectrum (count-of-counts): how many vocabulary
+    // types occur exactly f times — the Good-Turing smoothing input and
+    // the crawl-health fingerprint (a template flood bulges the high-f
+    // tail; an OCR disaster bulges f = 1). One (token) partial agg, then
+    // a spectrum-sized second agg.
+    Q("q196_freq_spectrum",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents
+          .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+          .select(col("f"), col("n_types"),
+            (col("f") * col("n_types")).as("token_mass"))
+          .orderBy(col("f"))
+      },
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+'))
+             |    AS w FROM documents),
+             |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+             |  WHERE w <> '' GROUP BY w)
+             |SELECT f, CAST(count(*) AS BIGINT) AS n_types,
+             |  f * CAST(count(*) AS BIGINT) AS token_mass
+             |FROM tc GROUP BY f ORDER BY f""".stripMargin)),
+
+    // ---- duplicate-group size x source-diversity crosstab (NORMALIZED
+    // hashing, the q121 convention — raw hashing finds nothing here): are
+    // duplicates intra-source (a re-crawl) or cross-source (syndication)?
+    // The number that decides whether dedup keys should include the
+    // source. One content-hash partial agg; the crosstab is tiny.
+    Q("q197_dup_crosstab",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents
+          .select(md5(encode(
+            graft.dedup.Normalize.normalizeText(col("text")), "UTF-8"))
+            .as("h"), col("source"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("group_size"),
+            countDistinct(col("source")).as("n_sources"))
+          .groupBy(col("group_size"), col("n_sources"))
+          .agg(count(lit(1)).as("n_groups"))
+          .select(col("group_size"), col("n_sources"), col("n_groups"),
+            (col("group_size") * col("n_groups")).as("n_docs"))
+          .orderBy(col("group_size"), col("n_sources"))
+      },
+      Some(s"""WITH g AS (SELECT md5(${graft.dedup.Normalize.normalizeSql("text")}) AS h,
+              |    CAST(count(*) AS BIGINT) AS group_size,
+              |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              |  FROM documents GROUP BY h)
+              |SELECT group_size, n_sources, CAST(count(*) AS BIGINT)
+              |    AS n_groups,
+              |  group_size * CAST(count(*) AS BIGINT) AS n_docs
+              |FROM g GROUP BY group_size, n_sources
+              |ORDER BY group_size, n_sources""".stripMargin)))
 }
