@@ -75,6 +75,64 @@ class LabelQualitySpec extends AnyFunSuite {
     assert(waste.getAs[Long]("waste_ppm") == (384L - 225L) * 1000000L / 384L)
   }
 
+  test("prCurve: hand-computed operating points on a 10-row score ladder") {
+    import spark.implicits._
+    // scores 1..10, positives are the top 4 (7,8,9,10)
+    val df = (1 to 10).map(s => (s.toLong, s >= 7)).toDF("s", "lab")
+    val got = graft.curation.RankEval.prCurve(df, "s", "lab",
+        qsPpm = Seq(500000L, 900000L))
+      .collect().map(r => r.getAs[Long]("q_ppm") ->
+        ((r.getAs[Long]("threshold"), r.getAs[Long]("n_pred"),
+          r.getAs[Long]("tp"), r.getAs[Long]("precision_ppm"),
+          r.getAs[Long]("recall_ppm")))).toMap
+    // median threshold = value at rank ceil(0.5*10) = 5 -> s >= 5 predicts 6
+    // rows of which 4 positive; p = 4/6, r = 4/4
+    assert(got(500000L) == ((5L, 6L, 4L, 666666L, 1000000L)))
+    // 0.9 quantile = rank 9 -> s >= 9 predicts 2, both positive; r = 2/4
+    assert(got(900000L) == ((9L, 2L, 2L, 1000000L, 500000L)))
+  }
+
+  test("prCurve: emits nothing when no positive rows exist") {
+    import spark.implicits._
+    val df = (1 to 5).map(s => (s.toLong, false)).toDF("s", "lab")
+    assert(graft.curation.RankEval.prCurve(df, "s", "lab").count() == 0L)
+  }
+
+  test("dowSeasonality: a perfectly uniform week is exactly zero chi-square") {
+    import spark.implicits._
+    // 14 consecutive days (two full weeks), one event per day -> every
+    // weekday has d_w = 2, obs = 2, tot = 14, D = 14: dev_num = 0
+    val df = (0 until 14).map(i =>
+      (java.sql.Timestamp.valueOf(f"2026-03-${i + 1}%02d 10:00:00"), "t"))
+      .toDF("ts", "event_type")
+    val got = graft.operators.ChangePoint.dowSeasonality(df, "ts", "event_type")
+      .collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      assert(r.getAs[Long]("days_w") == 2L && r.getAs[Long]("obs") == 2L)
+      assert(r.getAs[Long]("dev_num") == 0L &&
+        r.getAs[Long]("chi2_micro") == 0L)
+    }
+  }
+
+  test("dowSeasonality: all mass on one weekday concentrates the chi-square there") {
+    import spark.implicits._
+    // one full week span, 7 events all on the first day (a Sunday)
+    val df = Seq.fill(7)((java.sql.Timestamp.valueOf("2026-03-01 09:00:00"), "t"))
+      .++(Seq((java.sql.Timestamp.valueOf("2026-03-07 09:00:00"), "t")))
+      .toDF("ts", "event_type")
+    val got = graft.operators.ChangePoint.dowSeasonality(df, "ts", "event_type")
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("obs"), r.getAs[Long]("term_micro")))).toMap
+    // D = 7 days, tot = 8; Sunday (dow 0): obs 7, exp 8/7 ->
+    // dev = 7*7 - 8 = 41, term = 41^2 * 1e6 / (7*8*1) = 30017857
+    assert(got(0L) == ((7L, 30017857L)))
+    // Saturday (dow 6): obs 1, dev = 7 - 8 = -1, term = 1e6/56 = 17857
+    assert(got(6L) == ((1L, 17857L)))
+    // silent weekdays: obs 0, dev = -8, term = 64e6/56
+    assert(got(2L) == ((0L, 1142857L)))
+  }
+
   test("knnLabelAgreement: planted mislabeled point is the only suspect") {
     import spark.implicits._
     // two tight clusters; id 6 sits in cluster A but carries B's label
