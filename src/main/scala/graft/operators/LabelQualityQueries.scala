@@ -297,5 +297,42 @@ object LabelQualityQueries {
               |    AS n_groups,
               |  group_size * CAST(count(*) AS BIGINT) AS n_docs
               |FROM g GROUP BY group_size, n_sources
-              |ORDER BY group_size, n_sources""".stripMargin)))
+              |ORDER BY group_size, n_sources""".stripMargin)),
+
+    // ---- Bloom-filter sizing plan for the q93 decontamination screen:
+    // measured distinct 3-gram count x target-FPR menu -> optimal bits /
+    // bytes / hash count; irrational constants quantized ONCE and shared
+    // with the oracle (the q139 discount-literal pattern)
+    Q("q198_bloom_plan",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.dedup.BloomPlanner.plan(t.documents, "text", shingleLen = 3,
+            fprsPpm = Seq(10000L, 1000L, 100L))
+          .orderBy(col("fpr_ppm").desc)
+      },
+      Some {
+        val lits = Seq(10000L, 1000L, 100L)
+          .map(p => s"($p, ${graft.dedup.BloomPlanner.lnFprMicro(p)})")
+          .mkString(", ")
+        val ln2 = graft.dedup.BloomPlanner.ln2Micro
+        val ln2sq = graft.dedup.BloomPlanner.ln2SqMicro
+        s"""WITH tok AS (SELECT regexp_split_to_array(text, '\\s+') AS t
+           |  FROM documents),
+           |g AS (SELECT DISTINCT unnest(list_transform(range(1, len(t)-1),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM tok WHERE len(t) >= 3),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM g),
+           |f AS (SELECT * FROM (VALUES $lits) v(fpr_ppm, lnp)),
+           |m AS (SELECT CAST(fpr_ppm AS BIGINT) AS fpr_ppm, n_items,
+           |    CAST((CAST(n_items AS HUGEINT) * lnp + ${ln2sq - 1})
+           |      // $ln2sq AS BIGINT) AS m_bits
+           |  FROM n, f)
+           |SELECT fpr_ppm, n_items, m_bits,
+           |  (m_bits + 7) // 8 AS filter_bytes,
+           |  greatest(1, CAST((2 * CAST(m_bits AS HUGEINT) * $ln2
+           |    + CAST(n_items AS HUGEINT) * 1000000)
+           |    // (2 * CAST(n_items AS HUGEINT) * 1000000) AS BIGINT))
+           |    AS k_hashes
+           |FROM m ORDER BY fpr_ppm DESC""".stripMargin
+      }))
 }
