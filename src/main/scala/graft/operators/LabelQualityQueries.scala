@@ -334,5 +334,44 @@ object LabelQualityQueries {
            |    // (2 * CAST(n_items AS HUGEINT) * 1000000) AS BIGINT))
            |    AS k_hashes
            |FROM m ORDER BY fpr_ppm DESC""".stripMargin
+      }),
+
+    // ---- leakage-safe 5-fold CV assignment: fold is a pure function of
+    // the NORMALIZED content hash (every member of a dup group shares a
+    // fold), cut at the q39 hash-sample thresholds; the gate pins the
+    // per-(fold, source) census + label balance
+    Q("q199_cv_folds",
+      (s, d) => {
+        val t = Tables(s, d)
+        val keyed = t.documents.select(col("doc_id"), col("lang"),
+          col("source"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+        graft.sampling.Sampling.cvFoldAssign(keyed, col("grp"), 5, "cv")
+          .groupBy(col("fold"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          .select(col("fold"), col("source"), col("n_docs"), col("n_en"),
+            expr("(n_en * 1000000) div n_docs").as("en_ppm"))
+          .orderBy(col("fold"), col("source"))
+      },
+      Some {
+        val thr = (1 until 5).map(f =>
+          graft.sampling.Sampling.fractionThreshold(f / 5.0))
+        val foldExpr = thr.map(t =>
+          s"CASE WHEN draw >= '$t' THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH b AS (SELECT doc_id, lang, source,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |dr AS (SELECT lang, source,
+           |    substr(md5('cv:' || grp), 1, 8) AS draw FROM b),
+           |fd AS (SELECT lang, source,
+           |    CAST($foldExpr AS INTEGER) AS fold FROM dr)
+           |SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           |  (CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) * 1000000)
+           |    // CAST(count(*) AS BIGINT) AS en_ppm
+           |FROM fd GROUP BY fold, source
+           |ORDER BY fold, source""".stripMargin
       }))
 }

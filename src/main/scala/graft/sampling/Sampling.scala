@@ -46,6 +46,27 @@ object Sampling {
       salt: String): DataFrame =
     df.filter(hashDraw(col(idCol), salt) < lit(fractionThreshold(fraction)))
 
+  /** Content-addressed k-fold assignment — leakage-safe cross-validation
+    * splits: the fold is a pure function of `keyCol` (pass a NORMALIZED
+    * content hash so every member of a duplicate group lands in the SAME
+    * fold — the split that makes held-out folds actually held out), cut at
+    * the same [[fractionThreshold]] boundaries [[hashSample]] uses, so
+    * folds are equal-probability, deterministic under re-partitioning and
+    * re-runs, and stable as the corpus grows. One per-row projection —
+    * no shuffle, no state.
+    */
+  def cvFoldAssign(df: DataFrame, keyCol: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val bounds = (1 until k)
+      .map(f => fractionThreshold(f.toDouble / k))
+    df.withColumn("_graft_draw", hashDraw(keyCol, salt))
+      .withColumn("fold", bounds.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(col("_graft_draw") >= lit(t), 1).otherwise(0)
+      }.cast("int"))
+      .drop("_graft_draw")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. downsample
     * the dominant language, keep the tail), same content-addressed draw.
     * Strata absent from `fractions` use `defaultFraction`.
