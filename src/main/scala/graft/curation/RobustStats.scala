@@ -29,6 +29,33 @@ object RobustStats {
     * (g, v) projection — each an O(log valueRange) sequence of
     * partial-agg'd histogram passes, nothing corpus-sized on the driver.
     */
+  /** The row-filter twin of [[madOutliers]]: KEEP rows within the cut
+    * (`|v − med| · 10 <= kTenths · mad`), dropping the outliers — the
+    * composable screen a curation pipeline chains after dedup. Zero-MAD
+    * groups (majority-constant) keep only their exact-median rows, the
+    * same reading as the audit. Adds the two quantile searches on top of
+    * the input plan; the returned frame preserves the caller's columns.
+    */
+  def madKeep(df: DataFrame, groupCol: String, valueCol: String,
+      kTenths: Int = 35): DataFrame = {
+    require(kTenths >= 0, s"kTenths must be >= 0, got $kTenths")
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = Quantiles.exactQuantiles(base, "g", "v", Seq(500000L))
+      .select(col("g"), col("value").as("_graft_med"))
+    val mad = Quantiles.exactQuantiles(
+        base.join(broadcast(med), "g")
+          .select(col("g"), abs(col("v") - col("_graft_med")).as("dv")),
+        "g", "dv", Seq(500000L))
+      .select(col("g"), col("value").as("_graft_mad"))
+    df.join(broadcast(med.join(mad, "g")),
+        col(groupCol).cast("string") === col("g"))
+      .filter(abs(col(valueCol).cast("long") - col("_graft_med")) * 10
+        <= lit(kTenths.toLong) * col("_graft_mad"))
+      .drop("g", "_graft_med", "_graft_mad")
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       kTenths: Int = 35): DataFrame = {
     require(kTenths >= 0, s"kTenths must be >= 0, got $kTenths")

@@ -373,5 +373,69 @@ object LabelQualityQueries {
            |    // CAST(count(*) AS BIGINT) AS en_ppm
            |FROM fd GROUP BY fold, source
            |ORDER BY fold, source""".stripMargin
+      }),
+
+    // ---- capstone composition, ONE lazy plan: normalized-canonical
+    // dedup (keep min-id per normalized hash) -> robust MAD length screen
+    // per source -> leakage-safe fold census; the q48 pattern built from
+    // this round's operators
+    Q("q200_curation_v2",
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.documents.select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+        val canon = base.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("_graft_canon"))
+        val kept = base.join(canon, "grp")
+          .filter(col("doc_id") === col("_graft_canon"))
+          .drop("_graft_canon")
+        val screened = graft.curation.RobustStats.madKeep(
+          kept, "source", "n_chars", kTenths = 35)
+        graft.sampling.Sampling.cvFoldAssign(screened, col("grp"), 5, "cv")
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(col("n_chars")).as("n_chars"))
+          .orderBy(col("fold"))
+      },
+      Some {
+        val thr = (1 until 5).map(f =>
+          graft.sampling.Sampling.fractionThreshold(f / 5.0))
+        val foldExpr = thr.map(t =>
+          s"CASE WHEN draw >= '$t' THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH b AS (SELECT doc_id, lang, source, n_chars,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |kept AS (SELECT b.* FROM b JOIN canon USING (grp)
+           |  WHERE doc_id = cid),
+           |r AS (SELECT source, n_chars,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+           |      AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM kept),
+           |med AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN n_chars END) AS med FROM r GROUP BY source),
+           |dd AS (SELECT r2.source, abs(r2.n_chars - med) AS dv,
+           |    CAST(row_number() OVER (PARTITION BY r2.source
+           |      ORDER BY abs(r2.n_chars - med)) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY r2.source) AS BIGINT) AS n
+           |  FROM (SELECT source, n_chars FROM kept) r2
+           |  JOIN med USING (source)),
+           |mad AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN dv END) AS mad FROM dd GROUP BY source),
+           |scr AS (SELECT kept.* FROM kept
+           |  JOIN med USING (source) JOIN mad USING (source)
+           |  WHERE abs(n_chars - med) * 10 <= 35 * mad),
+           |fd AS (SELECT lang, n_chars,
+           |    CAST($foldExpr AS INTEGER) AS fold FROM (
+           |  SELECT lang, n_chars,
+           |      substr(md5('cv:' || grp), 1, 8) AS draw FROM scr))
+           |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           |FROM fd GROUP BY fold ORDER BY fold""".stripMargin
       }))
 }
