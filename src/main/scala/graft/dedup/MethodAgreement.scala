@@ -45,10 +45,14 @@ object MethodAgreement {
     def both(a: String, b: String) = sum(when(col(a) && col(b), 1L).otherwise(0L))
     def either(a: String, b: String) = sum(when(col(a) || col(b), 1L).otherwise(0L))
     def agree(a: String, b: String) = sum(when(col(a) === col(b), 1L).otherwise(0L))
+    // persist the 1-row matrix: each of the three emitted method-pair rows
+    // selects from it, and without the persist every row re-runs the whole
+    // upstream pair join (the q121 re-derivation lesson, 3x here)
     val m = flags.agg(count(lit(1)).as("n"),
       both("ex", "nm").as("b1"), either("ex", "nm").as("e1"), agree("ex", "nm").as("a1"),
       both("ex", "nr").as("b2"), either("ex", "nr").as("e2"), agree("ex", "nr").as("a2"),
       both("nm", "nr").as("b3"), either("nm", "nr").as("e3"), agree("nm", "nr").as("a3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def rowOf(ma: String, mb: String, b: String, e: String, a: String) =
       m.select(lit(ma).as("method_a"), lit(mb).as("method_b"),
         col(b).as("n_both"), col(e).as("n_either"),
