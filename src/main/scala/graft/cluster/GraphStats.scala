@@ -116,6 +116,8 @@ object GraphStats {
       .filter(col("_ca") === col("_cb"))
       .groupBy(col("_ca").as("comp")).agg(count(lit(1)).as("intra_edges"))
     val m = e.agg(count(lit(1)).as("_m"))
+    // comp-bounded frame consumed by BOTH the per-component rows and the
+    // ALL summary — pin it so the degree/intra joins over e and c run once
     val per = byComp.join(intra, Seq("comp"), "left")
       .na.fill(0L, Seq("intra_edges"))
       .crossJoin(broadcast(m))
@@ -123,6 +125,7 @@ object GraphStats {
         expr("4 * CAST(_m AS DECIMAL(38,0)) * intra_edges " +
           "- CAST(degree_sum AS DECIMAL(38,0)) * degree_sum").as("_num"),
         col("_m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = per.select(col("comp"), col("n_vertices"), col("intra_edges"),
       col("degree_sum"),
       expr("CAST((_num * 1000000) div (4 * CAST(_m AS DECIMAL(38,0)) * _m) " +
