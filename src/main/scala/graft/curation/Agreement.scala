@@ -22,6 +22,13 @@ object Agreement {
     * cell frame. Degenerate groups where both labelers are constant and
     * identical (N² = C, κ is 0/0) are dropped — in BOTH engines, the
     * q159 lesson (a guard beats an engine-divergent division).
+    *
+    * All products (marginal cross terms, N·A, N², the ×10⁶ scale-up) run
+    * in DECIMAL(38,0) — HUGEINT in the oracle — because N·A approaches N²
+    * and `N²·10⁶` blows signed 64-bit once a group passes ~3 M rows,
+    * exactly the production regime (the dowSeasonality term_micro
+    * convention). The emitted `chance` column is cast back to BIGINT for
+    * the stable gate schema.
     */
   def cohenKappa(df: DataFrame, groupCol: String, aCol: String,
       bCol: String): DataFrame = {
@@ -41,12 +48,15 @@ object Agreement {
     val chance = ra.join(rb,
         col("g") === col("_graft_gb") && col("a") === col("b"))
       .groupBy(col("g"))
-      .agg(sum(col("ra") * col("rb")).as("chance"))
+      .agg(sum(col("ra").cast("decimal(38,0)") * col("rb")).as("chance"))
     totals.join(broadcast(chance), Seq("g"), "left")
-      .na.fill(0L, Seq("chance"))
-      .filter(col("n") * col("n") > col("chance"))
-      .select(col("g"), col("n"), col("agree"), col("chance"),
-        expr("((n * agree - chance) * 1000000) div (n * n - chance)")
-          .as("kappa_micro"))
+      .withColumn("chance",
+        coalesce(col("chance"), lit(0).cast("decimal(38,0)")))
+      .filter(col("n").cast("decimal(38,0)") * col("n") > col("chance"))
+      .select(col("g"), col("n"), col("agree"),
+        col("chance").cast("long").as("chance"),
+        expr("""CAST(((CAST(n AS DECIMAL(38,0)) * agree - chance) * 1000000)
+               |  div (CAST(n AS DECIMAL(38,0)) * n - chance) AS BIGINT)"""
+          .stripMargin).as("kappa_micro"))
   }
 }

@@ -49,11 +49,14 @@ object RobustStats {
           .select(col("g"), abs(col("v") - col("_graft_med")).as("dv")),
         "g", "dv", Seq(500000L))
       .select(col("g"), col("value").as("_graft_mad"))
-    df.join(broadcast(med.join(mad, "g")),
-        col(groupCol).cast("string") === col("g"))
+    // the join-side group key gets the _graft_ prefix like every other
+    // helper column — a caller frame may legitimately own a column "g"
+    val stats = med.join(mad, "g").withColumnRenamed("g", "_graft_g")
+    df.join(broadcast(stats),
+        col(groupCol).cast("string") === col("_graft_g"))
       .filter(abs(col(valueCol).cast("long") - col("_graft_med")) * 10
         <= lit(kTenths.toLong) * col("_graft_mad"))
-      .drop("g", "_graft_med", "_graft_mad")
+      .drop("_graft_g", "_graft_med", "_graft_mad")
   }
 
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,

@@ -89,10 +89,21 @@ object TfIdf {
     * it is NOT lossless; the gate runs uncapped). Magnitude bounds
     * (documented, enforced upstream): tf·idf ≤ ~2×10⁶ and ≤ ~10⁴ distinct
     * terms/doc keep num² · 10⁶ inside DECIMAL(38,0)/HUGEINT.
+    *
+    * FOOT-GUN GUARD (the `maxStrata` pattern): the RELATIVE cap
+    * (`maxDfPpm`) scales the allowed df with the corpus, so a
+    * per-slice-dense token (one language's stopwords on a multilingual
+    * corpus) can hide under a global 20% cap and pair all-vs-all within
+    * its slice — measured 195× wall at 10× data. Past
+    * `maxRelativeCapDocs` distinct documents the relative mode fails fast
+    * with guidance toward the absolute `maxDf` mode (the shipped scale
+    * path, q187); raise the limit explicitly to accept the quadratic
+    * risk on a corpus you know is slice-homogeneous.
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
       t2Ppm: Long, maxDf: Option[Long] = None,
-      maxDfPpm: Option[Long] = None): DataFrame = {
+      maxDfPpm: Option[Long] = None,
+      maxRelativeCapDocs: Long = 1000000L): DataFrame = {
     require(t2Ppm >= 0 && t2Ppm <= 1000000L,
       s"t2Ppm must be in [0, 1e6], got $t2Ppm")
     require(maxDf.isEmpty || maxDfPpm.isEmpty,
@@ -107,6 +118,14 @@ object TfIdf {
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = tf.select(col("doc_id")).distinct().count()
+    if (maxDfPpm.isDefined && nDocs > maxRelativeCapDocs)
+      throw new IllegalArgumentException(
+        s"cosinePairs relative cap (maxDfPpm) on $nDocs distinct documents" +
+          s" exceeds maxRelativeCapDocs=$maxRelativeCapDocs: a" +
+          " per-slice-dense token under a relative cap pairs all-vs-all" +
+          " within its slice (quadratic wall at scale). Use the absolute" +
+          " maxDf cap instead, or raise maxRelativeCapDocs explicitly if" +
+          " the corpus is known slice-homogeneous.")
     val dfs0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // the relative cap resolves against the corpus it runs on, so a query
     // keeps its selectivity across scale factors where an absolute cap

@@ -37,9 +37,13 @@ object BloomPlanner {
       fprsPpm: Seq[Long]): DataFrame = {
     require(fprsPpm.nonEmpty, "need at least one target FPR")
     val spark = df.sparkSession
+    // n_items = 0 (every doc shorter than shingleLen) would make the
+    // k_hashes division engine-divergent (Spark null vs DuckDB error, the
+    // ksDrift n_rest lesson) — an empty plan is the honest answer
     val n = df
       .select(explode(Dedup.shingles(col(textCol), shingleLen)).as("g"))
       .agg(countDistinct(col("g")).as("n_items"))
+      .filter(col("n_items") > 0)
     val fprs = spark.createDataFrame(
         fprsPpm.map(p => (p, lnFprMicro(p))))
       .toDF("fpr_ppm", "_lnp_micro")

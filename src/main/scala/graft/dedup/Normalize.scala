@@ -37,6 +37,22 @@ object Normalize {
         "[^a-z0-9 \\t\\n\\r\\f]+", " "),
       "[ \\t\\n\\r\\f]+", " "))
 
+  /** Executor-side JVM twin of [[normalizeText]] for typed streaming
+    * state keys ([[graft.streaming.StreamingIngest.streamingExactDedup]]):
+    * same ASCII casefold, the same Java-regex replaces Spark's
+    * `regexp_replace` runs, and a space-only trim (post-collapse the edges
+    * hold at most single spaces, so this equals Spark's `trim`). A spec
+    * pins column ≡ JVM on generated strings so the three engines (Spark
+    * SQL, DuckDB, streaming state) can never disagree on the canonical
+    * key.
+    */
+  def normalizeTextJvm(s: String): String =
+    if (s == null) null
+    else s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      .replaceAll("[^a-z0-9 \\t\\n\\r\\f]+", " ")
+      .replaceAll("[ \\t\\n\\r\\f]+", " ")
+      .stripPrefix(" ").stripSuffix(" ")
+
   /** DuckDB twin of [[normalizeText]] over a SQL expression */
   def normalizeSql(expr: String): String =
     s"trim(regexp_replace(regexp_replace(translate($expr, '$Upper', '$Lower')," +

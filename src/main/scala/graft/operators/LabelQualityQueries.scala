@@ -115,14 +115,17 @@ object LabelQualityQueries {
               |  FROM cells GROUP BY g, a),
               |rb AS (SELECT g, b, CAST(sum(c) AS BIGINT) AS rb
               |  FROM cells GROUP BY g, b),
-              |ch AS (SELECT ra.g AS g, CAST(sum(ra.ra * rb.rb) AS BIGINT)
+              |ch AS (SELECT ra.g AS g, sum(CAST(ra.ra AS HUGEINT) * rb.rb)
               |    AS chance
               |  FROM ra JOIN rb ON ra.g = rb.g AND ra.a = rb.b GROUP BY ra.g)
-              |SELECT t.g, n, agree, COALESCE(chance, 0) AS chance,
-              |  CAST(((n * agree - COALESCE(chance, 0)) * 1000000)
-              |    // (n * n - COALESCE(chance, 0)) AS BIGINT) AS kappa_micro
+              |SELECT t.g, n, agree, CAST(COALESCE(chance, 0) AS BIGINT)
+              |    AS chance,
+              |  CAST(((CAST(n AS HUGEINT) * agree - COALESCE(chance, 0))
+              |      * 1000000)
+              |    // (CAST(n AS HUGEINT) * n - COALESCE(chance, 0))
+              |    AS BIGINT) AS kappa_micro
               |FROM tot t LEFT JOIN ch ON t.g = ch.g
-              |WHERE n * n > COALESCE(chance, 0)
+              |WHERE CAST(n AS HUGEINT) * n > COALESCE(chance, 0)
               |ORDER BY t.g""".stripMargin)),
 
     // ---- robust per-source length outliers: median/MAD (both type-1
@@ -321,7 +324,8 @@ object LabelQualityQueries {
            |g AS (SELECT DISTINCT unnest(list_transform(range(1, len(t)-1),
            |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
            |  FROM tok WHERE len(t) >= 3),
-           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM g),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM g
+           |  HAVING count(*) > 0),
            |f AS (SELECT * FROM (VALUES $lits) v(fpr_ppm, lnp)),
            |m AS (SELECT CAST(fpr_ppm AS BIGINT) AS fpr_ppm, n_items,
            |    CAST((CAST(n_items AS HUGEINT) * lnp + ${ln2sq - 1})

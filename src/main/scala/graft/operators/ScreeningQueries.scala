@@ -51,7 +51,11 @@ object ScreeningQueries {
 
     // ---- LASER-style distance-margin mining: probe side bounded +
     // broadcast, exact integer dots over unit-milli vectors, margin is a
-    // pure integer subtraction (2k-scaled), rank output
+    // pure integer subtraction (2k-scaled), rank output.
+    // CONTRACT (MarginKnn scaladoc): probe and corpus are DISJOINT frames
+    // — no id-inequality predicate is applied, so a row passed on both
+    // sides scores itself at dot = 1e6. This query's <8 / >=8 split keeps
+    // them disjoint by construction; external callers must pre-filter.
     Q("q152_margin_knn",
       (s, d) => {
         val t = Tables(s, d)
@@ -212,7 +216,11 @@ object ScreeningQueries {
              |ORDER BY own.vec_id""".stripMargin)),
 
     // ---- embedding-space decontamination: best-cosine-vs-eval screen,
-    // eval side broadcast, exact integer dots
+    // eval side broadcast, exact integer dots.
+    // CONTRACT (MarginKnn scaladoc): eval and corpus are DISJOINT frames;
+    // an id passed on both sides matches itself at dot = 1e6 (no
+    // inequality predicate). The <10 / >=10 split here keeps them
+    // disjoint by construction; external callers must pre-filter.
     Q("q156_semantic_screen",
       (s, d) => {
         val t = Tables(s, d)

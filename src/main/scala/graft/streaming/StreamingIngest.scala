@@ -81,15 +81,26 @@ object StreamingIngest {
     * id that carried the text; later arrivals are flagged duplicates — the
     * LLM-pipeline dedup operator on an unbounded stream (state is the
     * hash → first-id map, sharded by Spark's state store).
+    *
+    * `normalized = true` keys the state on the NORMALIZED content hash
+    * ([[graft.dedup.Normalize.normalizeTextJvm]], the exact JVM twin of
+    * the batch `normalizeText` column) so the stream agrees with the
+    * batch normalized-dedup path (q121/q197/q199) on which arrivals are
+    * duplicates — case/punctuation/whitespace re-crawl variants collapse
+    * to one canonical key instead of leaking past the raw hash.
     */
-  def streamingExactDedup(docs: Dataset[DocEvent]): Dataset[DedupedDoc] = {
+  def streamingExactDedup(docs: Dataset[DocEvent],
+      normalized: Boolean = false): Dataset[DedupedDoc] = {
     import docs.sparkSession.implicits._
     def md5(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     }
+    val key: DocEvent => String =
+      if (normalized) e => md5(graft.dedup.Normalize.normalizeTextJvm(e.text))
+      else e => md5(e.text)
     docs
-      .groupByKey(e => md5(e.text))
+      .groupByKey(key)
       .flatMapGroupsWithState[Long, DedupedDoc](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {

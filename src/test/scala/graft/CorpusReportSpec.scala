@@ -97,6 +97,23 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("cosinePairs relative cap fails fast past maxRelativeCapDocs") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TfIdf.cosinePairs(docs, "doc_id", "text", t2Ppm = 0L,
+        maxDfPpm = Some(500000L), maxRelativeCapDocs = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxDf"))
+    // absolute cap stays unguarded (the scale path)
+    assert(TfIdf.cosinePairs(docs, "doc_id", "text", t2Ppm = 0L,
+      maxDf = Some(100L), maxRelativeCapDocs = 10L).count() >= 0)
+    // raising the limit re-admits the relative mode explicitly
+    assert(TfIdf.cosinePairs(docs, "doc_id", "text", t2Ppm = 0L,
+      maxDfPpm = Some(500000L), maxRelativeCapDocs = 100L).count() >= 0)
+  }
+
   test("ruleAttribution counts each tripped rule once per document") {
     import spark.implicits._
     val longOk = (1 to 60).map(i => "word" + ('a' + i % 17).toChar).mkString(" ") +

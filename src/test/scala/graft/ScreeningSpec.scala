@@ -154,6 +154,21 @@ class ScreeningSpec extends AnyFunSuite {
     assert(got == Seq((10L, 0L), (11L, 0L)))
   }
 
+  test("semanticScreen CONTRACT: an id on both sides scores itself at 1e6") {
+    import spark.implicits._
+    // probe/corpus are disjoint NAMESPACES by contract — no inequality
+    // predicate is applied, so overlapping frames self-match. This test
+    // pins that advertised behavior so a future 'fix' can't silently
+    // reintroduce the id-exclusion predicate the contract dropped.
+    val both = Seq((5L, Seq(1.0f, 0.0f)), (6L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = MarginKnn.semanticScreen(both, both, "vec_id", "embedding",
+        900000L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((5L, 5L, 1000000L), (6L, 6L, 1000000L)))
+  }
+
   test("interArrivalDispersion: constant gaps → dispersion 0, bursty ≫ uniform") {
     import spark.implicits._
     import java.sql.Timestamp

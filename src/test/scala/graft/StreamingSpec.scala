@@ -75,6 +75,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup agrees with the batch normalized key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      StreamingIngest.DocEvent(1, "Hello, World!"),
+      StreamingIngest.DocEvent(2, "hello   world"),   // normalized dup of 1
+      StreamingIngest.DocEvent(3, "HELLO WORLD."),    // normalized dup of 1
+      StreamingIngest.DocEvent(4, "something else"),
+      StreamingIngest.DocEvent(5, "Something ELSE?")) // normalized dup of 4
+    val input = MemoryStream[StreamingIngest.DocEvent](spark)
+    val out = StreamingIngest.streamingExactDedup(input.toDS(),
+      normalized = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("norm_dedup_out").start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("norm_dedup_out")
+        .as[StreamingIngest.DedupedDoc]
+        .collect().map(r => r.docId -> r.firstSeen).toMap
+      // batch truth: first-seen = min doc_id per NORMALIZED content hash
+      // (all ids here arrive in id order, so stream ownership matches)
+      val batchFirst = docs.toDF("docId", "text")
+        .groupBy(graft.dedup.Normalize.normalizeText(col("text")).as("k"))
+        .agg(org.apache.spark.sql.functions.min(col("docId")).as("first"))
+        .select("first").as[Long].collect().toSet
+      assert(got == docs.map(d => d.docId -> batchFirst(d.docId)).toMap)
+      assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+        4L -> true, 5L -> false))
+    } finally q.stop()
+  }
+
+  test("Normalize.normalizeTextJvm ≡ the normalizeText column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aAzZ09 .,;!?\t\n\r\f-_/äÖ\"'"
+    val samples = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    } ++ Seq("", "   ", "...", "A.B", " x ", "\t\n")
+    val viaColumn = samples.toDF("t")
+      .select(graft.dedup.Normalize.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    val viaJvm = samples.map(graft.dedup.Normalize.normalizeTextJvm)
+    assert(viaColumn == viaJvm)
+  }
+
   test("streaming passage dedup: cross-batch and cross-doc passage ownership") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
