@@ -527,5 +527,90 @@ object CorpusAuditQueries {
              |  (n_hapax * 1000000) // n_tokens AS p0_ppm,
              |  CAST((CAST(rep AS HUGEINT) * 1000000)
              |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
-             |FROM a ORDER BY src""".stripMargin)))
+             |FROM a ORDER BY src""".stripMargin)),
+
+    // ---- SAMPLED dedup threshold sweep (q114 at any scale): the q178
+    // move — deterministic hash-sample at f = 1/2, exact prefix-filtered
+    // pairs on the sample, unbiased pair estimate ×4 (= 1/f²). The exact
+    // arm's quadratic cost falls to ~f² of the pairs, so threshold tuning
+    // runs at 100 TB where the exact q114 audit cannot
+    Q("q201_sweep_sampled",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.dedup.SampledSweep.sampledPairs(t.documents,
+          "doc_id", "text", shingleLen = 3, threshold = 0.5,
+          fraction = 0.5, salt = "ts1")
+        graft.dedup.SampledSweep.thresholdSweep(pairs,
+          Seq(500000L, 600000L, 700000L, 800000L, 900000L),
+          invFractionSq = 4L)
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              |    FROM documents
+              |    WHERE substr(md5('ts1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |      < '${graft.sampling.Sampling.fractionThreshold(0.5)}')
+              |  WHERE len(t) >= 3),
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2,
+              |    (inter * 1000000) // (s1.n + s2.n - inter) AS jac_ppm
+              |  FROM i JOIN sz s1 ON s1.doc_id = id1
+              |    JOIN sz s2 ON s2.doc_id = id2
+              |  WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)),
+              |t AS (SELECT CAST(unnest([500000, 600000, 700000, 800000,
+              |    900000]) AS BIGINT) AS t_ppm)
+              |SELECT t_ppm,
+              |  CAST(count(CASE WHEN jac_ppm >= t_ppm THEN 1 END) AS BIGINT)
+              |    AS n_pairs,
+              |  CAST(count(DISTINCT CASE WHEN jac_ppm >= t_ppm THEN id2 END)
+              |    AS BIGINT) AS n_docs_removed,
+              |  CAST(count(CASE WHEN jac_ppm >= t_ppm THEN 1 END) AS BIGINT)
+              |    * 4 AS est_pairs_full
+              |FROM t LEFT JOIN pr ON TRUE
+              |GROUP BY t_ppm ORDER BY t_ppm""".stripMargin)),
+
+    // ---- SAMPLED cross-source duplication matrix (q115 at any scale):
+    // the SAME sampled pair frame threaded through the provenance view —
+    // one shared frame, two reports (PlanSpec pins the sharing)
+    Q("q202_cross_source_sampled",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.dedup.SampledSweep.sampledPairs(t.documents,
+          "doc_id", "text", shingleLen = 3, threshold = 0.5,
+          fraction = 0.5, salt = "ts1")
+        graft.dedup.SampledSweep.crossSourceMatrix(pairs, t.documents,
+          "doc_id", "source", invFractionSq = 4L)
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              |    FROM documents
+              |    WHERE substr(md5('ts1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |      < '${graft.sampling.Sampling.fractionThreshold(0.5)}')
+              |  WHERE len(t) >= 3),
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2
+              |  FROM i JOIN sz s1 ON s1.doc_id = id1
+              |    JOIN sz s2 ON s2.doc_id = id2
+              |  WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)),
+              |sp AS (SELECT least(d1.source, d2.source) AS src_a,
+              |    greatest(d1.source, d2.source) AS src_b
+              |  FROM pr JOIN documents d1 ON d1.doc_id = pr.id1
+              |    JOIN documents d2 ON d2.doc_id = pr.id2)
+              |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(count(*) AS BIGINT) * 4 AS est_pairs_full
+              |FROM sp GROUP BY src_a, src_b
+              |ORDER BY src_a, src_b""".stripMargin)))
 }

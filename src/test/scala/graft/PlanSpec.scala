@@ -992,6 +992,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "totals must broadcast:\n" + p)
   }
 
+  test("sampled sweep + cross-source matrix share ONE cached pair frame") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // verdict item: q201/q202 are two reports off the same sampled pair
+    // frame — both consumers must read the SAME persisted frame (a second
+    // prefix-filter pair join would surface as a distinct cached plan)
+    val t = Tables(spark, dir)
+    val pairs = graft.dedup.SampledSweep.sampledPairs(t.documents,
+      "doc_id", "text", shingleLen = 3, threshold = 0.5,
+      fraction = 0.5, salt = "pspin")
+    try {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val sweep = graft.dedup.SampledSweep.thresholdSweep(pairs,
+          Seq(500000L, 700000L, 900000L), invFractionSq = 4L)
+          .queryExecution.executedPlan
+        val matrix = graft.dedup.SampledSweep.crossSourceMatrix(pairs,
+          t.documents, "doc_id", "source", invFractionSq = 4L)
+          .queryExecution.executedPlan
+        def cacheIds(p: org.apache.spark.sql.execution.SparkPlan) =
+          p.collect { case c: InMemoryTableScanExec =>
+            System.identityHashCode(c.relation.cacheBuilder.cachedPlan)
+          }.toSet
+        val s = cacheIds(sweep)
+        val m = cacheIds(matrix)
+        assert(s.nonEmpty, s"sweep must read the persisted pairs:\n$sweep")
+        assert(m.nonEmpty, s"matrix must read the persisted pairs:\n$matrix")
+        assert((s intersect m).nonEmpty,
+          s"the two reports read DIFFERENT cached frames:\n$sweep\n$matrix")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally pairs.unpersist()
+  }
+
   test("q162 bootstrap: all replicas in one scan, partial-agg'd, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = exec("q162_bootstrap_means")
