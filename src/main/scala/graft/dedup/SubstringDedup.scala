@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Cross-document exact-substring dedup with KEEP-ONE semantics — the
+  * "deduplicating training data makes LMs better" operator (Lee et al.
+  * 2022) completed: [[DupSpans]] (q70) detects duplicated spans and its
+  * strip removes EVERY occurrence; training-data dedup instead keeps one
+  * canonical copy of each duplicated substring and removes the rest.
+  * A suffix array is a single-machine artifact; the distributed
+  * re-expression is the sorted-gram-run frame the engine already uses
+  * (explode → hash-keyed shuffle → gaps-and-islands), extended with
+  * content attribution:
+  *
+  *  1. per row: token L-grams with start positions, HASHED immediately —
+  *     the exchange carries 32-hex keys, never L-word strings (at L = 50
+  *     a raw gram is ~300 bytes; the hash is the only thing equality
+  *     needs);
+  *  2. grams present in ≥ `minDocs` DISTINCT documents (one gram-hash
+  *     shuffle with partial agg) — the CROSS-document floor [[DupSpans]]
+  *     lacks (its `minCount` also fires on self-repetition within one
+  *     document);
+  *  3. covered words merge into maximal per-doc spans (gaps-and-islands,
+  *     skew bounded by the longest document);
+  *  4. each span's text re-slices from the persisted token frame and
+  *     hashes → clusters of content-identical spans, each with its
+  *     canonical FIRST occurrence (min (doc_id, span_start));
+  *  5. verdicts: a span is kept iff it IS its cluster's canonical
+  *     occurrence.
+  *
+  * Spans whose surrounding duplicated material differs hash to different
+  * clusters (coverage islands are maximal per doc) — cluster membership
+  * asserts exact full-span equality, the strongest claim, never "shares
+  * some substring". Scale: one corpus-sized gram-hash exchange + one
+  * span-hash agg; everything else is bounded joins against the persisted
+  * token frame.
+  */
+object SubstringDedup {
+
+  private def cleanTokens(textCol: String): Column =
+    filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
+
+  /** persisted (id, toks) projection — build ONCE and pass to both
+    * derived views so the corpus text is scanned and tokenized a single
+    * time (the q62/q119 single-scan convention)
+    */
+  def tokenFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Parallelism.ensure(
+      docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks")))
+
+  /** (idCol, span_start, span_end, span_words, span_hash) — maximal word
+    * spans covered by an L-gram occurring in ≥ `minDocs` distinct
+    * documents, with the md5 of the span's reassembled text. Positions are
+    * 0-based indexes into the whitespace token list.
+    */
+  def crossDocSpans(toks: DataFrame, idCol: String, minWords: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = toks
+      .filter(size(col("_graft_toks")) >= minWords)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("_graft_toks")) - minWords),
+          i => md5(array_join(
+            slice(col("_graft_toks"), i + 1, lit(minWords)), " "))))
+          .as(Seq("_graft_p", "gram_h")))
+      .select(col(idCol), col("_graft_p").cast("long").as("pos"),
+        col("gram_h"))
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(countDistinct(col(idCol)).as("_graft_nd"))
+      .filter(col("_graft_nd") >= minDocs)
+      .select(col("gram_h"))
+    val words = grams.join(dup, Seq("gram_h"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (minWords - 1)))
+          .as("wpos"))
+      .distinct()
+    val spans = words
+      .withColumn("_graft_grp",
+        col("wpos") - row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("wpos"))))
+      .groupBy(col(idCol), col("_graft_grp"))
+      .agg(min(col("wpos")).as("span_start"),
+        max(col("wpos")).as("span_end"),
+        count(lit(1)).as("span_words"))
+      .drop("_graft_grp")
+    spans.join(toks, Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_words"),
+        md5(array_join(slice(col("_graft_toks"),
+          (col("span_start") + 1).cast("int"),
+          col("span_words").cast("int")), " ")).as("span_hash"))
+  }
+
+  /** One row per distinct duplicated substring (by exact content):
+    * (span_hash, span_words, n_docs, n_spans, first_doc_id, first_start)
+    * — the "duplicate substring table" a suffix-array pipeline publishes,
+    * with the canonical first occurrence each cluster keeps.
+    */
+  def substringClusters(spans: DataFrame, idCol: String): DataFrame =
+    spans.groupBy(col("span_hash"))
+      .agg(max(col("span_words")).as("span_words"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        min(struct(col(idCol).as("d"), col("span_start").as("s")))
+          .as("_graft_c"))
+      .select(col("span_hash"), col("span_words"), col("n_docs"),
+        col("n_spans"), col("_graft_c.d").as("first_doc_id"),
+        col("_graft_c.s").as("first_start"))
+
+  /** Keep-one verdicts: every span row from [[crossDocSpans]] plus
+    * `kept` — true iff the span is its content cluster's canonical (min
+    * (doc_id, span_start)) occurrence. Downstream removal strips the
+    * words of every `kept = false` span and leaves canonical copies in
+    * place — the Lee et al. policy, vs [[DupSpans.stripDuplicatedSpans]]
+    * which removes all occurrences.
+    */
+  def dedupVerdicts(spans: DataFrame, idCol: String): DataFrame =
+    spans
+      .withColumn("_graft_rn", row_number().over(
+        Window.partitionBy(col("span_hash"))
+          .orderBy(col(idCol), col("span_start"))))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_words"), col("span_hash"),
+        (col("_graft_rn") === 1).as("kept"))
+}

@@ -25,6 +25,36 @@ object TextDedupQueries {
   /** DuckDB: distinct 3-word shingles per document (mirrors
     * TextFunctions.shingles).
     */
+  /** shared CTE chain for the q203/q204 substring-dedup oracles: hashed
+    * 50-gram index with a distinct-doc floor → coverage islands → span
+    * frame `tx` (doc_id, span_start, span_end, span_words, span_hash)
+    */
+  private[operators] val substringSpansCte =
+    """t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 49),
+      |      i -> {'pos': i, 'gram': md5(array_to_string(
+      |        toks[CAST(i+1 AS INT):CAST(i+50 AS INT)], ' '))})) AS u
+      |  FROM t WHERE len(toks) >= 50),
+      |p AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram AS gram_h
+      |  FROM g),
+      |dup AS (SELECT gram_h FROM p GROUP BY gram_h
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |offs AS (SELECT unnest(range(0, 50)) AS j),
+      |w AS (SELECT DISTINCT doc_id, pos + j AS wpos
+      |  FROM p JOIN dup USING (gram_h) CROSS JOIN offs),
+      |isl AS (SELECT doc_id, wpos,
+      |    wpos - row_number() OVER (PARTITION BY doc_id ORDER BY wpos) AS grp
+      |  FROM w),
+      |sp AS (SELECT doc_id, min(wpos) AS span_start, max(wpos) AS span_end,
+      |    CAST(count(*) AS BIGINT) AS span_words
+      |  FROM isl GROUP BY doc_id, grp),
+      |tx AS (SELECT sp.doc_id, span_start, span_end, span_words,
+      |    md5(array_to_string(t.toks[CAST(span_start+1 AS INT):
+      |      CAST(span_end+1 AS INT)], ' ')) AS span_hash
+      |  FROM sp JOIN t USING (doc_id))""".stripMargin
+
   private[operators] val shinglesCte =
     """docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
@@ -519,6 +549,58 @@ object TextDedupQueries {
              |  CAST(count(*) AS BIGINT) AS span_words
              |FROM isl GROUP BY doc_id, grp
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- cross-document exact-substring dedup at 50-token granularity
+    // (Lee et al. 2022 keep-one policy): hashed 50-gram inverted index
+    // with a DISTINCT-doc floor -> maximal spans -> content clusters with
+    // canonical first occurrence. ONE persisted token frame under gram
+    // build and span re-slice
+    Q("q203_substring_clusters",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = graft.dedup.SubstringDedup.crossDocSpans(toks,
+          "doc_id", minWords = 50, minDocs = 2)
+        graft.dedup.SubstringDedup.substringClusters(spans, "doc_id")
+          .orderBy(col("span_hash"))
+      },
+      Some(s"""WITH ${substringSpansCte},
+              |r AS (SELECT span_hash, span_words, doc_id, span_start,
+              |    row_number() OVER (PARTITION BY span_hash
+              |      ORDER BY doc_id, span_start) AS rn FROM tx),
+              |c AS (SELECT span_hash, doc_id AS first_doc_id,
+              |    span_start AS first_start FROM r WHERE rn = 1),
+              |a AS (SELECT span_hash, max(span_words) AS span_words,
+              |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |    CAST(count(*) AS BIGINT) AS n_spans
+              |  FROM tx GROUP BY span_hash)
+              |SELECT a.span_hash, a.span_words, n_docs, n_spans,
+              |  first_doc_id, first_start
+              |FROM a JOIN c USING (span_hash)
+              |ORDER BY span_hash""".stripMargin)),
+
+    // ---- the keep-one verdicts over the same span frame: a span is kept
+    // iff it IS its content cluster's canonical (min (doc, start))
+    // occurrence — removal strips kept = false spans, leaving one copy
+    Q("q204_substring_dedup",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = graft.dedup.SubstringDedup.crossDocSpans(toks,
+          "doc_id", minWords = 50, minDocs = 2)
+        graft.dedup.SubstringDedup.dedupVerdicts(spans, "doc_id")
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH ${substringSpansCte}
+              |SELECT doc_id, span_start, span_end, span_words, span_hash,
+              |  (row_number() OVER (PARTITION BY span_hash
+              |    ORDER BY doc_id, span_start)) = 1 AS kept
+              |FROM tx
+              |ORDER BY doc_id, span_start""".stripMargin)),
 
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle

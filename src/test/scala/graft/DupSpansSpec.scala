@@ -131,4 +131,65 @@ class DupSpansSpec extends AnyFunSuite {
       java.security.MessageDigest.getInstance("MD5").digest("tiny".getBytes)
         .map("%02x".format(_)).mkString)))
   }
+
+  // ---- SubstringDedup: planted-substring semantics the q203/q204 oracle
+  // rows can't isolate — keep-one canonical choice, cross-doc floor vs
+  // within-doc repetition, and cluster separation by full-span content
+
+  private def substringFixture(rows: Seq[(Long, String)], minWords: Int) = {
+    import graft.dedup.SubstringDedup
+    val toks = SubstringDedup.tokenFrame(rows.toDF("doc_id", "text"),
+      "doc_id", "text").persist()
+    val spans = SubstringDedup.crossDocSpans(toks, "doc_id", minWords)
+    (SubstringDedup.substringClusters(spans, "doc_id").collect()
+       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getLong(4), r.getLong(5))).toSeq,
+     SubstringDedup.dedupVerdicts(spans, "doc_id").collect()
+       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+       .sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("planted substring across 3 docs: one cluster, first occurrence kept") {
+    val planted = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 shared words
+    val (clusters, verdicts) = substringFixture(Seq(
+      (10L, s"pre1 pre2 $planted post1"),
+      (20L, s"$planted tail1 tail2"),
+      (30L, s"a b c d $planted"),
+      (40L, "entirely unrelated words only here")), minWords = 5)
+    assert(clusters.size == 1)
+    val c = clusters.head
+    // 6-word span in all three docs, canonical = (10, start 2)
+    assert((c._2, c._3, c._4, c._5, c._6) == (6L, 3L, 3L, 10L, 2L))
+    assert(verdicts == Seq((10L, 2L, true), (20L, 0L, false),
+      (30L, 4L, false)))
+  }
+
+  test("within-doc-only repetition is NOT cross-document duplication") {
+    // the same 5 words twice in ONE doc: DupSpans.minCount=2 would fire,
+    // the distinct-doc floor must not
+    val p = "r1 r2 r3 r4 r5"
+    val (clusters, verdicts) =
+      substringFixture(Seq((1L, s"$p mid $p"), (2L, "other stuff entirely")),
+        minWords = 5)
+    assert(clusters.isEmpty && verdicts.isEmpty)
+  }
+
+  test("asymmetric surroundings split clusters by full-span content") {
+    // docs 1+2 share "s1..s6"; doc 1 ALSO shares its neighboring words
+    // with doc 3, so doc 1's maximal island extends past the 6 shared
+    // words → its span content differs from doc 2's exact span: separate
+    // clusters (membership asserts exact full-span equality)
+    val core = "s1 s2 s3 s4 s5 s6"
+    val ext = s"e1 e2 e3 e4 $core"
+    val (clusters, _) = substringFixture(Seq(
+      (1L, ext),                       // island covers all 10 words
+      (2L, s"x1 x2 $core"),            // island covers the 6 core words
+      (3L, s"$ext y1")), minWords = 5)
+    // doc1+doc3 share the 10-word span (one cluster, n_docs=2); doc 2's
+    // 6-word span is content-distinct (its own cluster, n_docs=1)
+    assert(clusters.size == 2)
+    val bySize = clusters.sortBy(_._2)
+    assert((bySize(0)._2, bySize(0)._3) == (6L, 1L))
+    assert((bySize(1)._2, bySize(1)._3) == (10L, 2L))
+  }
 }
