@@ -484,6 +484,37 @@ object TextDedupQueries {
              |FROM p WHERE levenshtein(s1, s2) <= 1
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ---- the CAPPED edit join (the q187 move for q181): an absolute
+    // per-variant df cap bounds the equi-join at maxDf² per variant AND
+    // keeps the variant index bounded — the scale path where the exact
+    // q181 contract's corpus-sized neighborhood index pressures one box
+    // (BENCH_sf10 measured 1.2× above linear uncapped). Recall loss only
+    // when EVERY shared variant of a true pair is above-cap
+    Q("q205_edit_join_capped",
+      (s, d) => {
+        val t = Tables(s, d)
+        val keyed = t.documents.filter(col("text").isNotNull &&
+            length(col("text")) > 0)
+          .select(col("doc_id"), lower(substring(col("text"), 1, 12)).as("k"))
+        graft.dedup.EditDistance.deletionNeighborhoodJoin(keyed, "doc_id",
+            "k", maxDist = 1, maxDf = Some(50L))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH b AS (SELECT doc_id AS id, lower(substr(text, 1, 12)) AS s
+             |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+             |va AS (SELECT id, s, unnest(list_distinct(list_concat([s],
+             |    list_transform(range(1, len(s) + 1),
+             |      i -> substr(s, 1, CAST(i - 1 AS INT))
+             |        || substr(s, CAST(i + 1 AS INT)))))) AS vv
+             |  FROM b),
+             |f AS (SELECT vv FROM va GROUP BY vv HAVING count(*) <= 50),
+             |vc AS (SELECT va.id, va.s, va.vv FROM va JOIN f USING (vv)),
+             |p AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+             |  FROM vc a JOIN vc b ON a.vv = b.vv AND a.id < b.id)
+             |SELECT id1, id2, s1, s2, CAST(levenshtein(s1, s2) AS INTEGER) AS dist
+             |FROM p WHERE levenshtein(s1, s2) <= 1
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ---- B-cubed precision/recall of the normalized-hash clustering
     // scored against raw-hash gold: the standard extrinsic cluster-eval
     // number over the same two groupings q121/q174 compare setwise

@@ -182,7 +182,16 @@ object ScaleBench {
       "q172_autocorrelation", "q173_gini_length", "q175_cramers_v",
       "q176_rbo_vocab", "q177_js_divergence", "q179_psi_smoothed",
       "q180_bmff_probe", "q182_bcubed", "q183_pii_scan", "q184_emd_drift",
-      "q185_shard_pack", "q186_waterfill", "q187_cosine_pairs_capped")
+      "q185_shard_pack", "q186_waterfill", "q187_cosine_pairs_capped",
+      // round-10/11 additions: label-quality screens, capacity planners,
+      // fold assignment, substring dedup (50-gram hashes never cross
+      // replicas under either salting), and the capped edit join
+      "q188_knn_label_noise", "q189_mrl_fidelity", "q190_lang_kappa",
+      "q191_mad_outliers", "q192_chunk_plan", "q193_pr_curve",
+      "q194_dow_seasonality", "q195_volume_anomaly", "q196_freq_spectrum",
+      "q197_dup_crosstab", "q198_bloom_plan", "q199_cv_folds",
+      "q200_curation_v2", "q203_substring_clusters", "q204_substring_dedup",
+      "q205_edit_join_capped")
     // near-dup-graph queries: unperturbed embedding replication makes the
     // graph (and everything over it) grow quadratically in mult — under
     // `wordsalt` the cyclic-shift perturbation removes the artifact and
@@ -198,6 +207,10 @@ object ScaleBench {
     val textGated = Seq("q169_lsh_recall", "q174_dedup_agreement",
       "q178_lsh_recall_sampled", "q114_dedup_threshold_sweep",
       "q115_cross_source_dups",
+      // the sampled twins ride the same 0.5-threshold prefix join over
+      // the sampled slice — cross-replica shingle sharing poisons them
+      // exactly like q114/q115 under default salting
+      "q201_sweep_sampled", "q202_cross_source_sampled",
       // default replication leaves every replica's 12-char prefix
       // verbatim -> quadratic identical-key pairs; wordsalt perturbs it
       "q181_edit_join")
