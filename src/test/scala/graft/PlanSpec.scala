@@ -992,6 +992,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "totals must broadcast:\n" + p)
   }
 
+  test("q203/q204 substring dedup tokenizes the corpus exactly once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // one persisted token frame feeds gram build AND span re-slice: every
+    // branch reads the cache, the raw text is tokenized only at cache
+    // build, and all cache reads are of the SAME cached plan
+    Seq("q203_substring_clusters", "q204_substring_dedup").foreach { q =>
+      val p = exec(q)
+      val fileScans = p.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.isEmpty,
+        s"$q: all branches must read the persisted token frame, got " +
+          s"${fileScans.size} direct parquet scans:\n$p")
+      val cacheScans = p.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size >= 2, s"$q: expected >= 2 cache reads:\n$p")
+      val rels = cacheScans
+        .map(c => System.identityHashCode(c.relation.cacheBuilder.cachedPlan))
+        .distinct
+      assert(rels.size == 1,
+        s"$q: ${rels.size} distinct cached plans — tokens derived twice:\n$p")
+    }
+  }
+
   test("sampled sweep + cross-source matrix share ONE cached pair frame") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // verdict item: q201/q202 are two reports off the same sampled pair
