@@ -59,4 +59,53 @@ object Agreement {
                |  div (CAST(n AS DECIMAL(38,0)) * n - chance) AS BIGINT)"""
           .stripMargin).as("kappa_micro"))
   }
+
+  /** Per-group Krippendorff's α (nominal, two raters, no missing values),
+    * exact integer micro-units — the POOLED-marginal, small-sample-
+    * corrected complement of [[cohenKappa]]: κ models each rater's own
+    * label distribution; α treats both passes as draws from one shared
+    * distribution and applies the (n−1) finite-sample correction, which is
+    * what annotation-pipeline reliability reports conventionally quote.
+    *
+    * With N units, A agreeing units, n = 2N pooled values and pooled
+    * value marginals n_v = rowmarg_v + colmarg_v:
+    *   observed-disagreement numerator  Do = 2·(N − A)
+    *   expected-disagreement numerator  De = n² − Σ_v n_v²
+    *   α = 1 − (n−1)·Do / De
+    * emitted as `alpha_micro = (De − (n−1)·Do)·10⁶ div De`.
+    *
+    * Same execution shape as κ: ONE (group, a, b) partial-agg'd cell count
+    * is the only corpus-sized exchange; marginals and both disagreement
+    * terms derive from the bounded cell frame. Degenerate groups where
+    * every pooled value is identical (De = 0, α is 0/0) are dropped in
+    * BOTH engines. Products (n², Σ n_v², ×10⁶) run in DECIMAL(38,0) /
+    * HUGEINT — n² · 10⁶ blows signed 64-bit past ~1.5 M units per group.
+    */
+  def krippendorffAlpha(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).cast("string").as("g"),
+        col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_units"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val ra = cells.groupBy(col("g"), col("a").as("v")).agg(sum(col("c")).as("m"))
+    val rb = cells.groupBy(col("g"), col("b").as("v")).agg(sum(col("c")).as("m"))
+    // pooled marginal n_v = value count across BOTH raters (union-all then
+    // re-agg: bounded frames — at most one row per (group, label, rater))
+    val pooled = ra.unionByName(rb)
+      .groupBy(col("g"), col("v")).agg(sum(col("m")).as("nv"))
+      .groupBy(col("g"))
+      .agg(sum(col("nv").cast("decimal(38,0)") * col("nv")).as("sum_nv2"))
+    totals.join(broadcast(pooled), Seq("g"))
+      .withColumn("de", col("n_units").cast("decimal(38,0)") * col("n_units")
+        * lit(4) - col("sum_nv2"))
+      .filter(col("de") > lit(0))
+      .select(col("g"), col("n_units"), col("agree"),
+        col("de").cast("long").as("de"),
+        expr("""CAST(((de - (CAST(n_units AS DECIMAL(38,0)) * 2 - 1)
+               |         * (n_units - agree) * 2) * 1000000)
+               |  div de AS BIGINT)""".stripMargin).as("alpha_micro"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Clipped n-gram precision profile — the BLEU component audit between
+  * paired texts (candidate vs reference): for each n in 1..maxN, the
+  * modified precision p_n = Σ_pairs Σ_g min(count_cand(g), count_ref(g))
+  * / Σ_pairs (cand n-gram total), plus the exact length totals the
+  * brevity penalty needs. The pipeline uses it to score synthetic
+  * rewrites, translation pairs, or near-dup candidates against their
+  * originals WITHOUT a float in sight: every count is an integer and the
+  * precisions are emitted in exact ppm, so the gate can hash-compare
+  * them. Composing the geometric mean / exp brevity penalty into a
+  * headline BLEU is left to the consumer (it is transcendental; the four
+  * precisions and both lengths determine it).
+  *
+  * Scale shape: each (pair, n) side explodes its n-grams ONCE into a
+  * per-pair gram-count frame; clipping is an equi-join on
+  * (pair, n, gram) — work is linear in total pair text volume, and a
+  * document appearing in k pairs costs k explosions (callers pair each
+  * doc O(1) times). No window over corpus-order rows, no driver state.
+  */
+object OverlapEval {
+
+  /** `pairs` must carry (candIdCol, refIdCol); texts come from `docs`
+    * keyed by `idCol`. Returns one row per (group, n): clipped matches,
+    * candidate totals, precision ppm, and the summed candidate/reference
+    * token lengths (identical across the n rows of a group — carried on
+    * each row for a self-contained report).
+    */
+  def ngramPrecisionProfile(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, candIdCol: String, refIdCol: String,
+      groupCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val toks = docs.select(col(idCol).as("_graft_did"),
+      TextFunctions.tokens(col(textCol)).as("_graft_w"))
+    val p = pairs.select(col(candIdCol).as("_graft_cid"),
+      col(refIdCol).as("_graft_rid"), col(groupCol).as("g"))
+
+    def gramCounts(side: String, joinId: String): DataFrame =
+      (1 to maxN).map { n =>
+        p.join(toks, col(joinId) === col("_graft_did"))
+          .select(col("_graft_cid"), col("_graft_rid"), col("g"),
+            lit(n).as("n"),
+            explode(TextFunctions.ngrams(col("_graft_w"), n)).as("gram"))
+          .groupBy(col("_graft_cid"), col("_graft_rid"), col("g"),
+            col("n"), col("gram"))
+          .agg(count(lit(1)).as(s"c_$side"))
+      }.reduce(_ unionByName _)
+
+    val cand = gramCounts("cand", "_graft_cid")
+    val ref = gramCounts("ref", "_graft_rid")
+    val clipped = cand.join(ref,
+        Seq("_graft_cid", "_graft_rid", "g", "n", "gram"), "left")
+      .groupBy(col("g"), col("n"))
+      .agg(sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
+          .as("clipped"),
+        sum(col("c_cand")).as("cand_grams"))
+
+    // exact token-length totals per group (the brevity-penalty inputs)
+    val lens = p
+      .join(toks.withColumnRenamed("_graft_w", "_graft_wc"),
+        col("_graft_cid") === col("_graft_did")).drop("_graft_did")
+      .join(toks, col("_graft_rid") === col("_graft_did"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(size(col("_graft_wc")).cast("long")).as("cand_tokens"),
+        sum(size(col("_graft_w")).cast("long")).as("ref_tokens"))
+
+    clipped.join(lens, Seq("g"))
+      .select(col("g"), col("n"), col("n_pairs"),
+        col("clipped"), col("cand_grams"),
+        when(col("cand_grams") > 0L,
+          expr("(clipped * 1000000) div cand_grams")).as("p_ppm"),
+        col("cand_tokens"), col("ref_tokens"))
+  }
+}

@@ -121,4 +121,52 @@ object CapacityPlan {
             s"div (n_chunks * $window)"))
           .as("waste_ppm"))
   }
+
+  /** Concat-and-chunk packing fragmentation audit — the GPT-style
+    * pretraining packer (concatenate every document of a stream in a
+    * deterministic order, cut the token stream at exact `contextLen`
+    * boundaries) costs nothing in padding but SPLITS documents across
+    * window boundaries; the training-relevant question is how often. Per
+    * group: windows used `⌈total/L⌉`, documents straddling a boundary,
+    * the straddle rate, total fragments (a doc spanning w windows
+    * contributes w), and the final window's tail padding — the numbers
+    * that decide contextLen and whether doc-boundary-respecting packing
+    * (q185/q192) is worth its padding bill.
+    *
+    * The stream order is (orderCol ascending) within each group — a pure
+    * prefix-sum window partitioned by group. One shuffle on the group
+    * key; per-doc arithmetic after that is window-free. Zero-token docs
+    * occupy no interval (0 fragments, never straddle).
+    */
+  def packFragmentation(docs: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val w = Window.partitionBy(col("g")).orderBy(col("_graft_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol).as("g"), col(orderCol).as("_graft_ord"),
+        graft.text.TextFunctions.tokenCount(col(textCol)).cast("long")
+          .as("_graft_n"))
+      .withColumn("_graft_cum", sum(col("_graft_n")).over(w))
+      .select(col("g"), col("_graft_n"),
+        // doc occupies token interval [cum - n, cum); fragments = number
+        // of distinct L-windows the interval touches
+        when(col("_graft_n") === 0L, 0L)
+          .otherwise(expr(s"(_graft_cum - 1) div $contextLen" +
+            s" - (_graft_cum - _graft_n) div $contextLen + 1"))
+          .as("_graft_frag"),
+        col("_graft_cum"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_graft_n")).as("total_tokens"),
+        sum(col("_graft_frag")).as("fragments"),
+        sum(when(col("_graft_frag") > 1L, 1L).otherwise(0L))
+          .as("n_straddle"))
+      .select(col("g"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${contextLen - 1}) div $contextLen")
+          .as("windows_used"),
+        col("fragments"), col("n_straddle"),
+        expr("(n_straddle * 1000000) div n_docs").as("straddle_ppm"),
+        expr(s"((total_tokens + ${contextLen - 1}) div $contextLen) " +
+          s"* $contextLen - total_tokens").as("tail_pad"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curation.{Agreement, QualityClassifier, RankEval, RobustStats}
+import graft.curation.{Agreement, Conformal, OverlapEval, QualityClassifier, RankEval, RobustStats}
 import graft.similarity.LabelAudit
 import graft.text.TextFunctions
 
@@ -441,5 +441,221 @@ object LabelQualityQueries {
            |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
            |  CAST(sum(n_chars) AS BIGINT) AS n_chars
            |FROM fd GROUP BY fold ORDER BY fold""".stripMargin
-      }))
+      }),
+
+    // ---- Krippendorff's α (nominal, two raters) per source: the
+    // POOLED-marginal, (n−1)-corrected reliability complement of q190's
+    // Cohen's κ — same (g, a, b) cell-count exchange, different chance
+    // model; α is what annotation reliability reports conventionally quote
+    Q("q206_krippendorff",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pred = t.documents.select(col("source"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        Agreement.krippendorffAlpha(pred, "source", "lang", "lang_pred")
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH p AS (${TextDedupQueries.langIdPredSql}),
+              |j AS (SELECT d.source AS g, p.lang AS a, p.lang_pred AS b
+              |  FROM p JOIN documents d ON p.doc_id = d.doc_id),
+              |cells AS (SELECT g, a, b, CAST(count(*) AS BIGINT) AS c
+              |  FROM j GROUP BY g, a, b),
+              |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_units,
+              |    CAST(sum(c) FILTER (WHERE a = b) AS BIGINT) AS agree
+              |  FROM cells GROUP BY g),
+              |pool AS (SELECT g, v, CAST(sum(m) AS BIGINT) AS nv FROM (
+              |    SELECT g, a AS v, CAST(sum(c) AS BIGINT) AS m
+              |      FROM cells GROUP BY g, a
+              |    UNION ALL
+              |    SELECT g, b AS v, CAST(sum(c) AS BIGINT) AS m
+              |      FROM cells GROUP BY g, b)
+              |  GROUP BY g, v),
+              |s2 AS (SELECT g, sum(CAST(nv AS HUGEINT) * nv) AS sum_nv2
+              |  FROM pool GROUP BY g),
+              |d2 AS (SELECT t.g, n_units, agree,
+              |    CAST(n_units AS HUGEINT) * n_units * 4 - sum_nv2 AS de
+              |  FROM tot t JOIN s2 ON t.g = s2.g)
+              |SELECT g, n_units, agree, CAST(de AS BIGINT) AS de,
+              |  CAST(((de - (CAST(n_units AS HUGEINT) * 2 - 1)
+              |           * (n_units - agree) * 2) * 1000000)
+              |    // de AS BIGINT) AS alpha_micro
+              |FROM d2 WHERE de > 0 ORDER BY g""".stripMargin)),
+
+    // ---- split-conformal screening calibration: thresholds with a
+    // finite-sample coverage guarantee over the stopword-density quality
+    // score (integer ppm), held-out empirical coverage beside each; the
+    // md5 hash split is the q39 draw, the rank a type-1 order statistic
+    Q("q207_conformal_screen",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val frame = t.documents.select(col("doc_id"),
+          (col("lang") === "en").as("lab"),
+          TextFunctions.integralDiv(
+            size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toks).cast("long"), lit(1L))).as("score"))
+        Conformal.conformalScreen(frame, "doc_id", col("score"),
+            col("lab"), calFraction = 0.3, salt = "conf",
+            alphasPpm = Seq(50000L, 100000L, 200000L, 500000L))
+          .orderBy(col("alpha_ppm"))
+      },
+      Some {
+        val thr = graft.sampling.Sampling.fractionThreshold(0.3)
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT doc_id, (lang = 'en') AS lab,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s,
+           |    substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           |      < '$thr' AS cal
+           |  FROM documents),
+           |hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM b
+           |  WHERE cal AND lab GROUP BY s),
+           |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+           |ncal AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n_cal
+           |  FROM hist),
+           |al AS (SELECT unnest([50000, 100000, 200000, 500000])
+           |    AS alpha_ppm),
+           |rk AS (SELECT alpha_ppm, n_cal,
+           |    (CAST(alpha_ppm AS BIGINT) * (n_cal + 1)) // 1000000
+           |      AS k_rank
+           |  FROM al, ncal),
+           |thr AS (SELECT rk.alpha_ppm, rk.n_cal, rk.k_rank,
+           |    min(cum.s) AS thr_score
+           |  FROM rk LEFT JOIN cum
+           |    ON cum.cum >= rk.k_rank AND rk.k_rank >= 1
+           |  GROUP BY rk.alpha_ppm, rk.n_cal, rk.k_rank),
+           |ev AS (SELECT * FROM b WHERE NOT cal)
+           |SELECT alpha_ppm, n_cal, k_rank, thr_score,
+           |  CAST(count(*) FILTER (WHERE lab) AS BIGINT) AS n_eval_pos,
+           |  CAST(count(*) FILTER (WHERE lab AND (thr_score IS NULL
+           |      OR s >= thr_score)) AS BIGINT) AS n_eval_pos_kept,
+           |  CASE WHEN count(*) FILTER (WHERE lab) > 0 THEN
+           |    (CAST(count(*) FILTER (WHERE lab AND (thr_score IS NULL
+           |        OR s >= thr_score)) AS BIGINT) * 1000000)
+           |      // CAST(count(*) FILTER (WHERE lab) AS BIGINT)
+           |    END AS coverage_ppm,
+           |  CAST(count(*) AS BIGINT) AS n_eval,
+           |  CAST(count(*) FILTER (WHERE thr_score IS NULL
+           |      OR s >= thr_score) AS BIGINT) AS n_eval_kept,
+           |  (CAST(count(*) FILTER (WHERE thr_score IS NULL
+           |      OR s >= thr_score) AS BIGINT) * 1000000)
+           |    // CAST(count(*) AS BIGINT) AS accept_ppm
+           |FROM ev CROSS JOIN thr
+           |GROUP BY alpha_ppm, n_cal, k_rank, thr_score
+           |ORDER BY alpha_ppm""".stripMargin
+      }),
+
+    // ---- clipped n-gram precision profile (BLEU components, n = 1..4)
+    // between adjacent-id same-source doc pairs — the exact-integer
+    // overlap scorer for rewrites/translations/near-dup candidates; the
+    // geometric mean + exp brevity penalty are left to the consumer
+    // (transcendental; fully determined by these columns)
+    Q("q208_bleu_overlap",
+      (s, d) => {
+        val t = Tables(s, d)
+        // gate pairing: each doc vs its successor within the source (a
+        // per-source lead window — fine for a demonstration pairing; the
+        // operator contract takes ANY caller-built pairs frame)
+        val pairs = t.documents
+          .select(col("doc_id").as("cand_id"), col("source").as("g"),
+            lead(col("doc_id"), 1).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("source")).orderBy(col("doc_id")))
+              .as("ref_id"))
+          .filter(col("ref_id").isNotNull)
+        OverlapEval.ngramPrecisionProfile(t.documents, "doc_id", "text",
+            pairs, "cand_id", "ref_id", "g", maxN = 4)
+          .orderBy(col("g"), col("n"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    regexp_split_to_array(text, '\s+') AS w FROM documents),
+             |pr AS (SELECT doc_id AS cid, source AS g,
+             |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS rid FROM documents),
+             |p AS (SELECT pr.cid, pr.rid, pr.g, a.w AS cw, b.w AS rw
+             |  FROM pr JOIN d a ON pr.cid = a.doc_id
+             |    JOIN d b ON pr.rid = b.doc_id
+             |  WHERE pr.rid IS NOT NULL),
+             |cg AS (SELECT cid, rid, g, n, gram,
+             |    CAST(count(*) AS BIGINT) AS cc FROM (
+             |  SELECT cid, rid, g, 1 AS n, unnest(cw) AS gram FROM p
+             |  UNION ALL SELECT cid, rid, g, 2,
+             |    unnest(list_transform(range(1, len(cw)),
+             |      i -> cw[i] || ' ' || cw[i+1])) FROM p
+             |  UNION ALL SELECT cid, rid, g, 3,
+             |    unnest(list_transform(range(1, len(cw)-1),
+             |      i -> cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2])) FROM p
+             |  UNION ALL SELECT cid, rid, g, 4,
+             |    unnest(list_transform(range(1, len(cw)-2),
+             |      i -> cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2] || ' '
+             |        || cw[i+3])) FROM p)
+             |  GROUP BY cid, rid, g, n, gram),
+             |rg AS (SELECT cid, rid, g, n, gram,
+             |    CAST(count(*) AS BIGINT) AS rc FROM (
+             |  SELECT cid, rid, g, 1 AS n, unnest(rw) AS gram FROM p
+             |  UNION ALL SELECT cid, rid, g, 2,
+             |    unnest(list_transform(range(1, len(rw)),
+             |      i -> rw[i] || ' ' || rw[i+1])) FROM p
+             |  UNION ALL SELECT cid, rid, g, 3,
+             |    unnest(list_transform(range(1, len(rw)-1),
+             |      i -> rw[i] || ' ' || rw[i+1] || ' ' || rw[i+2])) FROM p
+             |  UNION ALL SELECT cid, rid, g, 4,
+             |    unnest(list_transform(range(1, len(rw)-2),
+             |      i -> rw[i] || ' ' || rw[i+1] || ' ' || rw[i+2] || ' '
+             |        || rw[i+3])) FROM p)
+             |  GROUP BY cid, rid, g, n, gram),
+             |cl AS (SELECT cg.g, cg.n,
+             |    CAST(sum(least(cg.cc, COALESCE(rg.rc, 0))) AS BIGINT)
+             |      AS clipped,
+             |    CAST(sum(cg.cc) AS BIGINT) AS cand_grams
+             |  FROM cg LEFT JOIN rg ON cg.cid = rg.cid AND cg.rid = rg.rid
+             |    AND cg.n = rg.n AND cg.gram = rg.gram
+             |  GROUP BY cg.g, cg.n),
+             |lens AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(len(cw)) AS BIGINT) AS cand_tokens,
+             |    CAST(sum(len(rw)) AS BIGINT) AS ref_tokens
+             |  FROM p GROUP BY g)
+             |SELECT cl.g, cl.n, n_pairs, clipped, cand_grams,
+             |  (clipped * 1000000) // cand_grams AS p_ppm,
+             |  cand_tokens, ref_tokens
+             |FROM cl JOIN lens ON cl.g = lens.g
+             |ORDER BY cl.g, cl.n""".stripMargin)),
+
+    // ---- concat-and-chunk packing fragmentation audit: the GPT-style
+    // packer's doc-splitting bill per source at a 256-token context —
+    // windows used, straddle rate, fragments, tail padding; prices the
+    // contextLen choice against boundary-respecting packing (q185/q192)
+    Q("q209_pack_fragmentation",
+      (s, d) => {
+        val t = Tables(s, d)
+        CapacityPlan.packFragmentation(t.documents, "source", "doc_id",
+            "text", contextLen = 256)
+          .orderBy(col("g"))
+      },
+      Some("""WITH d AS (SELECT source AS g, doc_id,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+             |      AS n FROM documents),
+             |c AS (SELECT g, n,
+             |    sum(n) OVER (PARTITION BY g ORDER BY doc_id) AS cum
+             |  FROM d),
+             |f AS (SELECT g, n, CASE WHEN n = 0 THEN 0
+             |    ELSE (cum - 1) // 256 - (cum - n) // 256 + 1 END AS frag
+             |  FROM c)
+             |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  (CAST(sum(n) AS BIGINT) + 255) // 256 AS windows_used,
+             |  CAST(sum(frag) AS BIGINT) AS fragments,
+             |  CAST(count(*) FILTER (WHERE frag > 1) AS BIGINT)
+             |    AS n_straddle,
+             |  (CAST(count(*) FILTER (WHERE frag > 1) AS BIGINT) * 1000000)
+             |    // CAST(count(*) AS BIGINT) AS straddle_ppm,
+             |  ((CAST(sum(n) AS BIGINT) + 255) // 256) * 256
+             |    - CAST(sum(n) AS BIGINT) AS tail_pad
+             |FROM f GROUP BY g ORDER BY g""".stripMargin)))
 }

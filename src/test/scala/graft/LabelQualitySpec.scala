@@ -173,4 +173,95 @@ class LabelQualitySpec extends AnyFunSuite {
     assert(both.getAs[Long]("k_full") == 2L &&
       both.getAs[Long]("overlap_ppm") == 1000000L)
   }
+
+  test("krippendorffAlpha: perfect, chance-vs-kappa split, negative, degenerate") {
+    import spark.implicits._
+    val rows = Seq(
+      // perfect with 2 values: De = 36 - (16+4) = 16 > 0, Do = 0 -> 1.0
+      ("perfect", "x", "x"), ("perfect", "x", "x"), ("perfect", "y", "y"),
+      // kappa's chance-level cells: N=4, A=2, pooled n_x = n_y = 4,
+      // De = 64-32 = 32, Do = 4 -> alpha = 1 - 7*4/32 = 0.125 (kappa = 0
+      // here — the pooled-marginal + (n-1) correction IS the difference)
+      ("chance", "x", "x"), ("chance", "x", "y"),
+      ("chance", "y", "x"), ("chance", "y", "y"),
+      // systematic disagreement: N=2, A=0, De = 16-8 = 8, Do = 4
+      // -> alpha = 1 - 3*4/8 = -0.5 (pins negative integer division)
+      ("anti", "x", "y"), ("anti", "y", "x"),
+      // both raters constant and equal -> De = 0, dropped
+      ("constant", "x", "x"), ("constant", "x", "x"))
+    val got = Agreement.krippendorffAlpha(
+        rows.toDF("src", "a", "b"), "src", "a", "b")
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Long]("alpha_micro")).toMap
+    assert(got == Map("perfect" -> 1000000L, "chance" -> 125000L,
+      "anti" -> -500000L))
+  }
+
+  test("conformalScreen: thresholds match an independently-computed rank rule") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val n = 200
+    val df = (1 to n).map(i => (i.toLong, i.toLong * 1000L, i % 2 == 0))
+      .toDF("id", "score", "lab")
+    val alphas = Seq(100000L, 500000L)
+    val got = graft.curation.Conformal.conformalScreen(
+        df, "id", col("score"), col("lab"), 0.5, "t", alphas)
+      .collect().map(r => r.getAs[Long]("alpha_ppm") -> r).toMap
+
+    // independent re-derivation: same md5 split helper, plain Scala rank
+    def draw(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(s"t:$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
+    val thr = graft.sampling.Sampling.fractionThreshold(0.5)
+    val cal = (1 to n).filter(i => draw(i.toLong) < thr)
+    val eval = (1 to n).filterNot(i => draw(i.toLong) < thr)
+    val calPos = cal.filter(_ % 2 == 0).map(_.toLong * 1000L).sorted
+    val evalPos = eval.filter(_ % 2 == 0).map(_.toLong * 1000L)
+    for (a <- alphas) {
+      val k = a * (calPos.size + 1) / 1000000L
+      val r = got(a)
+      assert(r.getAs[Long]("n_cal") == calPos.size.toLong)
+      assert(r.getAs[Long]("k_rank") == k)
+      val expThr = if (k >= 1) Some(calPos(k.toInt - 1)) else None
+      assert(Option(r.getAs[Any]("thr_score"))
+        .map(_.asInstanceOf[Long]) == expThr)
+      val kept = evalPos.count(s => expThr.forall(s >= _))
+      assert(r.getAs[Long]("n_eval_pos_kept") == kept.toLong)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        kept.toLong * 1000000L / evalPos.size)
+      assert(r.getAs[Long]("n_eval") == eval.size.toLong)
+    }
+  }
+
+  test("ngramPrecisionProfile: hand-computed clipped precisions, one pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a b b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, "g1")).toDF("cand_id", "ref_id", "grp")
+    val got = graft.curation.OverlapEval.ngramPrecisionProfile(
+        docs, "doc_id", "text", pairs, "cand_id", "ref_id", "grp")
+      .collect().map(r => r.getAs[Int]("n") ->
+        ((r.getAs[Long]("clipped"), r.getAs[Long]("cand_grams"),
+          r.getAs[Long]("p_ppm")))).toMap
+    // n=1: cand {a:2,b:1,c:1} vs ref {a:1,b:2} -> clip 2/4
+    // n=2: {ab,ba,ac} vs {ab,bb} -> 1/3;  n=3: 0/2;  n=4: 0/1
+    assert(got == Map(1 -> ((2L, 4L, 500000L)), 2 -> ((1L, 3L, 333333L)),
+      3 -> ((0L, 2L, 0L)), 4 -> ((0L, 1L, 0L))))
+  }
+
+  test("packFragmentation: interval/boundary arithmetic at contextLen=10") {
+    import spark.implicits._
+    // token counts 4,6,3,10,8 -> cum 4,10,13,23,31; docs 4 and 5 straddle
+    val docs = Seq(4, 6, 3, 10, 8).zipWithIndex.map { case (k, i) =>
+      (i.toLong, "g", Seq.fill(k)("w").mkString(" "))
+    }.toDF("doc_id", "src", "text")
+    val r = CapacityPlan.packFragmentation(docs, "src", "doc_id", "text",
+      contextLen = 10).collect().head
+    assert(r.getAs[Long]("n_docs") == 5L &&
+      r.getAs[Long]("total_tokens") == 31L &&
+      r.getAs[Long]("windows_used") == 4L &&
+      r.getAs[Long]("fragments") == 7L &&
+      r.getAs[Long]("n_straddle") == 2L &&
+      r.getAs[Long]("straddle_ppm") == 400000L &&
+      r.getAs[Long]("tail_pad") == 9L)
+  }
 }
