@@ -1058,4 +1058,36 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(hashEx.size <= 1, s"one replica-keyed exchange expected:\n$e")
   }
+
+  test("q206 Krippendorff: cell partial agg, bounded frames broadcast") {
+    val p = plan("q206_krippendorff")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded pooled-marginal frame must broadcast:\n" + p)
+  }
+
+  test("q207 conformal: |alphas|-row threshold frame broadcast against the " +
+      "eval scan; no corpus-sized cartesian") {
+    val p = plan("q207_conformal_screen")
+    assert(!p.contains("CartesianProduct"),
+      "threshold side must broadcast, not cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q208 BLEU profile: gram clipping is an equi-join, no cartesian") {
+    val p = plan("q208_bleu_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "gram clipping must stay a (pair, n, gram) equi-join:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q209 pack fragmentation: single-table prefix-sum window, no join") {
+    val p = plan("q209_pack_fragmentation")
+    assert(!p.contains("Join"), "one table, no join expected:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
 }
