@@ -122,6 +122,46 @@ object CapacityPlan {
           .as("waste_ppm"))
   }
 
+  /** Token-budgeted mixture assembly — the end of the curation pipeline:
+    * split a global token `budget` across groups by [[waterfill]] (equal
+    * shares, capped at each group's own supply), then fill each group's
+    * allocation greedily with its highest-`scoreCol` documents (ties by
+    * id ascending) until the next doc would overflow it. Emits the
+    * per-group census a mixture decision reads: supply, allocation,
+    * docs/tokens actually selected, and the fill rate.
+    *
+    * Scale shape: the allocation derives from ONE partial-agg'd group
+    * frame (bounded by group cardinality, broadcast back); the selection
+    * is a per-group (score desc, id) cumulative window — one shuffle on
+    * the group key, the same shape every per-source ranking here uses.
+    * The greedy prefix is deterministic and engine-reproducible; it can
+    * under-fill by at most one document per group (documented — the
+    * classical knapsack relaxation gap).
+    */
+  def budgetedSelect(docs: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = docs.select(col(groupCol).as("g"), col(idCol).as("_graft_id"),
+      scoreCol.as("_graft_s"), tokensCol.cast("long").as("_graft_tk"))
+    val allocs = waterfill(base, "g", col("_graft_tk"), budget)
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("_graft_s").desc, col("_graft_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = base.withColumn("_graft_cum", sum(col("_graft_tk")).over(w))
+      .join(broadcast(allocs.select(col("grp").as("g"), col("alloc"))), "g")
+      .filter(col("_graft_cum") <= col("alloc"))
+    val census = kept.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("_graft_tk")).as("tokens_selected"))
+    allocs.join(census, col("grp") === col("g"), "left")
+      .select(col("grp").as("g"), col("cap"), col("alloc"), col("funded"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"),
+        when(col("alloc") > 0L,
+          expr("(coalesce(tokens_selected, 0) * 1000000) div alloc"))
+          .as("fill_ppm"))
+  }
+
   /** Concat-and-chunk packing fragmentation audit — the GPT-style
     * pretraining packer (concatenate every document of a stream in a
     * deterministic order, cut the token stream at exact `contextLen`

@@ -657,5 +657,73 @@ object LabelQualityQueries {
              |    // CAST(count(*) AS BIGINT) AS straddle_ppm,
              |  ((CAST(sum(n) AS BIGINT) + 255) // 256) * 256
              |    - CAST(sum(n) AS BIGINT) AS tail_pad
-             |FROM f GROUP BY g ORDER BY g""".stripMargin)))
+             |FROM f GROUP BY g ORDER BY g""".stripMargin)),
+
+    // ---- token-budgeted mixture assembly capstone: waterfill a 200k
+    // global token budget across sources, fill each allocation greedily
+    // with the highest stopword-density (q207 score) docs — the census a
+    // mixture decision actually reads (supply, alloc, selected, fill)
+    Q("q210_mixture_assembly",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val frame = t.documents.select(col("source"), col("doc_id"),
+          TextFunctions.integralDiv(
+            size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toks).cast("long"), lit(1L))).as("score"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        CapacityPlan.budgetedSelect(frame, "source", "doc_id",
+            col("score"), col("n_tokens"), budget = 200000L)
+          .orderBy(col("g"))
+      },
+      Some {
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH base AS (SELECT source AS g, doc_id,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS tk
+           |  FROM documents),
+           |caps AS (SELECT g AS grp, CAST(sum(tk) AS BIGINT) AS cap
+           |  FROM base GROUP BY g),
+           |r AS (SELECT grp, cap,
+           |    CAST(row_number() OVER (ORDER BY cap, grp) AS BIGINT) AS i,
+           |    CAST(sum(cap) OVER (ORDER BY cap, grp) AS BIGINT) AS p,
+           |    CAST(count(*) OVER () AS BIGINT) AS n
+           |  FROM caps),
+           |f AS (SELECT grp, cap, i, p, n,
+           |    cap * (n - i + 1) + (p - cap) <= 200000 AS funded FROM r),
+           |lv AS (SELECT CASE
+           |    WHEN max(CASE WHEN funded THEN i END) IS NULL
+           |      THEN 200000 // max(n)
+           |    WHEN max(CASE WHEN funded THEN i END) = max(n) THEN NULL
+           |    ELSE (200000 - max(CASE WHEN funded THEN p END))
+           |      // (max(n) - max(CASE WHEN funded THEN i END)) END
+           |    AS lambda
+           |  FROM f),
+           |al AS (SELECT grp, cap, funded, CASE
+           |    WHEN funded OR lambda IS NULL THEN cap
+           |    ELSE lambda END AS alloc FROM f, lv),
+           |sel AS (SELECT g, tk, sum(tk) OVER (PARTITION BY g
+           |    ORDER BY s DESC, doc_id) AS cum FROM base),
+           |kept AS (SELECT sel.g, tk FROM sel
+           |  JOIN al ON sel.g = al.grp WHERE cum <= alloc),
+           |census AS (SELECT g, CAST(count(*) AS BIGINT) AS n_selected,
+           |    CAST(sum(tk) AS BIGINT) AS tokens_selected
+           |  FROM kept GROUP BY g)
+           |SELECT grp AS g, cap, alloc, funded,
+           |  COALESCE(n_selected, 0) AS n_selected,
+           |  COALESCE(tokens_selected, 0) AS tokens_selected,
+           |  CASE WHEN alloc > 0 THEN
+           |    (COALESCE(tokens_selected, 0) * 1000000) // alloc
+           |    END AS fill_ppm
+           |FROM al LEFT JOIN census ON al.grp = census.g
+           |ORDER BY g""".stripMargin
+      }))
 }

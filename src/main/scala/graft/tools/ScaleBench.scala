@@ -192,7 +192,7 @@ object ScaleBench {
       "q197_dup_crosstab", "q198_bloom_plan", "q199_cv_folds",
       "q200_curation_v2", "q203_substring_clusters", "q204_substring_dedup",
       "q205_edit_join_capped", "q206_krippendorff", "q207_conformal_screen",
-      "q208_bleu_overlap", "q209_pack_fragmentation")
+      "q208_bleu_overlap", "q209_pack_fragmentation", "q210_mixture_assembly")
     // near-dup-graph queries: unperturbed embedding replication makes the
     // graph (and everything over it) grow quadratically in mult — under
     // `wordsalt` the cyclic-shift perturbation removes the artifact and

@@ -248,6 +248,25 @@ class LabelQualitySpec extends AnyFunSuite {
       3 -> ((0L, 2L, 0L)), 4 -> ((0L, 1L, 0L))))
   }
 
+  test("budgetedSelect: waterfill allocation + greedy score-ordered fill") {
+    import spark.implicits._
+    // group a supplies 100 tokens, b supplies 30; budget 80 -> b fully
+    // funded (30), a gets the remaining 50. a's docs by score desc:
+    // (id 2, s 9, 30tk) cum 30; (id 1, s 5, 40tk) cum 70 > 50? no — 70 > 50
+    // -> only doc 2 fits (30 <= 50, next cum 70 overflows). b: one 30tk doc.
+    val docs = Seq(
+      ("a", 1L, 5L, 40L), ("a", 2L, 9L, 30L), ("a", 3L, 1L, 30L),
+      ("b", 4L, 7L, 30L)).toDF("src", "id", "s", "tk")
+    val got = CapacityPlan.budgetedSelect(docs, "src", "id",
+        col("s"), col("tk"), budget = 80L)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+          r.getAs[Long]("n_selected"), r.getAs[Long]("tokens_selected"),
+          r.getAs[Long]("fill_ppm")))).toMap
+    assert(got("b") == ((30L, 30L, 1L, 30L, 1000000L)))
+    assert(got("a") == ((100L, 50L, 1L, 30L, 600000L)))
+  }
+
   test("packFragmentation: interval/boundary arithmetic at contextLen=10") {
     import spark.implicits._
     // token counts 4,6,3,10,8 -> cum 4,10,13,23,31; docs 4 and 5 straddle

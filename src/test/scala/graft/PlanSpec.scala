@@ -1090,4 +1090,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "one table, no join expected:\n" + p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q210 mixture assembly: bounded alloc frame broadcast, no cartesian") {
+    val p = plan("q210_mixture_assembly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the group-cardinality alloc frame must broadcast:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
 }
