@@ -60,18 +60,50 @@ object Bench {
     }
   }
 
-  /** the driver-contract single JSON result line */
-  def jsonLine(results: Seq[(String, Double)], sfLabel: String): String = {
+  /** the driver-contract single JSON result line; `extra` is appended
+    * verbatim inside the object (the box-state sentinel fields)
+    */
+  def jsonLine(results: Seq[(String, Double)], sfLabel: String,
+      extra: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"$extra}"""
   }
+
+  /** first three /proc/loadavg fields as a JSON array ("[0.42,1.10,1.55]");
+    * "[]" where the proc file is unavailable
+    */
+  def loadavgJson(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "[]" }
+
+  /** Fixed-cost calibration probe: sum 10⁹ longs through whole-stage
+    * codegen — data-independent constant work, so its wall time moves ONLY
+    * with box contention. Recorded beside every timed set (min of 2, like
+    * the queries) so an artifact reader can tell load noise from a plan
+    * regression without rerunning (the r11 8.06 s-vs-6.25 s lesson).
+    */
+  def calibrationSec(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** the sentinel JSON fields for one timed set: loadavg read AFTER the
+    * set (what the measurements just competed with) + the calibration
+    * probe's seconds in the same JVM
+    */
+  def sentinelJson(spark: SparkSession): String =
+    f""","loadavg":${loadavgJson()},"calibration_sec":${calibrationSec(spark)}%.3f"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = benchSession("graft-bench")
-    println(jsonLine(timeHeadline(spark, sfDir), sfDir))
+    val results = timeHeadline(spark, sfDir)
+    println(jsonLine(results, sfDir, sentinelJson(spark)))
     spark.stop()
   }
 }

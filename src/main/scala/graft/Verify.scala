@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries own their persist() lifetimes only within a query; drop
+      // leftover cached frames so a 210-query run doesn't accumulate
+      // storage (the Agreement/SampledSweep cells persist, the TfIdf tf
+      // frame, ...) across the whole gate
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

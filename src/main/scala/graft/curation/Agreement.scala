@@ -80,6 +80,20 @@ object Agreement {
     * every pooled value is identical (De = 0, α is 0/0) are dropped in
     * BOTH engines. Products (n², Σ n_v², ×10⁶) run in DECIMAL(38,0) /
     * HUGEINT — n² · 10⁶ blows signed 64-bit past ~1.5 M units per group.
+    *
+    * Per-group unit ceiling for the DISPLAY column `de`: the BIGINT cast
+    * of De (up to 4N² per group) overflows past ~1.5e9 units/group, where
+    * Spark (non-ANSI) nulls while DuckDB CAST raises — `alpha_micro`
+    * itself stays exact in decimal at any N. Groups beyond ~1e9 units
+    * should read `alpha_micro` only (or re-emit `de` as DECIMAL(38,0)
+    * downstream); the stable BIGINT gate schema is kept deliberately.
+    *
+    * Cache lifetime: `cells` persists at MEMORY_AND_DISK for the three
+    * derived aggregates; per the repo-wide convention the CALLER owns
+    * unpersisting (a returned lazy frame cannot unpersist its own input
+    * before materialization) — long multi-query sessions should
+    * `spark.catalog.clearCache()` between batches, as ScaleBench and the
+    * Verify dump do.
     */
   def krippendorffAlpha(df: DataFrame, groupCol: String, aCol: String,
       bCol: String): DataFrame = {

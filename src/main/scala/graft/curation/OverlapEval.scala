@@ -17,8 +17,11 @@ import graft.text.TextFunctions
   * headline BLEU is left to the consumer (it is transcendental; the four
   * precisions and both lengths determine it).
   *
-  * Scale shape: each (pair, n) side explodes its n-grams ONCE into a
-  * per-pair gram-count frame; clipping is an equi-join on
+  * Scale shape: each SIDE joins pair ids to the token frame ONCE and
+  * derives all (n, gram) rows in ONE explode (the per-n gram arrays are
+  * struct-tagged and flattened before the generator), so the pair text is
+  * scanned, joined, and shuffled once per side — not once per (side, n),
+  * the shape the round-11 version had. Clipping is an equi-join on
   * (pair, n, gram) — work is linear in total pair text volume, and a
   * document appearing in k pairs costs k explosions (callers pair each
   * doc O(1) times). No window over corpus-order rows, no driver state.
@@ -40,16 +43,24 @@ object OverlapEval {
     val p = pairs.select(col(candIdCol).as("_graft_cid"),
       col(refIdCol).as("_graft_rid"), col(groupCol).as("g"))
 
+    // ALL n in one generator: tag each n's gram array with its n, flatten,
+    // explode once — one pair-text join + one shuffle per side instead of
+    // one per (side, n). `_graft_w` is a bound attribute, so the per-n
+    // ngrams() calls under array() stay cheap column refs (the HOF-
+    // re-evaluation gotcha does not bite: the lambda bodies only touch
+    // their own gram element and a literal).
     def gramCounts(side: String, joinId: String): DataFrame =
-      (1 to maxN).map { n =>
-        p.join(toks, col(joinId) === col("_graft_did"))
-          .select(col("_graft_cid"), col("_graft_rid"), col("g"),
-            lit(n).as("n"),
-            explode(TextFunctions.ngrams(col("_graft_w"), n)).as("gram"))
-          .groupBy(col("_graft_cid"), col("_graft_rid"), col("g"),
-            col("n"), col("gram"))
-          .agg(count(lit(1)).as(s"c_$side"))
-      }.reduce(_ unionByName _)
+      p.join(toks, col(joinId) === col("_graft_did"))
+        .select(col("_graft_cid"), col("_graft_rid"), col("g"),
+          explode(flatten(array((1 to maxN).map(n =>
+            transform(TextFunctions.ngrams(col("_graft_w"), n),
+              gr => struct(lit(n).as("n"), gr.as("gram")))): _*)))
+            .as("_graft_ng"))
+        .select(col("_graft_cid"), col("_graft_rid"), col("g"),
+          col("_graft_ng.n").as("n"), col("_graft_ng.gram").as("gram"))
+        .groupBy(col("_graft_cid"), col("_graft_rid"), col("g"),
+          col("n"), col("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
 
     val cand = gramCounts("cand", "_graft_cid")
     val ref = gramCounts("ref", "_graft_rid")

@@ -11,7 +11,7 @@ object QBench {
     val dir = args.head
     val spark = graft.Bench.benchSession("graft-qbench")
     val results = graft.Bench.timeNamed(spark, dir, args.tail.toSeq)
-    println(graft.Bench.jsonLine(results, dir))
+    println(graft.Bench.jsonLine(results, dir, graft.Bench.sentinelJson(spark)))
     spark.stop()
   }
 }

@@ -228,15 +228,15 @@ object ScaleBench {
     val mode = if (wordSalt) " wordsalt" else ""
     if (!lite) {
       println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
-        s"1x($src) extras"))
+        s"1x($src) extras", graft.Bench.sentinelJson(spark)))
       spark.catalog.clearCache() // q62/q64 persist per-dir token frames
     }
 
     println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
-      s"${mult}x($src)$mode"))
+      s"${mult}x($src)$mode", graft.Bench.sentinelJson(spark)))
     if (!lite) {
       println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extrasNx),
-        s"${mult}x($src)$mode extras"))
+        s"${mult}x($src)$mode extras", graft.Bench.sentinelJson(spark)))
     }
     spark.catalog.clearCache()
     if (!keep) fs.delete(new Path(work), true)

@@ -1085,6 +1085,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q208 BLEU profile derives all n-gram orders in ONE explode per side") {
+    // the round-11 shape exploded (and re-joined, re-shuffled) the pair
+    // text once per n — 4 generators per side; the single-explode rewrite
+    // tags each n's gram array and flattens before ONE generator per side
+    val p = plan("q208_bleu_overlap")
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens == 2, s"expected exactly one generator per side, got $gens:\n$p")
+  }
+
   test("q209 pack fragmentation: single-table prefix-sum window, no join") {
     val p = plan("q209_pack_fragmentation")
     assert(!p.contains("Join"), "one table, no join expected:\n" + p)

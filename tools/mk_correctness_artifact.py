@@ -13,6 +13,7 @@ import sys
 def main(log_path: str, sf_desc: str, comment: str, out_path: str) -> int:
     rows = {}
     n_pass = n_fail = None
+    n_runs = 0
     fails = []
     with open(log_path) as f:
         for line in f:
@@ -25,8 +26,16 @@ def main(log_path: str, sf_desc: str, comment: str, out_path: str) -> int:
             m = re.match(r"PASS=(\d+) FAIL=(\d+)", line)
             if m:
                 n_pass, n_fail = int(m.group(1)), int(m.group(2))
+                n_runs += 1
     if n_pass is None:
         print("no PASS= line found — incomplete run?", file=sys.stderr)
+        return 1
+    if n_runs > 1:
+        # the artifact's premise is ONE contiguous run: multiple PASS= lines
+        # mean a pieced log, whose merged per-query rows could masquerade as
+        # a single-run result — refuse rather than silently take the last
+        print(f"{n_runs} PASS= lines found — log contains multiple runs; "
+              "pass a single contiguous check.py log", file=sys.stderr)
         return 1
     art = {
         "comment": comment,
@@ -45,4 +54,8 @@ def main(log_path: str, sf_desc: str, comment: str, out_path: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 5:
+        print("usage: mk_correctness_artifact.py <check_log> <sf_desc> "
+              "<comment> <out.json>", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(*sys.argv[1:5]))
