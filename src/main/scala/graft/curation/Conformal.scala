@@ -43,38 +43,8 @@ object Conformal {
   def conformalScreen(df: DataFrame, idCol: String, scoreCol: Column,
       labelCol: Column, calFraction: Double, salt: String,
       alphasPpm: Seq[Long]): DataFrame = {
-    require(alphasPpm.nonEmpty && alphasPpm.forall(a => a > 0 && a < 1000000L),
-      s"alphasPpm must be in (0, 1e6), got $alphasPpm")
-    val thr = Sampling.fractionThreshold(calFraction)
-    val base = df.select(col(idCol).as("_graft_id"),
-      scoreCol.cast("long").as("_graft_s"), labelCol.as("_graft_lab"),
-      (Sampling.hashDraw(col(idCol), salt) < lit(thr)).as("_graft_cal"))
-
-    // calibration-positive (score -> count) histogram: bounded by score
-    // granularity, so the global cumulative window below is safe
-    val hist = base.filter(col("_graft_cal") && col("_graft_lab"))
-      .groupBy(col("_graft_s")).agg(count(lit(1)).as("_graft_c"))
-    val cum = hist.withColumn("_graft_cum",
-        sum(col("_graft_c")).over(
-          Window.orderBy(col("_graft_s"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_graft_n", sum(col("_graft_c")).over(
-        Window.partitionBy(lit(1))))
-    val alphas = alphasPpm.map(a => s"($a)").mkString(", ")
-    val ranks = cum.sparkSession
-      .sql(s"SELECT * FROM VALUES $alphas AS t(alpha_ppm)")
-      .crossJoin(broadcast(cum.select(max(col("_graft_n")).as("n_cal"))))
-      .withColumn("n_cal", coalesce(col("n_cal"), lit(0L)))
-      .withColumn("k_rank",
-        expr("(alpha_ppm * (n_cal + 1)) div 1000000"))
-    // type-1 order statistic per alpha: smallest score whose cumulative
-    // count reaches the rank (k = 0 joins nothing -> null threshold)
-    val thresholds = ranks.join(cum,
-        col("_graft_cum") >= col("k_rank") && col("k_rank") >= lit(1),
-        "left")
-      .groupBy(col("alpha_ppm"), col("n_cal"), col("k_rank"))
-      .agg(min(col("_graft_s")).as("thr_score"))
-
+    val base = calSplit(df, idCol, scoreCol, labelCol, calFraction, salt)
+    val thresholds = conformalThresholds(base, alphasPpm)
     val eval = base.filter(!col("_graft_cal"))
     eval.crossJoin(broadcast(thresholds))
       .groupBy(col("alpha_ppm"), col("n_cal"), col("k_rank"),
@@ -96,5 +66,80 @@ object Conformal {
           .as("coverage_ppm"),
         col("n_eval"), col("n_eval_kept"),
         expr("(n_eval_kept * 1000000) div n_eval").as("accept_ppm"))
+  }
+
+  /** the deterministic calibration/eval split + quantized score + label
+    * projection both entry points share
+    */
+  private def calSplit(df: DataFrame, idCol: String, scoreCol: Column,
+      labelCol: Column, calFraction: Double, salt: String): DataFrame = {
+    val thr = Sampling.fractionThreshold(calFraction)
+    df.select(col(idCol).as("_graft_id"),
+      scoreCol.cast("long").as("_graft_s"), labelCol.as("_graft_lab"),
+      (Sampling.hashDraw(col(idCol), salt) < lit(thr)).as("_graft_cal"))
+  }
+
+  /** the (alpha_ppm, n_cal, k_rank, thr_score) threshold frame over a
+    * [[calSplit]] base — |alphas| rows, built from the score-granularity-
+    * bounded calibration histogram (see [[conformalScreen]])
+    */
+  private def conformalThresholds(base: DataFrame,
+      alphasPpm: Seq[Long]): DataFrame = {
+    require(alphasPpm.nonEmpty && alphasPpm.forall(a => a > 0 && a < 1000000L),
+      s"alphasPpm must be in (0, 1e6), got $alphasPpm")
+    // a repeated alpha would pass through the VALUES frame and the held-out
+    // crossJoin as duplicated (inflated) output rows — reject it up front
+    require(alphasPpm.distinct.size == alphasPpm.size,
+      s"alphasPpm must be distinct, got $alphasPpm")
+    // calibration-positive (score -> count) histogram: bounded by score
+    // granularity, so the global cumulative window below is safe
+    val hist = base.filter(col("_graft_cal") && col("_graft_lab"))
+      .groupBy(col("_graft_s")).agg(count(lit(1)).as("_graft_c"))
+    val cum = hist.withColumn("_graft_cum",
+        sum(col("_graft_c")).over(
+          Window.orderBy(col("_graft_s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_graft_n", sum(col("_graft_c")).over(
+        Window.partitionBy(lit(1))))
+    val alphas = alphasPpm.map(a => s"($a)").mkString(", ")
+    val ranks = cum.sparkSession
+      .sql(s"SELECT * FROM VALUES $alphas AS t(alpha_ppm)")
+      .crossJoin(broadcast(cum.select(max(col("_graft_n")).as("n_cal"))))
+      .withColumn("n_cal", coalesce(col("n_cal"), lit(0L)))
+      .withColumn("k_rank",
+        expr("(alpha_ppm * (n_cal + 1)) div 1000000"))
+    // type-1 order statistic per alpha: smallest score whose cumulative
+    // count reaches the rank (k = 0 joins nothing -> null threshold)
+    ranks.join(cum,
+        col("_graft_cum") >= col("k_rank") && col("k_rank") >= lit(1),
+        "left")
+      .groupBy(col("alpha_ppm"), col("n_cal"), col("k_rank"))
+      .agg(min(col("_graft_s")).as("thr_score"))
+  }
+
+  /** APPLY the α-calibrated rule — the composition a curation pipeline
+    * wants: calibrate the threshold exactly as [[conformalScreen]] does
+    * (same split, same type-1 rank), then keep every input row with
+    * `score ≥ thr` (everything when `k = 0` → null threshold). Returns the
+    * input columns plus (alpha_ppm, n_cal, k_rank, thr_score) carried on
+    * each row, so downstream stages inherit the coverage guarantee's
+    * parameters alongside the data. The 1−α acceptance guarantee formally
+    * covers rows OUTSIDE the calibration slice; the rule is applied
+    * uniformly (standard practice — the calibration rows are not special
+    * at serving time).
+    *
+    * Scale shape: identical to [[conformalScreen]] — the corpus is scanned,
+    * never shuffled; the 1-row threshold frame broadcasts.
+    */
+  def calibratedKeep(df: DataFrame, idCol: String, scoreCol: Column,
+      labelCol: Column, calFraction: Double, salt: String,
+      alphaPpm: Long): DataFrame = {
+    val base = calSplit(df, idCol, scoreCol, labelCol, calFraction, salt)
+    val thr = conformalThresholds(base, Seq(alphaPpm))
+    df.withColumn("_graft_keep_s", scoreCol.cast("long"))
+      .crossJoin(broadcast(thr))
+      .filter(col("thr_score").isNull ||
+        col("_graft_keep_s") >= col("thr_score"))
+      .drop("_graft_keep_s")
   }
 }

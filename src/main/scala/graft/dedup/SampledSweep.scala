@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sampling.Sampling
@@ -19,7 +19,9 @@ import graft.sampling.Sampling
   * docs-removed and the matrix's per-cell counts are reported at sample
   * level too, but their full-corpus inflation has no closed form (a doc is
   * removed iff ≥1 lower-id partner qualifies — a coupon-collector, not a
-  * Bernoulli, event), so only the pair columns carry `est_pairs_full`.
+  * Bernoulli, event), so only the pair columns carry `est_pairs_full`;
+  * [[removalRateBootstrap]] brackets the removal-rate estimate with a
+  * Poisson-bootstrap CI instead.
   *
   * Determinism: the sample is content-addressed ([[Sampling.hashSample]],
   * never `rand()`), so the audit is reproducible run-to-run and
@@ -62,6 +64,72 @@ object SampledSweep {
       .select(col("t_ppm"), col("n_pairs"), col("n_docs_removed"),
         (col("n_pairs") * lit(invFractionSq)).as("est_pairs_full"))
       .orderBy(col("t_ppm"))
+  }
+
+  /** q162's Binomial(8, 1/8) Poisson-bootstrap weight, content-addressed
+    * from (salt, replica, id) — the count of {0,1} hex digits among the
+    * first 8 of md5, mean 1, reproduced exactly by the DuckDB oracle
+    */
+  private def poissonWeight(replica: Column, id: Column,
+      salt: String): Column =
+    length(regexp_replace(
+      substring(md5(concat_ws(":", lit(salt), replica, id)), 1, 8),
+      "[^01]", "")).cast("long")
+
+  /** Bootstrap distribution of the SAMPLE-LEVEL removal rate at one
+    * threshold — the uncertainty the sweep's point `n_docs_removed` lacks
+    * (docs-removed has no closed-form 1/f² inflation: removal is a
+    * coupon-collector event, see the object scaladoc). Each replicate
+    * reweights every sampled document i.i.d. with the q162 Binomial(8,1/8)
+    * content-addressed weight; a document counts as removed in a replicate
+    * iff it AND at least one qualifying lower-id partner both survive the
+    * resample. Output is one row per replicate (replica, n_eff,
+    * n_removed_eff, removed_ppm) whose spread IS the bootstrap CI of the
+    * removal rate — order statistics of `removed_ppm` give the interval.
+    *
+    * Honest scope: the CI quantifies the SAMPLING variability of the
+    * rate measured at the sample's pair density. It does not undo the
+    * f-thinning bias itself (pairs thin by f² while docs thin by f, so
+    * the sample rate UNDERESTIMATES the full-corpus removal rate); it
+    * brackets how tightly the sample pins that biased-low estimate,
+    * which is the go/no-go signal a threshold decision reads.
+    *
+    * Scale shape: `sampleDocs` expands ×B map-side and partial-aggregates
+    * to B rows before the one exchange (the q162 shape); the pair side is
+    * the already-sampled persisted frame — bounded — expanded ×B and
+    * distinct-reduced on (replica, doc). No corpus-sized shuffle.
+    */
+  def removalRateBootstrap(pairs: DataFrame, sampleDocs: DataFrame,
+      idCol: String, thresholdPpm: Long, replicas: Int,
+      salt: String): DataFrame = {
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    val reps = explode(sequence(lit(0), lit(replicas - 1)))
+    val nEff = sampleDocs
+      .select(col(idCol).cast("string").as("_graft_id"))
+      .withColumn("replica", reps)
+      .select(col("replica"),
+        poissonWeight(col("replica"), col("_graft_id"), salt).as("_graft_w"))
+      .groupBy(col("replica"))
+      .agg(sum(col("_graft_w")).as("n_eff"))
+    val removed = pairs.filter(col("jac_ppm") >= thresholdPpm)
+      .select(col("id1").cast("string").as("_graft_a"),
+        col("id2").cast("string").as("_graft_b"))
+      .withColumn("replica", reps)
+      .select(col("replica"), col("_graft_b"),
+        poissonWeight(col("replica"), col("_graft_a"), salt).as("_graft_wa"),
+        poissonWeight(col("replica"), col("_graft_b"), salt).as("_graft_wb"))
+      .filter(col("_graft_wa") > 0L && col("_graft_wb") > 0L)
+      .select(col("replica"), col("_graft_b"), col("_graft_wb"))
+      .distinct()
+      .groupBy(col("replica"))
+      .agg(sum(col("_graft_wb")).as("n_removed_eff"))
+    nEff.join(removed, Seq("replica"), "left")
+      .filter(col("n_eff") > 0L)
+      .select(col("replica"), col("n_eff"),
+        coalesce(col("n_removed_eff"), lit(0L)).as("n_removed_eff"))
+      .withColumn("removed_ppm",
+        expr("(n_removed_eff * 1000000) div n_eff"))
+      .orderBy(col("replica"))
   }
 
   /** q115's provenance matrix over the same sampled pair frame: unordered

@@ -128,4 +128,57 @@ object SubstringDedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         col("span_words"), col("span_hash"),
         (col("_graft_rn") === 1).as("kept"))
+
+  /** MATERIALIZE the keep-one policy — the step that actually emits
+    * training data: re-slice every document's tokens dropping the words of
+    * each `kept = false` span from [[dedupVerdicts]], leaving canonical
+    * copies in place (vs [[DupSpans.stripDuplicatedSpans]]'s remove-all).
+    * Returns one row per INPUT document (documents without removed spans
+    * pass through whole): (idCol, n_tokens_before, n_tokens_after,
+    * n_spans_removed, text_md5) with `text_md5` the md5 of the kept tokens
+    * re-joined on single spaces (a fully-removed document hashes the empty
+    * string).
+    *
+    * Scale shape: removed spans collect per document (bounded — islands
+    * are disjoint, so a doc holds ≤ n_tokens/minWords of them) and join
+    * the persisted token frame on the id; the strip is one per-row
+    * indexed-filter HOF (token i survives iff no removed span covers i).
+    * No shuffle beyond the one id-keyed join.
+    */
+  def applyKeepOne(toks: DataFrame, verdicts: DataFrame,
+      idCol: String): DataFrame =
+    keepOneTokens(toks, verdicts, idCol)
+      .select(col(idCol), col("n_tokens_before"),
+        size(col("_graft_kept")).cast("long").as("n_tokens_after"),
+        col("n_spans_removed"),
+        md5(array_join(col("_graft_kept"), " ")).as("text_md5"))
+
+  /** [[applyKeepOne]] emitting the stripped TEXT itself (kept tokens
+    * re-joined on single spaces) — the frame a downstream training-data
+    * writer consumes, and what a re-run of [[crossDocSpans]] validates
+    * (post-strip, every duplicated substring exists in one document only).
+    */
+  def keepOneText(toks: DataFrame, verdicts: DataFrame,
+      idCol: String): DataFrame =
+    keepOneTokens(toks, verdicts, idCol)
+      .select(col(idCol), array_join(col("_graft_kept"), " ").as("text"))
+
+  private def keepOneTokens(toks: DataFrame, verdicts: DataFrame,
+      idCol: String): DataFrame = {
+    val removed = verdicts.filter(!col("kept"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("_graft_rm"))
+    toks.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("_graft_toks"),
+        coalesce(col("_graft_rm"),
+          array().cast("array<struct<s:long,e:long>>")).as("_graft_rm"))
+      .select(col(idCol),
+        size(col("_graft_toks")).cast("long").as("n_tokens_before"),
+        filter(col("_graft_toks"), (_, i) =>
+          !exists(col("_graft_rm"),
+            sp => i.cast("long") >= sp.getField("s") &&
+              i.cast("long") <= sp.getField("e"))).as("_graft_kept"),
+        size(col("_graft_rm")).cast("long").as("n_spans_removed"))
+  }
 }

@@ -140,16 +140,8 @@ object CapacityPlan {
     */
   def budgetedSelect(docs: DataFrame, groupCol: String, idCol: String,
       scoreCol: Column, tokensCol: Column, budget: Long): DataFrame = {
-    require(budget >= 0, s"budget must be >= 0, got $budget")
-    val base = docs.select(col(groupCol).as("g"), col(idCol).as("_graft_id"),
-      scoreCol.as("_graft_s"), tokensCol.cast("long").as("_graft_tk"))
-    val allocs = waterfill(base, "g", col("_graft_tk"), budget)
-    val w = Window.partitionBy(col("g"))
-      .orderBy(col("_graft_s").desc, col("_graft_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = base.withColumn("_graft_cum", sum(col("_graft_tk")).over(w))
-      .join(broadcast(allocs.select(col("grp").as("g"), col("alloc"))), "g")
-      .filter(col("_graft_cum") <= col("alloc"))
+    val (kept, allocs) =
+      selection(docs, groupCol, idCol, scoreCol, tokensCol, budget)
     val census = kept.groupBy(col("g"))
       .agg(count(lit(1)).as("n_selected"),
         sum(col("_graft_tk")).as("tokens_selected"))
@@ -160,6 +152,74 @@ object CapacityPlan {
         when(col("alloc") > 0L,
           expr("(coalesce(tokens_selected, 0) * 1000000) div alloc"))
           .as("fill_ppm"))
+  }
+
+  /** shared [[budgetedSelect]]/[[budgetedPackAudit]] core: the greedily
+    * selected rows (g, _graft_id, _graft_s, _graft_tk, _graft_cum, alloc)
+    * — `_graft_cum` is the running token total in selection order — plus
+    * the bounded (grp, cap, alloc, funded) allocation frame
+    */
+  private def selection(docs: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, tokensCol: Column,
+      budget: Long): (DataFrame, DataFrame) = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = docs.select(col(groupCol).as("g"), col(idCol).as("_graft_id"),
+      scoreCol.as("_graft_s"), tokensCol.cast("long").as("_graft_tk"))
+    val allocs = waterfill(base, "g", col("_graft_tk"), budget)
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("_graft_s").desc, col("_graft_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = base.withColumn("_graft_cum", sum(col("_graft_tk")).over(w))
+      .join(broadcast(allocs.select(col("grp").as("g"), col("alloc"))), "g")
+      .filter(col("_graft_cum") <= col("alloc"))
+    (kept, allocs)
+  }
+
+  /** [[budgetedSelect]] × [[packFragmentation]] in ONE plan — "what does
+    * this mixture cost to pack": water-fill the budget, select each
+    * group's greedy prefix, then price concat-and-chunk packing of ONLY
+    * the selected documents, streamed in selection order (score desc, id).
+    * The selection window's running total IS the packer's prefix sum, so
+    * the fragmentation audit costs no extra shuffle beyond the selection
+    * itself. Per group: the allocation census (cap, alloc, funded,
+    * n_selected, tokens_selected, fill_ppm) plus the packing bill
+    * (windows_used, fragments, n_straddle, straddle_ppm, tail_pad).
+    */
+  def budgetedPackAudit(docs: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, tokensCol: Column, budget: Long,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val (kept, allocs) =
+      selection(docs, groupCol, idCol, scoreCol, tokensCol, budget)
+    val census = kept
+      .select(col("g"), col("_graft_tk"),
+        when(col("_graft_tk") === 0L, 0L)
+          .otherwise(expr(s"(_graft_cum - 1) div $contextLen" +
+            s" - (_graft_cum - _graft_tk) div $contextLen + 1"))
+          .as("_graft_frag"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("_graft_tk")).as("tokens_selected"),
+        sum(col("_graft_frag")).as("fragments"),
+        sum(when(col("_graft_frag") > 1L, 1L).otherwise(0L))
+          .as("n_straddle"))
+    allocs.join(census, col("grp") === col("g"), "left")
+      .select(col("grp").as("g"), col("cap"), col("alloc"), col("funded"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"),
+        when(col("alloc") > 0L,
+          expr("(coalesce(tokens_selected, 0) * 1000000) div alloc"))
+          .as("fill_ppm"),
+        expr(s"(coalesce(tokens_selected, 0) + ${contextLen - 1})" +
+          s" div $contextLen").as("windows_used"),
+        coalesce(col("fragments"), lit(0L)).as("fragments"),
+        coalesce(col("n_straddle"), lit(0L)).as("n_straddle"),
+        when(coalesce(col("n_selected"), lit(0L)) > 0L,
+          expr("(coalesce(n_straddle, 0) * 1000000)" +
+            " div coalesce(n_selected, 1)")).as("straddle_ppm"),
+        expr(s"((coalesce(tokens_selected, 0) + ${contextLen - 1})" +
+          s" div $contextLen) * $contextLen" +
+          " - coalesce(tokens_selected, 0)").as("tail_pad"))
   }
 
   /** Concat-and-chunk packing fragmentation audit — the GPT-style

@@ -612,5 +612,71 @@ object CorpusAuditQueries {
               |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
               |  CAST(count(*) AS BIGINT) * 4 AS est_pairs_full
               |FROM sp GROUP BY src_a, src_b
-              |ORDER BY src_a, src_b""".stripMargin)))
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- bootstrap CI for the sampled sweep's removal rate: docs-removed
+    // has no closed-form 1/f² inflation (coupon-collector, not Bernoulli),
+    // so the rate estimate carries a Poisson-bootstrap spread instead —
+    // 32 content-addressed replicates over the SAME sampled pair frame as
+    // q201/q202; a doc is removed in a replicate iff it and ≥1 qualifying
+    // lower-id partner both survive the resample
+    Q("q213_removal_bootstrap",
+      (s, d) => {
+        val t = Tables(s, d)
+        val pairs = graft.dedup.SampledSweep.sampledPairs(t.documents,
+          "doc_id", "text", shingleLen = 3, threshold = 0.5,
+          fraction = 0.5, salt = "ts1")
+        graft.dedup.SampledSweep.removalRateBootstrap(pairs,
+          graft.sampling.Sampling.hashSample(t.documents, "doc_id", 0.5,
+            "ts1"),
+          "doc_id", thresholdPpm = 700000L, replicas = 32, salt = "rb")
+      },
+      Some(s"""WITH samp AS (SELECT doc_id FROM documents
+              |  WHERE substr(md5('ts1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              |    < '${graft.sampling.Sampling.fractionThreshold(0.5)}'),
+              |docs AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              |    FROM documents WHERE doc_id IN (SELECT doc_id FROM samp))
+              |  WHERE len(t) >= 3),
+              |w AS (SELECT doc_id, unnest(sh) AS w FROM docs),
+              |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM docs),
+              |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pr AS (SELECT id1, id2,
+              |    (inter * 1000000) // (s1.n + s2.n - inter) AS jac_ppm
+              |  FROM i JOIN sz s1 ON s1.doc_id = id1
+              |    JOIN sz s2 ON s2.doc_id = id2
+              |  WHERE inter * 1000000 >= 500000 * (s1.n + s2.n - inter)),
+              |r AS (SELECT unnest(range(0, 32)) AS replica),
+              |ne AS (SELECT replica, CAST(sum(
+              |    len(regexp_replace(substr(md5('rb' || ':'
+              |      || CAST(replica AS VARCHAR) || ':'
+              |      || CAST(doc_id AS VARCHAR)), 1, 8), '[^01]', '', 'g'))
+              |    ) AS BIGINT) AS n_eff
+              |  FROM samp CROSS JOIN r GROUP BY replica),
+              |q AS (SELECT DISTINCT r.replica, pr.id2,
+              |    CAST(len(regexp_replace(substr(md5('rb' || ':'
+              |      || CAST(r.replica AS VARCHAR) || ':'
+              |      || CAST(pr.id2 AS VARCHAR)), 1, 8), '[^01]', '', 'g'))
+              |      AS BIGINT) AS wb
+              |  FROM pr CROSS JOIN r
+              |  WHERE pr.jac_ppm >= 700000
+              |    AND len(regexp_replace(substr(md5('rb' || ':'
+              |      || CAST(r.replica AS VARCHAR) || ':'
+              |      || CAST(pr.id1 AS VARCHAR)), 1, 8), '[^01]', '', 'g')) > 0
+              |    AND len(regexp_replace(substr(md5('rb' || ':'
+              |      || CAST(r.replica AS VARCHAR) || ':'
+              |      || CAST(pr.id2 AS VARCHAR)), 1, 8), '[^01]', '', 'g')) > 0),
+              |rm AS (SELECT replica, CAST(sum(wb) AS BIGINT) AS n_removed_eff
+              |  FROM q GROUP BY replica)
+              |SELECT CAST(ne.replica AS INTEGER) AS replica, n_eff,
+              |  COALESCE(n_removed_eff, 0) AS n_removed_eff,
+              |  (COALESCE(n_removed_eff, 0) * 1000000) // n_eff AS removed_ppm
+              |FROM ne LEFT JOIN rm ON ne.replica = rm.replica
+              |WHERE n_eff > 0
+              |ORDER BY replica""".stripMargin)))
 }

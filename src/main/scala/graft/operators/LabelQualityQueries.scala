@@ -725,5 +725,172 @@ object LabelQualityQueries {
            |    END AS fill_ppm
            |FROM al LEFT JOIN census ON al.grp = census.g
            |ORDER BY g""".stripMargin
+      }),
+
+    // ---- conformal-calibrated curation capstone: q200's pipeline with the
+    // q207 coverage-guaranteed cut in place of the bare MAD multiple —
+    // normalized exact dedup -> conformal threshold (alpha = 10%,
+    // calibrated on the stopword-density score against the lang = 'en'
+    // label) -> keep score >= thr -> leakage-safe fold census
+    Q("q214_curation_conformal",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toksL = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val base = t.documents.select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"),
+          TextFunctions.integralDiv(
+            size(filter(toksL, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toksL).cast("long"), lit(1L))).as("score"))
+        val canon = base.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("_graft_canon"))
+        val kept = base.join(canon, "grp")
+          .filter(col("doc_id") === col("_graft_canon"))
+          .drop("_graft_canon")
+        val screened = Conformal.calibratedKeep(kept, "doc_id",
+          col("score"), col("lang") === "en", calFraction = 0.3,
+          salt = "conf", alphaPpm = 100000L)
+        graft.sampling.Sampling.cvFoldAssign(screened, col("grp"), 5, "cv")
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(col("n_chars")).as("n_chars"),
+            max(col("thr_score")).as("thr_score"))
+          .orderBy(col("fold"))
+      },
+      Some {
+        val calThr = graft.sampling.Sampling.fractionThreshold(0.3)
+        val foldThr = (1 until 5).map(f =>
+          graft.sampling.Sampling.fractionThreshold(f / 5.0))
+        val foldExpr = foldThr.map(t =>
+          s"CASE WHEN draw >= '$t' THEN 1 ELSE 0 END").mkString(" + ")
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT doc_id, lang, n_chars,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |kept AS (SELECT b.* FROM b JOIN canon USING (grp)
+           |  WHERE doc_id = cid),
+           |cb AS (SELECT *, (lang = 'en') AS lab,
+           |    substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           |      < '$calThr' AS cal
+           |  FROM kept),
+           |hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM cb
+           |  WHERE cal AND lab GROUP BY s),
+           |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+           |ncal AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n_cal
+           |  FROM hist),
+           |rk AS (SELECT n_cal, (100000 * (n_cal + 1)) // 1000000
+           |    AS k_rank FROM ncal),
+           |thr AS (SELECT rk.k_rank, CAST(min(cum.s) AS BIGINT)
+           |    AS thr_score
+           |  FROM rk LEFT JOIN cum
+           |    ON cum.cum >= rk.k_rank AND rk.k_rank >= 1
+           |  GROUP BY rk.k_rank),
+           |scr AS (SELECT cb.lang, cb.n_chars, cb.grp, thr_score
+           |  FROM cb CROSS JOIN thr
+           |  WHERE thr_score IS NULL OR s >= thr_score),
+           |fd AS (SELECT lang, n_chars, thr_score,
+           |    CAST($foldExpr AS INTEGER) AS fold FROM (
+           |  SELECT lang, n_chars, thr_score,
+           |      substr(md5('cv:' || grp), 1, 8) AS draw FROM scr))
+           |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |  max(thr_score) AS thr_score
+           |FROM fd GROUP BY fold ORDER BY fold""".stripMargin
+      }),
+
+    // ---- budget -> select -> pack composition: ONE query answers "what
+    // does this mixture cost to pack at a 256-token context" — q210's
+    // water-filled greedy selection priced by q209's concat-and-chunk
+    // fragmentation audit, streamed in selection order (the selection
+    // window's running total IS the packer's prefix sum: no extra shuffle)
+    Q("q215_mixture_pack_audit",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val frame = t.documents.select(col("source"), col("doc_id"),
+          TextFunctions.integralDiv(
+            size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toks).cast("long"), lit(1L))).as("score"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        CapacityPlan.budgetedPackAudit(frame, "source", "doc_id",
+            col("score"), col("n_tokens"), budget = 200000L,
+            contextLen = 256)
+          .orderBy(col("g"))
+      },
+      Some {
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH base AS (SELECT source AS g, doc_id,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS tk
+           |  FROM documents),
+           |caps AS (SELECT g AS grp, CAST(sum(tk) AS BIGINT) AS cap
+           |  FROM base GROUP BY g),
+           |r AS (SELECT grp, cap,
+           |    CAST(row_number() OVER (ORDER BY cap, grp) AS BIGINT) AS i,
+           |    CAST(sum(cap) OVER (ORDER BY cap, grp) AS BIGINT) AS p,
+           |    CAST(count(*) OVER () AS BIGINT) AS n
+           |  FROM caps),
+           |f AS (SELECT grp, cap, i, p, n,
+           |    cap * (n - i + 1) + (p - cap) <= 200000 AS funded FROM r),
+           |lv AS (SELECT CASE
+           |    WHEN max(CASE WHEN funded THEN i END) IS NULL
+           |      THEN 200000 // max(n)
+           |    WHEN max(CASE WHEN funded THEN i END) = max(n) THEN NULL
+           |    ELSE (200000 - max(CASE WHEN funded THEN p END))
+           |      // (max(n) - max(CASE WHEN funded THEN i END)) END
+           |    AS lambda
+           |  FROM f),
+           |al AS (SELECT grp, cap, funded, CASE
+           |    WHEN funded OR lambda IS NULL THEN cap
+           |    ELSE lambda END AS alloc FROM f, lv),
+           |sel AS (SELECT g, tk, sum(tk) OVER (PARTITION BY g
+           |    ORDER BY s DESC, doc_id) AS cum FROM base),
+           |kept AS (SELECT sel.g, tk, cum FROM sel
+           |  JOIN al ON sel.g = al.grp WHERE cum <= alloc),
+           |fr AS (SELECT g, tk, CASE WHEN tk = 0 THEN 0
+           |    ELSE (cum - 1) // 256 - (cum - tk) // 256 + 1 END AS frag
+           |  FROM kept),
+           |census AS (SELECT g, CAST(count(*) AS BIGINT) AS n_selected,
+           |    CAST(sum(tk) AS BIGINT) AS tokens_selected,
+           |    CAST(sum(frag) AS BIGINT) AS fragments,
+           |    CAST(count(*) FILTER (WHERE frag > 1) AS BIGINT)
+           |      AS n_straddle
+           |  FROM fr GROUP BY g)
+           |SELECT grp AS g, cap, alloc, funded,
+           |  COALESCE(n_selected, 0) AS n_selected,
+           |  COALESCE(tokens_selected, 0) AS tokens_selected,
+           |  CASE WHEN alloc > 0 THEN
+           |    (COALESCE(tokens_selected, 0) * 1000000) // alloc
+           |    END AS fill_ppm,
+           |  (COALESCE(tokens_selected, 0) + 255) // 256 AS windows_used,
+           |  COALESCE(fragments, 0) AS fragments,
+           |  COALESCE(n_straddle, 0) AS n_straddle,
+           |  CASE WHEN COALESCE(n_selected, 0) > 0 THEN
+           |    (COALESCE(n_straddle, 0) * 1000000)
+           |      // COALESCE(n_selected, 1) END AS straddle_ppm,
+           |  ((COALESCE(tokens_selected, 0) + 255) // 256) * 256
+           |    - COALESCE(tokens_selected, 0) AS tail_pad
+           |FROM al LEFT JOIN census ON al.grp = census.g
+           |ORDER BY g""".stripMargin
       }))
 }

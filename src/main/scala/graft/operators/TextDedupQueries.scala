@@ -25,15 +25,13 @@ object TextDedupQueries {
   /** DuckDB: distinct 3-word shingles per document (mirrors
     * TextFunctions.shingles).
     */
-  /** shared CTE chain for the q203/q204 substring-dedup oracles: hashed
-    * 50-gram index with a distinct-doc floor → coverage islands → span
-    * frame `tx` (doc_id, span_start, span_end, span_words, span_hash)
+  /** shared CTE chain for the q203/q204/q211/q212 substring-dedup oracles,
+    * parametrized on the (doc_id, text) source relation: hashed 50-gram
+    * index with a distinct-doc floor → coverage islands → span frame `tx`
+    * (doc_id, span_start, span_end, span_words, span_hash)
     */
-  private[operators] val substringSpansCte =
-    """t AS (SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-      |  FROM documents),
-      |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 49),
+  private val substringSpansTail =
+    """g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 49),
       |      i -> {'pos': i, 'gram': md5(array_to_string(
       |        toks[CAST(i+1 AS INT):CAST(i+50 AS INT)], ' '))})) AS u
       |  FROM t WHERE len(toks) >= 50),
@@ -54,6 +52,44 @@ object TextDedupQueries {
       |    md5(array_to_string(t.toks[CAST(span_start+1 AS INT):
       |      CAST(span_end+1 AS INT)], ' ')) AS span_hash
       |  FROM sp JOIN t USING (doc_id))""".stripMargin
+
+  private[operators] def substringSpansCteOn(srcRel: String): String =
+    s"""t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      |  FROM $srcRel),""".stripMargin + "\n" + substringSpansTail
+
+  private[operators] val substringSpansCte = substringSpansCteOn("documents")
+
+  /** keep-one strip tail for the q211/q212 oracles, appended after
+    * [[substringSpansCteOn]]: non-canonical spans (rn > 1 per span_hash) →
+    * removed word positions → token re-slice; emits `stripped`
+    * (doc_id, n_tokens_before, n_tokens_after, n_spans_removed, text_md5)
+    * with one row per `t` document (fully-removed docs hash md5(''))
+    */
+  private[operators] val keepOneStripCtes =
+    """rnv AS (SELECT doc_id, span_start, span_end,
+      |    row_number() OVER (PARTITION BY span_hash
+      |      ORDER BY doc_id, span_start) AS rn FROM tx),
+      |rm AS (SELECT doc_id, span_start, span_end FROM rnv WHERE rn > 1),
+      |nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_removed
+      |  FROM rm GROUP BY doc_id),
+      |tp AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.tok AS tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+      |    i -> {'p': i, 'tok': toks[CAST(i+1 AS INT)]})) AS u FROM t)),
+      |keptt AS (SELECT tp.doc_id, tok, p FROM tp LEFT JOIN rm
+      |  ON tp.doc_id = rm.doc_id
+      |    AND tp.p BETWEEN rm.span_start AND rm.span_end
+      |  WHERE rm.doc_id IS NULL),
+      |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after,
+      |    md5(string_agg(tok, ' ' ORDER BY p)) AS text_md5
+      |  FROM keptt GROUP BY doc_id),
+      |stripped AS (SELECT t.doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens_before,
+      |    COALESCE(n_tokens_after, 0) AS n_tokens_after,
+      |    COALESCE(n_spans_removed, 0) AS n_spans_removed,
+      |    COALESCE(text_md5, md5('')) AS text_md5
+      |  FROM t LEFT JOIN ka USING (doc_id) LEFT JOIN nrm USING (doc_id))"""
+      .stripMargin
 
   private[operators] val shinglesCte =
     """docs AS (
@@ -632,6 +668,105 @@ object TextDedupQueries {
               |    ORDER BY doc_id, span_start)) = 1 AS kept
               |FROM tx
               |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- MATERIALIZE the keep-one policy (the q204 verdicts applied):
+    // every document re-sliced with its non-canonical duplicated spans
+    // stripped — the step that actually emits Lee-et-al-deduplicated
+    // training data. One row per input doc; removal audit + content hash
+    Q("q211_substring_strip",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = graft.dedup.SubstringDedup.crossDocSpans(toks,
+          "doc_id", minWords = 50, minDocs = 2)
+        val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(spans, "doc_id")
+        graft.dedup.SubstringDedup.applyKeepOne(toks, verdicts, "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${substringSpansCte},
+              |$keepOneStripCtes
+              |SELECT doc_id, n_tokens_before, n_tokens_after,
+              |  n_spans_removed, text_md5
+              |FROM stripped ORDER BY doc_id""".stripMargin)),
+
+    // ---- curation pipeline v3 capstone, ONE lazy plan: normalized exact
+    // dedup (keep min-id per normalized hash) -> cross-document substring
+    // keep-one STRIP (q211) -> per-source MAD length screen on the
+    // POST-strip token count -> per-source training-data census
+    Q("q212_curation_v3",
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.documents.select(col("doc_id"), col("source"),
+          col("text"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+        val canon = base.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("_graft_canon"))
+        val kept = base.join(canon, "grp")
+          .filter(col("doc_id") === col("_graft_canon"))
+          .select(col("doc_id"), col("source"), col("text"))
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(kept, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = graft.dedup.SubstringDedup.crossDocSpans(toks,
+          "doc_id", minWords = 50, minDocs = 2)
+        val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(spans, "doc_id")
+        val stripped = graft.dedup.SubstringDedup
+          .applyKeepOne(toks, verdicts, "doc_id")
+          .join(kept.select(col("doc_id"), col("source")), "doc_id")
+        val screened = graft.curation.RobustStats.madKeep(
+          stripped, "source", "n_tokens_after", kTenths = 35)
+        screened.groupBy(col("source").as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens_before")).as("tokens_before"),
+            sum(col("n_tokens_after")).as("tokens_after"),
+            sum(col("n_spans_removed")).as("spans_removed"))
+          .select(col("g"), col("n_docs"), col("tokens_before"),
+            col("tokens_after"), col("spans_removed"),
+            expr("((tokens_before - tokens_after) * 1000000)" +
+              " div tokens_before").as("removed_ppm"))
+          .orderBy(col("g"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |j AS (SELECT st.*, k.source FROM stripped st
+           |  JOIN keptd k USING (doc_id)),
+           |r AS (SELECT source, n_tokens_after,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_tokens_after) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM j),
+           |med AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN n_tokens_after END) AS med FROM r GROUP BY source),
+           |dd AS (SELECT r2.source, abs(r2.n_tokens_after - med) AS dv,
+           |    CAST(row_number() OVER (PARTITION BY r2.source
+           |      ORDER BY abs(r2.n_tokens_after - med)) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY r2.source) AS BIGINT) AS n
+           |  FROM (SELECT source, n_tokens_after FROM j) r2
+           |  JOIN med USING (source)),
+           |mad AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN dv END) AS mad FROM dd GROUP BY source),
+           |scr AS (SELECT j.* FROM j
+           |  JOIN med USING (source) JOIN mad USING (source)
+           |  WHERE abs(n_tokens_after - med) * 10 <= 35 * mad)
+           |SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens_before) AS BIGINT) AS tokens_before,
+           |  CAST(sum(n_tokens_after) AS BIGINT) AS tokens_after,
+           |  CAST(sum(n_spans_removed) AS BIGINT) AS spans_removed,
+           |  ((CAST(sum(n_tokens_before) AS BIGINT)
+           |      - CAST(sum(n_tokens_after) AS BIGINT)) * 1000000)
+           |    // CAST(sum(n_tokens_before) AS BIGINT) AS removed_ppm
+           |FROM scr GROUP BY source ORDER BY g""".stripMargin
+      }),
 
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle

@@ -192,7 +192,12 @@ object ScaleBench {
       "q197_dup_crosstab", "q198_bloom_plan", "q199_cv_folds",
       "q200_curation_v2", "q203_substring_clusters", "q204_substring_dedup",
       "q205_edit_join_capped", "q206_krippendorff", "q207_conformal_screen",
-      "q208_bleu_overlap", "q209_pack_fragmentation", "q210_mixture_assembly")
+      "q208_bleu_overlap", "q209_pack_fragmentation", "q210_mixture_assembly",
+      // round-12 additions: keep-one strip + curation v3 (50-gram hashes,
+      // replica-safe like q203/q204), conformal-calibrated pipeline,
+      // budget->select->pack audit
+      "q211_substring_strip", "q212_curation_v3", "q214_curation_conformal",
+      "q215_mixture_pack_audit")
     // near-dup-graph queries: unperturbed embedding replication makes the
     // graph (and everything over it) grow quadratically in mult — under
     // `wordsalt` the cyclic-shift perturbation removes the artifact and
@@ -210,8 +215,10 @@ object ScaleBench {
       "q115_cross_source_dups",
       // the sampled twins ride the same 0.5-threshold prefix join over
       // the sampled slice — cross-replica shingle sharing poisons them
-      // exactly like q114/q115 under default salting
+      // exactly like q114/q115 under default salting (q213 rides the
+      // same sampled pair frame)
       "q201_sweep_sampled", "q202_cross_source_sampled",
+      "q213_removal_bootstrap",
       // default replication leaves every replica's 12-char prefix
       // verbatim -> quadratic identical-key pairs; wordsalt perturbs it
       "q181_edit_join")

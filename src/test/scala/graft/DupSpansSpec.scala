@@ -174,6 +174,42 @@ class DupSpansSpec extends AnyFunSuite {
     assert(clusters.isEmpty && verdicts.isEmpty)
   }
 
+  test("applyKeepOne strips non-canonical spans; re-run finds no cross-doc dups") {
+    import graft.dedup.SubstringDedup
+    val planted = (1 to 6).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"pre1 pre2 $planted post1"),
+      (20L, s"$planted tail1 tail2"),
+      (30L, s"a b c d $planted"),
+      (40L, "entirely unrelated words only here"),
+      (50L, planted) // nothing BUT the duplicated span: fully removed
+    ).toDF("doc_id", "text")
+    val toks = SubstringDedup.tokenFrame(docs, "doc_id", "text").persist()
+    val spans = SubstringDedup.crossDocSpans(toks, "doc_id", minWords = 5)
+    val verdicts = SubstringDedup.dedupVerdicts(spans, "doc_id")
+    val audit = SubstringDedup.applyKeepOne(toks, verdicts, "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 10 is canonical (keeps all 9 tokens); 20/30 lose the 6 planted
+    // words; 40 untouched; 50 fully stripped
+    assert(audit == Seq((10L, 9L, 9L, 0L), (20L, 8L, 2L, 1L),
+      (30L, 10L, 4L, 1L), (40L, 5L, 5L, 0L), (50L, 6L, 0L, 1L)))
+    val texts = SubstringDedup.keepOneText(toks, verdicts, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(10L) == s"pre1 pre2 $planted post1")
+    assert(texts(20L) == "tail1 tail2")
+    assert(texts(30L) == "a b c d")
+    assert(texts(50L) == "")
+    // the Lee et al. keep-one invariant: re-running crossDocSpans on the
+    // STRIPPED corpus finds no cross-document duplicated substring — only
+    // the canonical occurrence survives anywhere
+    val toks2 = SubstringDedup.tokenFrame(
+      SubstringDedup.keepOneText(toks, verdicts, "doc_id"), "doc_id", "text")
+    assert(SubstringDedup.crossDocSpans(toks2, "doc_id", minWords = 5)
+      .count() == 0L)
+  }
+
   test("asymmetric surroundings split clusters by full-span content") {
     // docs 1+2 share "s1..s6"; doc 1 ALSO shares its neighboring words
     // with doc 3, so doc 1's maximal island extends past the 6 shared

@@ -1107,4 +1107,58 @@ class PlanSpec extends AnyFunSuite {
       "the group-cardinality alloc frame must broadcast:\n" + p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q211 keep-one strip: every branch reads ONE persisted token frame") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // gram build, verdicts, and the strip re-slice all ride the same
+    // persisted token frame — the corpus text is tokenized exactly once
+    val p = exec("q211_substring_strip")
+    val fileScans = p.collect { case f: FileSourceScanExec => f }
+    assert(fileScans.isEmpty,
+      s"all branches must read the persisted token frame, got " +
+        s"${fileScans.size} direct parquet scans:\n$p")
+    val cacheScans = p.collect { case c: InMemoryTableScanExec => c }
+    assert(cacheScans.size >= 2, s"expected >= 2 cache reads:\n$p")
+    val rels = cacheScans
+      .map(c => System.identityHashCode(c.relation.cacheBuilder.cachedPlan))
+      .distinct
+    assert(rels.size == 1,
+      s"${rels.size} distinct cached plans — tokens derived twice:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("q212 curation v3: no cartesian, bounded MAD stats broadcast") {
+    val p = plan("q212_curation_v3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source median/MAD stats frame must broadcast:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q213 removal bootstrap: content-addressed weights, partial-agg'd, " +
+      "no cartesian") {
+    val p = plan("q213_removal_bootstrap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"),
+      "replica expansion must partial-agg before the exchange:\n" + p)
+  }
+
+  test("q214 conformal-calibrated pipeline: 1-row threshold broadcast, " +
+      "no corpus cartesian") {
+    val p = plan("q214_curation_conformal")
+    assert(!p.contains("CartesianProduct"),
+      "the threshold side must broadcast, not cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q215 mixture pack audit: bounded alloc frame broadcast, no cartesian") {
+    val p = plan("q215_mixture_pack_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the group-cardinality alloc frame must broadcast:\n" + p)
+    assert(p.contains("partial_"), p)
+  }
 }
