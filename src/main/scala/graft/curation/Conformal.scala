@@ -129,7 +129,10 @@ object Conformal {
     * at serving time).
     *
     * Scale shape: identical to [[conformalScreen]] — the corpus is scanned,
-    * never shuffled; the 1-row threshold frame broadcasts.
+    * never shuffled; the 1-row threshold frame broadcasts. The input is
+    * read TWICE (threshold derivation + the final filter): callers whose
+    * `df` is itself an expensive plan (a dedup join, a heavy projection)
+    * should persist it first, as the q214 gate query does.
     */
   def calibratedKeep(df: DataFrame, idCol: String, scoreCol: Column,
       labelCol: Column, calFraction: Double, salt: String,

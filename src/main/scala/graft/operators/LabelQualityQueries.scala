@@ -747,9 +747,13 @@ object LabelQualityQueries {
             greatest(size(toksL).cast("long"), lit(1L))).as("score"))
         val canon = base.groupBy(col("grp"))
           .agg(min(col("doc_id")).as("_graft_canon"))
+        // persist: calibratedKeep reads its input twice (threshold
+        // derivation + the final filter) — without the cache the
+        // normalize-dedup join would run twice over the corpus
         val kept = base.join(canon, "grp")
           .filter(col("doc_id") === col("_graft_canon"))
           .drop("_graft_canon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val screened = Conformal.calibratedKeep(kept, "doc_id",
           col("score"), col("lang") === "en", calFraction = 0.3,
           salt = "conf", alphaPpm = 100000L)
