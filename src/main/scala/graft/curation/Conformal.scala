@@ -133,10 +133,23 @@ object Conformal {
     * read TWICE (threshold derivation + the final filter): callers whose
     * `df` is itself an expensive plan (a dedup join, a heavy projection)
     * should persist it first, as the q214 gate query does.
+    *
+    * The appended column names (alpha_ppm, n_cal, k_rank, thr_score, plus
+    * the transient _graft_keep_s) are RESERVED: inputs already carrying
+    * any of them are rejected up front rather than producing an ambiguous
+    * frame.
     */
   def calibratedKeep(df: DataFrame, idCol: String, scoreCol: Column,
       labelCol: Column, calFraction: Double, salt: String,
       alphaPpm: Long): DataFrame = {
+    // the output appends these fixed-name columns onto the caller's frame;
+    // an input already carrying one would yield duplicate/ambiguous columns
+    val reserved =
+      Seq("alpha_ppm", "n_cal", "k_rank", "thr_score", "_graft_keep_s")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"calibratedKeep input must not carry reserved output columns: " +
+        clash.mkString(", "))
     val base = calSplit(df, idCol, scoreCol, labelCol, calFraction, salt)
     val thr = conformalThresholds(base, Seq(alphaPpm))
     df.withColumn("_graft_keep_s", scoreCol.cast("long"))

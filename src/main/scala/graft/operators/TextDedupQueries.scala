@@ -725,8 +725,12 @@ object TextDedupQueries {
             sum(col("n_spans_removed")).as("spans_removed"))
           .select(col("g"), col("n_docs"), col("tokens_before"),
             col("tokens_after"), col("spans_removed"),
-            expr("((tokens_before - tokens_after) * 1000000)" +
-              " div tokens_before").as("removed_ppm"))
+            // tokens_before = 0 (a source whose surviving docs are all
+            // empty): Spark's non-ANSI div yields NULL but DuckDB's //
+            // raises — guard both engines the fill_ppm way
+            expr("CASE WHEN tokens_before > 0 THEN" +
+              " ((tokens_before - tokens_after) * 1000000)" +
+              " div tokens_before END").as("removed_ppm"))
           .orderBy(col("g"))
       },
       Some {
@@ -762,9 +766,10 @@ object TextDedupQueries {
            |  CAST(sum(n_tokens_before) AS BIGINT) AS tokens_before,
            |  CAST(sum(n_tokens_after) AS BIGINT) AS tokens_after,
            |  CAST(sum(n_spans_removed) AS BIGINT) AS spans_removed,
-           |  ((CAST(sum(n_tokens_before) AS BIGINT)
-           |      - CAST(sum(n_tokens_after) AS BIGINT)) * 1000000)
-           |    // CAST(sum(n_tokens_before) AS BIGINT) AS removed_ppm
+           |  CASE WHEN CAST(sum(n_tokens_before) AS BIGINT) > 0 THEN
+           |    ((CAST(sum(n_tokens_before) AS BIGINT)
+           |        - CAST(sum(n_tokens_after) AS BIGINT)) * 1000000)
+           |      // CAST(sum(n_tokens_before) AS BIGINT) END AS removed_ppm
            |FROM scr GROUP BY source ORDER BY g""".stripMargin
       }),
 

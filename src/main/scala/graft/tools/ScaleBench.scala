@@ -234,16 +234,19 @@ object ScaleBench {
     val extras1x = extras ++ graphGated ++ textGated ++ oneXOnly
     val mode = if (wordSalt) " wordsalt" else ""
     if (!lite) {
+      val lb = graft.Bench.loadavgJson()
       println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, src, extras1x),
-        s"1x($src) extras", graft.Bench.sentinelJson(spark)))
+        s"1x($src) extras", graft.Bench.sentinelJson(spark, lb)))
       spark.catalog.clearCache() // q62/q64 persist per-dir token frames
     }
 
+    val lbHead = graft.Bench.loadavgJson()
     println(graft.Bench.jsonLine(graft.Bench.timeHeadline(spark, work),
-      s"${mult}x($src)$mode", graft.Bench.sentinelJson(spark)))
+      s"${mult}x($src)$mode", graft.Bench.sentinelJson(spark, lbHead)))
     if (!lite) {
+      val lb = graft.Bench.loadavgJson()
       println(graft.Bench.jsonLine(graft.Bench.timeNamed(spark, work, extrasNx),
-        s"${mult}x($src)$mode extras", graft.Bench.sentinelJson(spark)))
+        s"${mult}x($src)$mode extras", graft.Bench.sentinelJson(spark, lb)))
     }
     spark.catalog.clearCache()
     if (!keep) fs.delete(new Path(work), true)

@@ -34,10 +34,19 @@ def big_compare(con, qdir: str, sql: str):
     con.execute(
         f"CREATE OR REPLACE TEMP VIEW _got AS SELECT * FROM '{qdir}/*.parquet'")
     con.execute(f"CREATE OR REPLACE TEMP VIEW _want AS ({sql})")
-    gcols = sorted(r[0] for r in con.execute("DESCRIBE _got").fetchall())
-    wcols = sorted(r[0] for r in con.execute("DESCRIBE _want").fetchall())
-    if gcols != wcols:
-        return False, 0, [f"columns {gcols} != {wcols}"]
+    # mirror the small pandas path: column ORDER is part of the contract,
+    # and type drift is FATAL (DuckDB's set ops implicit-cast across
+    # numeric widths, so an INT-vs-BIGINT drift would otherwise be
+    # invisible to the EXCEPT ALL value compare)
+    gdesc = [(r[0], r[1]) for r in con.execute("DESCRIBE _got").fetchall()]
+    wdesc = [(r[0], r[1]) for r in con.execute("DESCRIBE _want").fetchall()]
+    if [c for c, _ in gdesc] != [c for c, _ in wdesc]:
+        return False, 0, [
+            f"columns {[c for c, _ in gdesc]} != {[c for c, _ in wdesc]}"]
+    if [t for _, t in gdesc] != [t for _, t in wdesc]:
+        return False, 0, [f"dtype diff: got {gdesc} want {wdesc}"]
+    type_msgs = []
+    gcols = [c for c, _ in gdesc]
     ng = con.execute("SELECT count(*) FROM _got").fetchone()[0]
     nw = con.execute("SELECT count(*) FROM _want").fetchone()[0]
     if ng != nw:
@@ -49,7 +58,8 @@ def big_compare(con, qdir: str, sql: str):
         f" UNION ALL "
         f"(SELECT {cols} FROM _want EXCEPT ALL SELECT {cols} FROM _got))"
     ).fetchone()[0]
-    return diff == 0, ng, ([] if diff == 0 else
+    return diff == 0, ng, (type_msgs if diff == 0 else
+                           type_msgs +
                            [f"{diff} rows differ (symmetric EXCEPT ALL)"])
 
 
@@ -75,7 +85,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             ok, n, msgs = big_compare(con, qdir, oracles[name])
             if ok:
                 n_pass += 1
-                print(f"  ✓ {name}: {n} rows [duckdb-side compare]")
+                print(f"  ✓ {name}: {n} rows [duckdb-side compare]"
+                      + (f" [{msgs}]" if msgs else ""))
             else:
                 n_fail += 1
                 print(f"  ✗ {name}: {msgs}")
@@ -91,6 +102,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             ok = False
             msgs.append(f"columns {list(got.columns)} != {list(want.columns)}")
         elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            ok = False
             msgs.append(f"dtype diff: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
         if ok and len(got) != len(want):
             ok = False
