@@ -81,12 +81,11 @@ object Agreement {
     * BOTH engines. Products (n², Σ n_v², ×10⁶) run in DECIMAL(38,0) /
     * HUGEINT — n² · 10⁶ blows signed 64-bit past ~1.5 M units per group.
     *
-    * Per-group unit ceiling for the DISPLAY column `de`: the BIGINT cast
-    * of De (up to 4N² per group) overflows past ~1.5e9 units/group, where
-    * Spark (non-ANSI) nulls while DuckDB CAST raises — `alpha_micro`
-    * itself stays exact in decimal at any N. Groups beyond ~1e9 units
-    * should read `alpha_micro` only (or re-emit `de` as DECIMAL(38,0)
-    * downstream); the stable BIGINT gate schema is kept deliberately.
+    * The DISPLAY column `de` is emitted as DECIMAL(38,0) — De runs up to
+    * 4N² per group, which blows signed 64-bit past ~1.5e9 units/group (and
+    * Spark's non-ANSI BIGINT cast would null where DuckDB's raises, an
+    * engine-divergent edge). Decimal keeps it exact at any N, same as
+    * `alpha_micro`'s internal arithmetic.
     *
     * Cache lifetime: `cells` persists at MEMORY_AND_DISK for the three
     * derived aggregates; per the repo-wide convention the CALLER owns
@@ -117,7 +116,7 @@ object Agreement {
         * lit(4) - col("sum_nv2"))
       .filter(col("de") > lit(0))
       .select(col("g"), col("n_units"), col("agree"),
-        col("de").cast("long").as("de"),
+        col("de").cast("decimal(38,0)").as("de"),
         expr("""CAST(((de - (CAST(n_units AS DECIMAL(38,0)) * 2 - 1)
                |         * (n_units - agree) * 2) * 1000000)
                |  div de AS BIGINT)""".stripMargin).as("alpha_micro"))

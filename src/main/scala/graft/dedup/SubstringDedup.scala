@@ -17,13 +17,15 @@ import graft.text.TextFunctions
   * content attribution:
   *
   *  1. per row: token L-grams with start positions, HASHED immediately —
-  *     the exchange carries 32-hex keys, never L-word strings (at L = 50
-  *     a raw gram is ~300 bytes; the hash is the only thing equality
-  *     needs);
-  *  2. grams present in ≥ `minDocs` DISTINCT documents (one gram-hash
-  *     shuffle with partial agg) — the CROSS-document floor [[DupSpans]]
-  *     lacks (its `minCount` also fires on self-repetition within one
-  *     document);
+  *     the exchange carries fixed-width hash keys, never L-word strings
+  *     (at L = 50 a raw gram is ~300 bytes; a hash is the only thing
+  *     equality needs);
+  *  2. grams present in ≥ `minDocs` DISTINCT documents — the
+  *     CROSS-document floor [[DupSpans]] lacks (its `minCount` also fires
+  *     on self-repetition within one document). Floored in TWO exact
+  *     phases: an 8-byte xxhash64-of-token-slice prefilter (the only
+  *     corpus-sized exchange — longs, not hex strings), then the md5
+  *     floor re-derived over surviving candidate positions only;
   *  3. covered words merge into maximal per-doc spans (gaps-and-islands,
   *     skew bounded by the longest document);
   *  4. each span's text re-slices from the persisted token frame and
@@ -61,21 +63,49 @@ object SubstringDedup {
       minDocs: Int = 2): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val grams = toks
+    // Two-phase distinct-doc floor (the r12 "gram prefilter" note, built
+    // exact instead of Bloom-approximate). Phase 1 floors on an 8-BYTE
+    // xxhash64 of the token slice ARRAY — no per-position string
+    // materialization, no md5, and the corpus-sized exchange carries
+    // longs instead of 32-hex strings. Phase 2 recomputes the md5 gram
+    // key for CANDIDATE positions only (grams whose xx64 key met the
+    // floor) and re-applies the floor exactly. Results are identical to
+    // the single-phase md5 floor: md5-equal content is xx64-equal, so a
+    // true dup gram always passes phase 1 with every position intact,
+    // while xx64 collisions merely admit extra candidates that phase 2
+    // drops. Dup rate is typically ≪ the corpus, so the expensive md5 +
+    // string path runs on a sliver of the positions.
+    val gramsXx = toks
       .filter(size(col("_graft_toks")) >= minWords)
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), size(col("_graft_toks")) - minWords),
-          i => md5(array_join(
-            slice(col("_graft_toks"), i + 1, lit(minWords)), " "))))
-          .as(Seq("_graft_p", "gram_h")))
+          i => xxhash64(slice(col("_graft_toks"), i + 1, lit(minWords)))))
+          .as(Seq("_graft_p", "gram_x")))
       .select(col(idCol), col("_graft_p").cast("long").as("pos"),
-        col("gram_h"))
-    val dup = grams.groupBy(col("gram_h"))
+        col("gram_x"))
+    val dupXx = gramsXx.groupBy(col("gram_x"))
+      .agg(countDistinct(col(idCol)).as("_graft_nd"))
+      .filter(col("_graft_nd") >= minDocs)
+      .select(col("gram_x"))
+    // candidate positions regroup per doc (bounded by the doc's token
+    // count) so the md5 re-slice joins the persisted token frame ONCE per
+    // doc, not once per position
+    val candPos = gramsXx.join(dupXx, Seq("gram_x"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("_graft_ps"))
+    val candG = candPos.join(toks, Seq(idCol))
+      .select(col(idCol), explode(transform(col("_graft_ps"),
+        p => struct(p.as("pos"), md5(array_join(
+          slice(col("_graft_toks"), p.cast("int") + 1, lit(minWords)),
+          " ")).as("gram_h")))).as("_graft_g"))
+      .select(col(idCol), col("_graft_g.pos").as("pos"),
+        col("_graft_g.gram_h").as("gram_h"))
+    val dup = candG.groupBy(col("gram_h"))
       .agg(countDistinct(col(idCol)).as("_graft_nd"))
       .filter(col("_graft_nd") >= minDocs)
       .select(col("gram_h"))
-    val words = grams.join(dup, Seq("gram_h"))
+    val words = candG.join(dup, Seq("gram_h"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (minWords - 1)))
           .as("wpos"))
@@ -162,6 +192,18 @@ object SubstringDedup {
       idCol: String): DataFrame =
     keepOneTokens(toks, verdicts, idCol)
       .select(col(idCol), array_join(col("_graft_kept"), " ").as("text"))
+
+  /** [[keepOneText]] and [[applyKeepOne]] in ONE strip pass: the stripped
+    * text plus the removal audit columns, for a consumer (the
+    * [[graft.storage.CorpusStore]] sink) that stores both.
+    */
+  def keepOneStripped(toks: DataFrame, verdicts: DataFrame,
+      idCol: String): DataFrame =
+    keepOneTokens(toks, verdicts, idCol)
+      .select(col(idCol), array_join(col("_graft_kept"), " ").as("text"),
+        col("n_tokens_before"),
+        size(col("_graft_kept")).cast("long").as("n_tokens_after"),
+        col("n_spans_removed"))
 
   private def keepOneTokens(toks: DataFrame, verdicts: DataFrame,
       idCol: String): DataFrame = {

@@ -773,6 +773,63 @@ object TextDedupQueries {
            |FROM scr GROUP BY source ORDER BY g""".stripMargin
       }),
 
+    // ---- the pipeline ends in a TABLE: normalize-dedup + keep-one strip
+    // committed through the Catalog's snapshot protocol (per-source
+    // partitions, atomic _LATEST flip), then the census read BACK from the
+    // stored corpus — storage round-trip is part of the contract. text_crc
+    // sums a 32-bit slice of each stored text's md5, so a byte flipped
+    // anywhere in the store shows up in the census.
+    Q("q216_corpus_store",
+      (s, d) => {
+        val t = Tables(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-corpus-gate").toString
+        val cat = new graft.storage.Catalog(s, root, "gate")
+        graft.storage.CorpusStore.writeDeduped(cat, "corpus", t.documents,
+          "doc_id", "text", "source")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tokens_before",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens_after",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_spans_removed",
+            org.apache.spark.sql.types.LongType)))
+        cat.readPartitionedOr("corpus", schema)
+          .groupBy(col("source").as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens_before")).as("tokens_before"),
+            sum(col("n_tokens_after")).as("tokens_after"),
+            sum(col("n_spans_removed")).as("spans_removed"),
+            sum(expr("CAST(conv(substring(md5(text),1,8),16,10) AS BIGINT)"))
+              .as("text_crc"))
+          .orderBy(col("g"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |j AS (SELECT st.*, k.source FROM stripped st
+           |  JOIN keptd k USING (doc_id))
+           |SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens_before) AS BIGINT) AS tokens_before,
+           |  CAST(sum(n_tokens_after) AS BIGINT) AS tokens_after,
+           |  CAST(sum(n_spans_removed) AS BIGINT) AS spans_removed,
+           |  CAST(sum(CAST(('0x' || substring(text_md5, 1, 8)) AS BIGINT))
+           |    AS BIGINT) AS text_crc
+           |FROM j GROUP BY source ORDER BY g""".stripMargin
+      }),
+
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle
     Q("q80_cdc_chunks",
