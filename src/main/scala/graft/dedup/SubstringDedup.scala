@@ -20,12 +20,10 @@ import graft.text.TextFunctions
   *     the exchange carries fixed-width hash keys, never L-word strings
   *     (at L = 50 a raw gram is ~300 bytes; a hash is the only thing
   *     equality needs);
-  *  2. grams present in ≥ `minDocs` DISTINCT documents — the
-  *     CROSS-document floor [[DupSpans]] lacks (its `minCount` also fires
-  *     on self-repetition within one document). Floored in TWO exact
-  *     phases: an 8-byte xxhash64-of-token-slice prefilter (the only
-  *     corpus-sized exchange — longs, not hex strings), then the md5
-  *     floor re-derived over surviving candidate positions only;
+  *  2. grams present in ≥ `minDocs` DISTINCT documents (one 16-byte
+  *     gram-key shuffle with partial agg) — the CROSS-document floor
+  *     [[DupSpans]] lacks (its `minCount` also fires on self-repetition
+  *     within one document);
   *  3. covered words merge into maximal per-doc spans (gaps-and-islands,
   *     skew bounded by the longest document);
   *  4. each span's text re-slices from the persisted token frame and
@@ -46,6 +44,15 @@ object SubstringDedup {
   private def cleanTokens(textCol: String): Column =
     filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
 
+  /** xxhash64 with an explicit seed (the public `xxhash64` pins seed 42);
+    * the second member of the 128-bit gram key
+    */
+  private def xx64Seeded(c: Column, seed: Long): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(c)),
+        seed))
+
   /** persisted (id, toks) projection — build ONCE and pass to both
     * derived views so the corpus text is scanned and tokenized a single
     * time (the q62/q119 single-scan convention)
@@ -63,49 +70,32 @@ object SubstringDedup {
       minDocs: Int = 2): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // Two-phase distinct-doc floor (the r12 "gram prefilter" note, built
-    // exact instead of Bloom-approximate). Phase 1 floors on an 8-BYTE
-    // xxhash64 of the token slice ARRAY — no per-position string
-    // materialization, no md5, and the corpus-sized exchange carries
-    // longs instead of 32-hex strings. Phase 2 recomputes the md5 gram
-    // key for CANDIDATE positions only (grams whose xx64 key met the
-    // floor) and re-applies the floor exactly. Results are identical to
-    // the single-phase md5 floor: md5-equal content is xx64-equal, so a
-    // true dup gram always passes phase 1 with every position intact,
-    // while xx64 collisions merely admit extra candidates that phase 2
-    // drops. Dup rate is typically ≪ the corpus, so the expensive md5 +
-    // string path runs on a sliver of the positions.
-    val gramsXx = toks
+    // gram key: two independently-seeded xxhash64s over the token-slice
+    // ARRAY, packed in one struct — 16 bytes on the corpus-sized exchange
+    // (a 32-hex md5 string is ~48) and no per-position string
+    // materialization or cryptographic hash in the hot explode. 128 bits
+    // total puts accidental collisions in md5's league (~n²/2¹²⁹); the
+    // exact-content claim downstream still comes from the span re-slice.
+    // (A two-phase xx64-prefilter + md5-confirm variant measured SLOWER
+    // at 1×/10× — two extra shuffles and a candidate regroup join cost
+    // more than the narrower key saves; r13 A/B in NOTES.md.)
+    val grams = toks
       .filter(size(col("_graft_toks")) >= minWords)
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), size(col("_graft_toks")) - minWords),
-          i => xxhash64(slice(col("_graft_toks"), i + 1, lit(minWords)))))
-          .as(Seq("_graft_p", "gram_x")))
+          i => slice(col("_graft_toks"), i + 1, lit(minWords))))
+          .as(Seq("_graft_p", "_graft_gram")))
       .select(col(idCol), col("_graft_p").cast("long").as("pos"),
-        col("gram_x"))
-    val dupXx = gramsXx.groupBy(col("gram_x"))
-      .agg(countDistinct(col(idCol)).as("_graft_nd"))
-      .filter(col("_graft_nd") >= minDocs)
-      .select(col("gram_x"))
-    // candidate positions regroup per doc (bounded by the doc's token
-    // count) so the md5 re-slice joins the persisted token frame ONCE per
-    // doc, not once per position
-    val candPos = gramsXx.join(dupXx, Seq("gram_x"))
-      .groupBy(col(idCol))
-      .agg(collect_list(col("pos")).as("_graft_ps"))
-    val candG = candPos.join(toks, Seq(idCol))
-      .select(col(idCol), explode(transform(col("_graft_ps"),
-        p => struct(p.as("pos"), md5(array_join(
-          slice(col("_graft_toks"), p.cast("int") + 1, lit(minWords)),
-          " ")).as("gram_h")))).as("_graft_g"))
-      .select(col(idCol), col("_graft_g.pos").as("pos"),
-        col("_graft_g.gram_h").as("gram_h"))
-    val dup = candG.groupBy(col("gram_h"))
+        struct(
+          xxhash64(col("_graft_gram")).as("h1"),
+          xx64Seeded(col("_graft_gram"), 0x9E3779B97F4A7C15L).as("h2"))
+          .as("gram_h"))
+    val dup = grams.groupBy(col("gram_h"))
       .agg(countDistinct(col(idCol)).as("_graft_nd"))
       .filter(col("_graft_nd") >= minDocs)
       .select(col("gram_h"))
-    val words = candG.join(dup, Seq("gram_h"))
+    val words = grams.join(dup, Seq("gram_h"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (minWords - 1)))
           .as("wpos"))
