@@ -29,6 +29,47 @@ final case class KeynessTerm(g2: Long, term: String, a: Long, b: Long,
   */
 object CorpusStats {
 
+  /** Chao1 species-richness + Good–Turing unseen-mass audit per group —
+    * the "how much vocabulary haven't we seen yet" report a corpus census
+    * quotes beside raw type counts. With D observed types, f1 singletons,
+    * f2 doubletons and N tokens:
+    *   chao1   = D + f1·(f1−1) / (2·(f2+1))   (bias-corrected estimator
+    *             of TOTAL vocabulary incl. unseen; exact integer milli)
+    *   GT P0   = f1 / N                        (Good–Turing probability
+    *             mass of unseen types; integer ppm)
+    *   hapax   = f1 / D                        (singleton share; ppm)
+    * Returns (groupCol, vocab, n_tokens, f1, f2, chao1_milli,
+    * gt_unseen_ppm, hapax_ppm), all exact integers. The (f2+1) in the
+    * corrected Chao1 keeps the f2 = 0 edge finite in both engines.
+    *
+    * Scale shape: one (group, token) exchange with partial agg; the
+    * frequency-of-frequencies reduction and every estimator run on the
+    * bounded per-group frame. Complements [[vocabSaturation]] (growth
+    * CURVE) with a closed-form asymptote estimate.
+    */
+  def vocabRichness(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        explode(filter(TextFunctions.tokens(col(textCol)),
+          t => t =!= lit(""))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("g"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("vocab"), col("n_tokens"), col("f1"),
+        col("f2"),
+        (col("vocab") * 1000 + TextFunctions.integralDiv(
+          col("f1") * (col("f1") - 1) * 1000,
+          (col("f2") + 1) * 2)).as("chao1_milli"),
+        TextFunctions.integralDiv(col("f1") * 1000000L, col("n_tokens"))
+          .as("gt_unseen_ppm"),
+        TextFunctions.integralDiv(col("f1") * 1000000L, col("vocab"))
+          .as("hapax_ppm"))
+  }
+
   /** Out-of-vocabulary audit: per group, the share of corpus word n-grams
     * absent from a reference slice's n-gram vocabulary (the tokenizer's or
     * embedding table's training data) — the coverage check run before

@@ -139,6 +139,79 @@ object ChangePoint {
     * (type, day) count frame; the weekday marginals come from the bounded
     * calendar; everything after is arithmetic on a (types × 7) frame.
     */
+  /** Wald's Sequential Probability Ratio Test over per-day event-type
+    * volumes — the SEQUENTIAL complement of [[cusumDaily]]: CUSUM alarms
+    * on sustained deviation from an in-sample mean; SPRT tests two
+    * explicit Poisson hypotheses (H0: the baseline week's daily rate λ0,
+    * H1: rate λ1 = 1.5·λ0) with CONTROLLED error rates, stopping the
+    * moment the evidence crosses either Wald boundary:
+    *   per test day with count k:  llr = k·ln(λ1/λ0) − (λ1 − λ0)
+    *   reject H0 when Σllr ≥ ln((1−β)/α);  accept when ≤ ln(β/(1−α))
+    * with α = β = 0.05. Baseline λ0 is the mean daily count over the
+    * first `baselineDays` grid days; testing starts the day after.
+    *
+    * Cross-engine determinism: ln(λ1/λ0) = ln(1.5) and the two Wald
+    * boundaries are computed ONCE here and embedded as the same double
+    * literal in both engines, so only IEEE mult/sub/div (bit-exact) and a
+    * shared round-to-micro per DAY remain; the cumulative sum then runs
+    * in exact integers. Returns one row per type: (event_type,
+    * lam0_micro, n_test_days, decision ∈ reject_h0|accept_h0|continue,
+    * decision_day — FIRST boundary crossing, null while continuing —
+    * final_llr_micro).
+    *
+    * Scale shape: identical to [[cusumDaily]] — one partial-agg'd
+    * (types × days) grid reduction, cumulative sums and decisions on the
+    * calendar-bounded grid.
+    */
+  def sprtDaily(events: DataFrame, tsCol: String, typeCol: String,
+      baselineDays: Int = 7): DataFrame = {
+    require(baselineDays >= 1, s"baselineDays must be >= 1, got $baselineDays")
+    val lnRatio = math.log(1.5)
+    val aMicro = math.round(math.log(19.0) * 1e6) // ln((1-β)/α), α=β=0.05
+    val bMicro = -aMicro                          // ln(β/(1-α)) symmetric
+    val counts = events.select(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = counts.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val types = counts.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))))
+    val lam0 = grid.filter(col("rn") <= baselineDays)
+      .groupBy(col("event_type"))
+      .agg((sum(col("c")).cast("double") / baselineDays.toDouble)
+        .as("lam0"))
+    val llr = grid.filter(col("rn") > baselineDays)
+      .join(lam0, Seq("event_type"))
+      .withColumn("llr_micro",
+        round((col("c").cast("double") * lit(lnRatio)
+          - lit(0.5) * col("lam0")) * 1e6).cast("long"))
+      .withColumn("cum_micro", sum(col("llr_micro")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .withColumn("dec",
+        when(col("cum_micro") >= aMicro, lit("reject_h0"))
+          .when(col("cum_micro") <= bMicro, lit("accept_h0")))
+    llr.groupBy(col("event_type"))
+      .agg(max(round(col("lam0") * 1e6).cast("long")).as("lam0_micro"),
+        count(lit(1)).as("n_test_days"),
+        expr("min_by(dec, day) FILTER (WHERE dec IS NOT NULL)")
+          .as("first_dec"),
+        min(when(col("dec").isNotNull, col("day"))).as("decision_day"),
+        expr("max_by(cum_micro, day)").as("final_llr_micro"))
+      .select(col("event_type"), col("lam0_micro"), col("n_test_days"),
+        coalesce(col("first_dec"), lit("continue")).as("decision"),
+        col("decision_day"), col("final_llr_micro"))
+  }
+
   def dowSeasonality(events: DataFrame, tsCol: String,
       typeCol: String): DataFrame = {
     val counts = events.select(col(typeCol).as("event_type"),

@@ -868,5 +868,35 @@ object CorpusReportQueries {
              |SELECT grp, n_rows, sum_w,
              |  CAST((CAST(sum_w AS HUGEINT) * sum_w * 1000000)
              |    // (CAST(n_rows AS HUGEINT) * sw2) AS BIGINT) AS ess_ppm
-             |FROM a ORDER BY grp""".stripMargin)))
+             |FROM a ORDER BY grp""".stripMargin)),
+
+    // ---- Chao1 + Good–Turing vocabulary richness per source: the
+    // closed-form "how much vocabulary is still unseen" census
+    // (bias-corrected Chao1 asymptote, GT unseen probability mass, hapax
+    // share) — complements q146's saturation CURVE with an estimator.
+    // One (source, token) partial-agg'd exchange; estimators on the
+    // bounded per-source frame, all exact integers.
+    Q("q218_vocab_richness",
+      (s, d) => {
+        val t = Tables(s, d)
+        CorpusStats.vocabRichness(t.documents, "text", "source")
+          .orderBy(col("g"))
+      },
+      Some("""WITH tk AS (SELECT source AS g,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM tk GROUP BY g, tok),
+             |a AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab,
+             |    CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+             |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+             |  FROM c GROUP BY g)
+             |SELECT g, vocab, n_tokens, f1, f2,
+             |  vocab * 1000 + (f1 * (f1 - 1) * 1000) // ((f2 + 1) * 2)
+             |    AS chao1_milli,
+             |  (f1 * 1000000) // n_tokens AS gt_unseen_ppm,
+             |  (f1 * 1000000) // vocab AS hapax_ppm
+             |FROM a ORDER BY g""".stripMargin)))
 }

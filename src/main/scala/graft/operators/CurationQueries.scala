@@ -913,6 +913,60 @@ object CurationQueries {
              |FROM bm FULL OUTER JOIN ov USING (doc_id)
              |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ---- curriculum phase plan: corpus cut into 4 equal-count stages by
+    // the stopword-density quality score (q207's ppm formulation) WITHOUT
+    // a global sort — histogram-derived boundaries, broadcast to a
+    // per-row phase comparison (see Curriculum scaladoc). Census per
+    // phase: count, score range, token budget each stage feeds the
+    // trainer.
+    Q("q217_curriculum_phases",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val scored = t.documents.select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          TextFunctions.integralDiv(
+            size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toks).cast("long"), lit(1L))).as("score"))
+        graft.curation.Curriculum.assignPhases(scored, col("score"), 4)
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score")).as("lo_score"),
+            max(col("score")).as("hi_score"),
+            sum(col("n_toks")).as("sum_tokens"))
+          .orderBy(col("phase"))
+      },
+      Some {
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+           |      AS BIGINT) AS n_toks,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s
+           |  FROM documents),
+           |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY s),
+           |cw AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+           |    sum(c) OVER () AS n FROM h),
+           |th AS (SELECT i, min(s) AS thr FROM cw,
+           |    (SELECT unnest(range(1, 4)) AS i)
+           |  WHERE cum * 4 >= i * n GROUP BY i),
+           |tl AS (SELECT coalesce(list(thr ORDER BY thr), []) AS ths
+           |  FROM th),
+           |ph AS (SELECT doc_id, s, n_toks,
+           |    1 + len(list_filter(ths, x -> x < s)) AS phase FROM b, tl)
+           |SELECT CAST(phase AS INT) AS phase,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(s) AS lo_score, max(s) AS hi_score,
+           |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+           |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+      }),
+
     // ---- per-source bigram conditional entropy rate (exact integer
     // micro-nats): the slice-level diversity audit — template slices
     // score near zero, diverse prose high

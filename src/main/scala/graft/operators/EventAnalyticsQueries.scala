@@ -132,6 +132,61 @@ object EventAnalyticsQueries {
              |    sv, svv FROM g)
              |SELECT dim, code, n, recon_micro,
              |  svv - 2 * recon_micro * sv + n * recon_micro * recon_micro AS sse
-             |FROM f ORDER BY dim, code""".stripMargin))
+             |FROM f ORDER BY dim, code""".stripMargin)),
+
+    // ---- Wald SPRT over daily event-type volume: two explicit Poisson
+    // hypotheses (baseline-week rate vs 1.5x) with controlled error
+    // rates, stopping at the first Wald-boundary crossing — the
+    // sequential complement of q153's CUSUM. ln(1.5) and the boundaries
+    // are ONE shared double literal in both engines; the cumulative walk
+    // is exact integer micro-nats.
+    Q("q220_sprt_drift",
+      (s, d) => {
+        val t = Tables(s, d)
+        ChangePoint.sprtDaily(t.events, "ts", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val lnRatio = math.log(1.5)
+        val aMicro = math.round(math.log(19.0) * 1e6)
+        s"""WITH days AS (
+           |  SELECT CAST(unnest(generate_series(
+           |      (SELECT min(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+           |      (SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events),
+           |      INTERVAL 1 DAY)) AS DATE) AS day),
+           |types AS (SELECT DISTINCT event_type FROM events),
+           |dcnt AS (SELECT event_type,
+           |    CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |grid AS (SELECT t.event_type, d.day, coalesce(c.c, 0) AS c,
+           |    row_number() OVER (PARTITION BY t.event_type
+           |      ORDER BY d.day) AS rn
+           |  FROM types t CROSS JOIN days d
+           |  LEFT JOIN dcnt c ON c.event_type = t.event_type
+           |    AND c.day = d.day),
+           |l0 AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / 7.0 AS lam0
+           |  FROM grid WHERE rn <= 7 GROUP BY event_type),
+           |tst AS (SELECT g.event_type, g.day, lam0,
+           |    CAST(round((CAST(g.c AS DOUBLE) * $lnRatio - 0.5 * lam0)
+           |      * 1000000.0) AS BIGINT) AS llr_micro
+           |  FROM grid g JOIN l0 USING (event_type) WHERE rn > 7),
+           |cm AS (SELECT event_type, day, lam0,
+           |    CAST(sum(llr_micro) OVER (PARTITION BY event_type
+           |      ORDER BY day) AS BIGINT) AS cum
+           |  FROM tst),
+           |dc AS (SELECT event_type, day, lam0, cum,
+           |    CASE WHEN cum >= $aMicro THEN 'reject_h0'
+           |         WHEN cum <= -$aMicro THEN 'accept_h0' END AS dec
+           |  FROM cm)
+           |SELECT event_type,
+           |  CAST(max(round(lam0 * 1000000.0)) AS BIGINT) AS lam0_micro,
+           |  CAST(count(*) AS BIGINT) AS n_test_days,
+           |  coalesce(arg_min(dec, day) FILTER (WHERE dec IS NOT NULL),
+           |    'continue') AS decision,
+           |  min(day) FILTER (WHERE dec IS NOT NULL) AS decision_day,
+           |  arg_max(cum, day) AS final_llr_micro
+           |FROM dc GROUP BY event_type ORDER BY event_type""".stripMargin
+      })
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.curation.{CorpusStats, Stylometry}
 import graft.similarity.{EmbeddingStats, MarginKnn}
-import graft.text.Blocklist
+import graft.text.{Blocklist, TextFunctions}
 
 /** Round-11 screening / monitoring operators: dictionary blocklist
   * screening, margin-based neighbor mining, CUSUM volume drift, stylometric
@@ -836,6 +836,40 @@ object ScreeningQueries {
              |  (CAST(count(*) FILTER (WHERE dv.dv * 10 > 35 * mad) AS BIGINT)
              |    * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
              |FROM dv JOIN mad USING (g) GROUP BY dv.g
-             |ORDER BY dv.g""".stripMargin))
+             |ORDER BY dv.g""".stripMargin)),
+
+    // ---- k-anonymity / l-diversity release audit per source: QI =
+    // (source, lang, 100-char length bucket), sensitive = the document
+    // fingerprint's first hex nibble (a stand-in for any per-row secret).
+    // Rows in QI groups < 5 are linkage-attack re-identifiable; min_l = 1
+    // means a homogeneity attack works somewhere in the slice.
+    Q("q219_k_anonymity",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.curation.PrivacyAudit.kAnonymity(t.documents,
+            col("source"),
+            Seq(col("source"), col("lang"),
+              TextFunctions.integralDiv(col("n_chars"), lit(100L))
+                .as("len_bucket")),
+            substring(md5(col("text")), 1, 1), k = 5)
+          .orderBy(col("g"))
+      },
+      Some("""WITH b AS (SELECT source AS g,
+             |    {s: source, l: lang, lb: n_chars // 100} AS qi,
+             |    substring(md5(text), 1, 1) AS sens
+             |  FROM documents),
+             |grp AS (SELECT g, qi, CAST(count(*) AS BIGINT) AS sz,
+             |    CAST(count(DISTINCT sens) AS BIGINT) AS l
+             |  FROM b GROUP BY g, qi)
+             |SELECT g, CAST(sum(sz) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_qi_groups,
+             |  CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT)
+             |    AS n_singletons,
+             |  CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+             |    AS rows_below_k,
+             |  (CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+             |    * 1000000) // CAST(sum(sz) AS BIGINT) AS risk_ppm,
+             |  min(l) AS min_l
+             |FROM grp GROUP BY g ORDER BY g""".stripMargin))
   )
 }
