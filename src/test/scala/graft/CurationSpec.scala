@@ -412,4 +412,33 @@ class CurationSpec extends AnyFunSuite {
       "no pii here, just words and 3.14 and 1.2.3 (three octets only)")))
     assert(got(3L) == ((0L, 0L, 0L, "")))
   }
+
+  test("Curriculum.assignPhases: histogram boundaries, tie mass shares a phase") {
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 3L, 4L, 4L).toDF("s")
+    val got = graft.curation.Curriculum.assignPhases(df, col("s"), 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("phase"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // hist 1->4, 2->1, 3->1, 4->2 (N=8): boundaries b1=b2=1 (the tie mass
+    // covers both quarter marks), b3=3 -> score 1 is phase 1, scores 2 and
+    // 3 land in phase 3 (phase 2 is EMPTY: tie semantics), 4 in phase 4
+    assert(got == Map(1L -> Set(1), 2L -> Set(3), 3L -> Set(3), 4L -> Set(4)))
+
+    val uniform = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("s")
+    val gotU = graft.curation.Curriculum.assignPhases(uniform, col("s"), 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("phase")).toMap
+    assert(gotU == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3,
+      6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
+  test("CorpusStats.vocabRichness: Chao1 / Good-Turing / hapax exact integers") {
+    val docs = Seq(("g1", "a a b c"), ("g2", "x y")).toDF("src", "text")
+    val got = graft.curation.CorpusStats.vocabRichness(docs, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // g1: D=3 N=4 f1=2 f2=1 -> chao1 = 3000 + 2*1*1000/(2*2) = 3500
+    assert(got("g1") == ((3L, 4L, 2L, 1L, 3500L, 500000L, 666666L)))
+    // g2: D=2 N=2 f1=2 f2=0 -> chao1 = 2000 + 2*1*1000/2 = 3000
+    assert(got("g2") == ((2L, 2L, 2L, 0L, 3000L, 1000000L, 1000000L)))
+  }
 }

@@ -1161,4 +1161,42 @@ class PlanSpec extends AnyFunSuite {
       "the group-cardinality alloc frame must broadcast:\n" + p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q216 corpus store: committed-table read-back, partial-agg'd census, " +
+      "no cartesian") {
+    val p = plan("q216_corpus_store")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q217 curriculum: histogram boundaries broadcast to the corpus, " +
+      "no global sort of documents") {
+    val p = plan("q217_curriculum_phases")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row boundary frame must broadcast, not cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q218 vocab richness: one partial-agg'd token exchange, no cartesian") {
+    val p = plan("q218_vocab_richness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q219 k-anonymity: partial-agg'd QI exchange, no cartesian") {
+    val p = plan("q219_k_anonymity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q220 SPRT: calendar grid broadcast, partial-agg'd counts, " +
+      "no cartesian") {
+    val p = plan("q220_sprt_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
 }

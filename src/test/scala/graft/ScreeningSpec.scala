@@ -195,4 +195,43 @@ class ScreeningSpec extends AnyFunSuite {
     assert(got(("a", "a")) == 1L)
     assert(got.values.sum == 5L)
   }
+
+  test("PrivacyAudit.kAnonymity: group sizes, linkage risk, min l-diversity") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", "A", "x"), ("s", "A", "x"), ("s", "A", "y"), // qi A: sz 3, l 2
+      ("s", "B", "z"))                                   // qi B: singleton
+      .toDF("src", "qi", "sens")
+    val got = graft.curation.PrivacyAudit.kAnonymity(df, col("src"),
+        Seq(col("src"), col("qi")), col("sens"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(("s", 4L, 2L, 1L, 1L, 250000L, 1L)))
+  }
+
+  test("sprtDaily: Wald boundaries, first-crossing decision, exact walk") {
+    import spark.implicits._
+    // type t: 2/day for the 7 baseline days, a 20-event burst on day 8,
+    // back to 2 on days 9-10; type u: flat 2/day throughout
+    val rows = (for {
+      day <- 1 to 10
+      (tp, n) <- Seq(
+        ("t", if (day == 8) 20 else 2),
+        ("u", 2))
+      i <- 1 to n
+    } yield (f"2024-01-$day%02d 00:$i%02d:00", tp)).toSeq
+    val events = rows.toDF("tss", "event_type")
+      .select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val got = ChangePoint.sprtDaily(events, "ts", "event_type")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), Option(r.getDate(4)).map(_.toString).orNull,
+        r.getLong(5))).toMap
+    // lam0 = 2.0; llr(k=20) = round((20 ln1.5 - 1)e6) = 7109302 crosses
+    // +2944439 on day 8 -> reject; llr(k=2) = -189070/day never crosses
+    // -2944439 in 3 test days -> continue
+    assert(got("t") == ((2000000L, 3L, "reject_h0", "2024-01-08",
+      7109302L - 2L * 189070L)))
+    assert(got("u") == ((2000000L, 3L, "continue", null,
+      -3L * 189070L)))
+  }
 }
