@@ -117,6 +117,41 @@ object SubstringDedup {
           col("span_words").cast("int")), " ")).as("span_hash"))
   }
 
+  /** Cross-source contamination crosstab at SUBSTRING granularity — the
+    * provenance view of [[crossDocSpans]]: for every ordered source pair
+    * (src_a ≤ src_b), how many distinct duplicated substrings have an
+    * occurrence in both, and how many words each side would shed if that
+    * pair were deduplicated (the q197 exact-dup crosstab's semantics
+    * pushed down from whole documents to Lee-et-al spans; src_a = src_b
+    * rows count within-source cross-document duplication). Returns
+    * (src_a, src_b, n_shared_spans, span_words_total) with
+    * `span_words_total` summing each shared cluster's max occurrence
+    * length once.
+    *
+    * Scale shape: spans join the bounded (id → source) projection, reduce
+    * to one row per (span_hash, source) — cluster count × source count,
+    * span-bounded — and pair within span_hash (≤ |sources|² per cluster,
+    * config-bounded). The pair frame partial-aggregates to the final
+    * |sources|²-bounded crosstab.
+    */
+  def crossSourceSpanCrosstab(spans: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val bySrc = spans.join(docs.select(col(idCol), col(sourceCol)),
+        Seq(idCol))
+      .groupBy(col("span_hash"), col(sourceCol).as("_graft_src"))
+      .agg(max(col("span_words")).as("_graft_w"))
+    val a = bySrc.select(col("span_hash"), col("_graft_src").as("src_a"),
+      col("_graft_w").as("_graft_wa"))
+    val b = bySrc.select(col("span_hash"), col("_graft_src").as("src_b"),
+      col("_graft_w").as("_graft_wb"))
+    a.join(b, Seq("span_hash"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_spans"),
+        sum(greatest(col("_graft_wa"), col("_graft_wb")))
+          .as("span_words_total"))
+  }
+
   /** One row per distinct duplicated substring (by exact content):
     * (span_hash, span_words, n_docs, n_spans, first_doc_id, first_start)
     * — the "duplicate substring table" a suffix-array pipeline publishes,

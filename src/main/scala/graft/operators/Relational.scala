@@ -343,6 +343,43 @@ object Relational {
              |  FROM u) WHERE rn = 1
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- storage time travel through the oracle gate: two snapshot
+    // versions committed via the Catalog protocol, the FIRST read back
+    // PINNED after the second landed — proves a reader holding v1 (a
+    // pagination session, a reproducible training run) is untouched by
+    // later commits. Oracle recomputes both censuses from source.
+    Q("q222_catalog_time_travel",
+      (s, d) => {
+        val t = Tables(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-timetravel").toString
+        val cat = new graft.storage.Catalog(s, root, "gate")
+        def census(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+        cat.write("corpus_census", census(t.documents))
+        cat.write("corpus_census",
+          census(t.documents.filter(col("doc_id") % 2 === 0)))
+        val v1 = cat.readVersion("corpus_census", Some(1L)).get
+          .withColumn("version", lit(1L))
+        val v2 = cat.readVersion("corpus_census", Some(2L)).get
+          .withColumn("version", lit(2L))
+        v1.unionByName(v2)
+          .select(col("version"), col("source"), col("n_docs"),
+            col("sum_chars"))
+          .orderBy(col("version"), col("source"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), source, CAST(count(*) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+             |ORDER BY version, source""".stripMargin)),
+
     // ---- J6 + monthly rollup: join then grouped distinct-count
     Q("q18_monthly_join_stats",
       (s, d) => {

@@ -830,6 +830,38 @@ object TextDedupQueries {
            |FROM j GROUP BY source ORDER BY g""".stripMargin
       }),
 
+    // ---- cross-source substring contamination crosstab: q197's
+    // exact-dup source matrix pushed down to Lee-et-al span granularity —
+    // which source PAIRS share duplicated passages, and how many words
+    // ride on each pair (src_a = src_b rows are within-source cross-doc
+    // duplication)
+    Q("q221_substring_crosstab",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = graft.dedup.SubstringDedup.crossDocSpans(toks,
+          "doc_id", minWords = 50, minDocs = 2)
+        graft.dedup.SubstringDedup.crossSourceSpanCrosstab(spans,
+            t.documents, "doc_id", "source")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH ${substringSpansCte},
+              |bs AS (SELECT span_hash, d.source AS src,
+              |    CAST(max(span_words) AS BIGINT) AS w
+              |  FROM tx JOIN documents d USING (doc_id)
+              |  GROUP BY span_hash, d.source),
+              |pr AS (SELECT a.src AS src_a, b.src AS src_b,
+              |    greatest(a.w, b.w) AS w
+              |  FROM bs a JOIN bs b ON a.span_hash = b.span_hash
+              |    AND a.src <= b.src)
+              |SELECT src_a, src_b, CAST(count(*) AS BIGINT)
+              |    AS n_shared_spans,
+              |  CAST(sum(w) AS BIGINT) AS span_words_total
+              |FROM pr GROUP BY src_a, src_b
+              |ORDER BY src_a, src_b""".stripMargin)),
+
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle
     Q("q80_cdc_chunks",

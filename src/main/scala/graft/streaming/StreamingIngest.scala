@@ -768,6 +768,127 @@ object StreamingIngest {
         OutputMode.Append())
   }
 
+  /** one finalized SPRT test day for an event type; `decision` is
+    * "continue" until the cumulative walk first crosses a Wald boundary,
+    * then "reject_h0"/"accept_h0" on the crossing day — the LAST row the
+    * type emits (SPRT stops sampling at a decision)
+    */
+  final case class SprtDay(eventType: String, dayEpoch: Long, c: Long,
+      llrMicro: Long, cumMicro: Long, decision: String)
+
+  /** per-type SPRT state: last finalized day, cumulative LLR micro-nats,
+    * decided flag, open day counts (pairs — no MapType in the state
+    * encoder)
+    */
+  final case class SprtState(lastDay: Long, cumMicro: Long,
+      decided: Boolean, open: Seq[(Long, Long)])
+
+  /** Streaming Wald SPRT volume drift — the stateful twin of the batch
+    * `ChangePoint.sprtDaily` (q220) against FIXED hypotheses (streaming
+    * can't calibrate the baseline week; `lam0Micro` comes from the batch
+    * op over history, exactly like [[streamingCusumDaily]]'s target).
+    * H0: Poisson rate λ0 = lam0Micro/10⁶ per day; H1: 1.5·λ0; α = β =
+    * 0.05. Day finalization machinery identical to the CUSUM twin
+    * (watermark-driven, strictly sequential, zero-count gap days
+    * included). Each finalized day appends
+    * `llr = round((c·ln1.5 − 0.5·λ0)·10⁶)` to the walk and emits one row;
+    * the first boundary crossing emits its decision and the type STOPS
+    * (SPRT's stopping rule — later days neither emit nor walk). The
+    * per-day double arithmetic matches the batch op bit-for-bit when
+    * lam0Micro/10⁶ reproduces the batch λ0 exactly (StreamingSpec pins
+    * the shared-scenario equality).
+    */
+  def streamingSprtDaily(events: Dataset[TypedUserEvent], lam0Micro: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SprtDay] = {
+    require(lam0Micro >= 0, s"lam0Micro must be >= 0, got $lam0Micro")
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val lnRatio = math.log(1.5)
+    val aMicro = math.round(math.log(19.0) * 1e6)
+    val lam0 = lam0Micro.toDouble / 1e6
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessor[
+          String, TypedUserEvent, SprtDay] {
+        @transient private var st:
+          org.apache.spark.sql.streaming.ValueState[SprtState] = _
+        override def init(outputMode: OutputMode,
+            timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+          st = getHandle.getValueState[SprtState]("sprt",
+            org.apache.spark.sql.Encoders.product[SprtState],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        private def nextDay(s: SprtState): Long =
+          if (s.lastDay == Long.MinValue) s.open.map(_._1).min else s.lastDay + 1
+        private def deadline(s: SprtState): Option[Long] =
+          if (s.open.isEmpty || s.decided) None
+          else Some((nextDay(s) + 1) * dayMs)
+        override def handleInputRows(key: String,
+            rows: Iterator[TypedUserEvent],
+            tv: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[SprtDay] = {
+          val cur = if (st.exists()) st.get()
+            else SprtState(Long.MinValue, 0L, decided = false, Seq.empty)
+          val oldDeadline = deadline(cur)
+          var open = cur.open.toMap
+          if (!cur.decided) rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            if (cur.lastDay == Long.MinValue || d > cur.lastDay)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val next = cur.copy(open = open.toSeq.sorted)
+          st.update(next)
+          val newDeadline = deadline(next)
+          if (newDeadline != oldDeadline) {
+            oldDeadline.foreach(getHandle.deleteTimer)
+            newDeadline.foreach(getHandle.registerTimer)
+          }
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: String,
+            tv: org.apache.spark.sql.streaming.TimerValues,
+            info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+            : Iterator[SprtDay] = {
+          val wm = tv.getCurrentWatermarkInMs
+          val cur = if (st.exists()) st.get()
+            else SprtState(Long.MinValue, 0L, decided = false, Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SprtDay]
+          var open = cur.open.toMap
+          var lastDay = cur.lastDay
+          var cum = cur.cumMicro
+          var decided = cur.decided
+          // finalize every sequential day whose end the watermark passed
+          while (!decided && open.nonEmpty && {
+            val d = if (lastDay == Long.MinValue) open.keysIterator.min
+              else lastDay + 1
+            (d + 1) * dayMs <= wm
+          }) {
+            val d = if (lastDay == Long.MinValue) open.keysIterator.min
+              else lastDay + 1
+            val c = open.getOrElse(d, 0L)
+            val llr = math.round(
+              (c.toDouble * lnRatio - 0.5 * lam0) * 1e6)
+            cum += llr
+            val dec = if (cum >= aMicro) "reject_h0"
+              else if (cum <= -aMicro) "accept_h0" else "continue"
+            out += SprtDay(key, d, c, llr, cum, dec)
+            decided = dec != "continue"
+            open = open - d
+            lastDay = d
+          }
+          val next = SprtState(lastDay, cum, decided,
+            if (decided) Seq.empty else open.toSeq.sorted)
+          st.update(next)
+          deadline(next).foreach(getHandle.registerTimer)
+          out.iterator
+        }
+      }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.eventType)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream record batches into a Reservoir: each micro-batch runs the SAME
     * idempotent ingest the batch path uses (MERGE by natural key +
     * incremental clusterize), so an at-least-once replay after restart

@@ -1199,4 +1199,19 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q221 substring crosstab: pairs within span_hash only, no cartesian") {
+    val p = plan("q221_substring_crosstab")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q222 time travel: both pinned-version snapshots scanned, no cartesian") {
+    val p = plan("q222_catalog_time_travel")
+    assert(!p.contains("CartesianProduct"), p)
+    // the census aggregated BEFORE each commit; the returned plan is the
+    // union of the two pinned snapshot scans — pin exactly that
+    assert(p.contains("/v=1") && p.contains("/v=2"),
+      "must read the two pinned versions:\n" + p)
+  }
 }

@@ -627,6 +627,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SPRT: walk matches batch constants, stops at first crossing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SprtDay, TypedUserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedUserEvent](spark)
+    val dayMs = 86400000L
+    def ev(id: Long, day: Long, k: Long) =
+      TypedUserEvent(1L, id, new Timestamp(day * dayMs + k), "a")
+    val q = StreamingIngest.streamingSprtDaily(input.toDS(),
+        lam0Micro = 2000000L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sprt_days").start()
+    def rows() = spark.table("sprt_days").as[SprtDay].collect()
+      .map(r => (r.dayEpoch, r.c, r.llrMicro, r.cumMicro, r.decision)).toSet
+    try {
+      // lam0 = 2.0: llr(2) = round((2 ln1.5 - 1)e6) = -189070,
+      // llr(0) = -1000000, llr(20) = 7109302; Wald boundary ±2944439
+      input.addData(ev(1, 0, 1000), ev(2, 0, 2000),
+        ev(3, 1, 1000), ev(4, 1, 2000))
+      input.addData((5L to 24L).map(i => ev(i, 3, i * 100)): _*)
+      q.processAllAvailable()
+      input.addData(ev(30, 5, 1000)) // watermark past day 4: 0..3 finalize
+      q.processAllAvailable()
+      // day 3's burst crosses +2944439 -> reject, and the type STOPS:
+      // day 4 (silent) emits nothing despite being past the watermark
+      assert(rows() == Set(
+        (0L, 2L, -189070L, -189070L, "continue"),
+        (1L, 2L, -189070L, -378140L, "continue"),
+        (2L, 0L, -1000000L, -1378140L, "continue"),
+        (3L, 20L, 7109302L, 5731162L, "reject_h0")), rows().toString)
+      // post-decision events neither walk nor emit
+      input.addData(ev(31, 6, 1000), ev(32, 7, 1000))
+      q.processAllAvailable()
+      assert(rows().size == 4, rows().toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming heavy hitters: MG guarantees per source across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
