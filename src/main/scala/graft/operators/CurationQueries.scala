@@ -967,6 +967,88 @@ object CurationQueries {
            |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
       }),
 
+    // ---- curriculum-phased budgeted assembly: the q217 phases feed the
+    // q210 waterfill+greedy machinery — a 200k global token budget split
+    // across the four curriculum stages, each stage filled with its
+    // highest-score docs. The census a staged-pretraining data order is
+    // actually cut from.
+    Q("q223_curriculum_pack",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val stops = TextFunctions.DefaultStopwords
+        val scored = t.documents.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+          TextFunctions.integralDiv(
+            size(filter(toks, x => x.isin(stops.map(v => v: Any): _*)))
+              .cast("long") * 1000000L,
+            greatest(size(toks).cast("long"), lit(1L))).as("score"))
+        val phased = graft.curation.Curriculum.assignPhases(scored,
+          col("score"), 4)
+        CapacityPlan.budgetedSelect(phased, "phase", "doc_id",
+            col("score"), col("n_toks"), budget = 200000L)
+          .orderBy(col("g"))
+      },
+      Some {
+        val stops = TextFunctions.DefaultStopwords
+          .map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           |      AS tk,
+           |    (CAST(len(list_filter(regexp_split_to_array(lower(text),
+           |        '\\s+'), x -> list_contains($stops, x))) AS BIGINT)
+           |      * 1000000)
+           |      // greatest(CAST(len(regexp_split_to_array(lower(text),
+           |        '\\s+')) AS BIGINT), 1) AS s
+           |  FROM documents),
+           |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY s),
+           |cw AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+           |    sum(c) OVER () AS n FROM h),
+           |th AS (SELECT i, min(s) AS thr FROM cw,
+           |    (SELECT unnest(range(1, 4)) AS i)
+           |  WHERE cum * 4 >= i * n GROUP BY i),
+           |tl AS (SELECT coalesce(list(thr ORDER BY thr), []) AS ths
+           |  FROM th),
+           |base AS (SELECT CAST(1 + len(list_filter(ths, x -> x < s))
+           |      AS INT) AS g, doc_id, s, tk
+           |  FROM b, tl),
+           |caps AS (SELECT g AS grp, CAST(sum(tk) AS BIGINT) AS cap
+           |  FROM base GROUP BY g),
+           |r AS (SELECT grp, cap,
+           |    CAST(row_number() OVER (ORDER BY cap, grp) AS BIGINT) AS i,
+           |    CAST(sum(cap) OVER (ORDER BY cap, grp) AS BIGINT) AS p,
+           |    CAST(count(*) OVER () AS BIGINT) AS n
+           |  FROM caps),
+           |f AS (SELECT grp, cap, i, p, n,
+           |    cap * (n - i + 1) + (p - cap) <= 200000 AS funded FROM r),
+           |lv AS (SELECT CASE
+           |    WHEN max(CASE WHEN funded THEN i END) IS NULL
+           |      THEN 200000 // max(n)
+           |    WHEN max(CASE WHEN funded THEN i END) = max(n) THEN NULL
+           |    ELSE (200000 - max(CASE WHEN funded THEN p END))
+           |      // (max(n) - max(CASE WHEN funded THEN i END)) END
+           |    AS lambda
+           |  FROM f),
+           |al AS (SELECT grp, cap, funded, CASE
+           |    WHEN funded OR lambda IS NULL THEN cap
+           |    ELSE lambda END AS alloc FROM f, lv),
+           |sel AS (SELECT g, tk, sum(tk) OVER (PARTITION BY g
+           |    ORDER BY s DESC, doc_id) AS cum FROM base),
+           |kept AS (SELECT sel.g, tk FROM sel
+           |  JOIN al ON sel.g = al.grp WHERE cum <= alloc),
+           |census AS (SELECT g, CAST(count(*) AS BIGINT) AS n_selected,
+           |    CAST(sum(tk) AS BIGINT) AS tokens_selected
+           |  FROM kept GROUP BY g)
+           |SELECT grp AS g, cap, alloc, funded,
+           |  COALESCE(n_selected, 0) AS n_selected,
+           |  COALESCE(tokens_selected, 0) AS tokens_selected,
+           |  CASE WHEN alloc > 0 THEN
+           |    (COALESCE(tokens_selected, 0) * 1000000) // alloc
+           |    END AS fill_ppm
+           |FROM al LEFT JOIN census ON al.grp = census.g
+           |ORDER BY g""".stripMargin
+      }),
+
     // ---- per-source bigram conditional entropy rate (exact integer
     // micro-nats): the slice-level diversity audit — template slices
     // score near zero, diverse prose high

@@ -1214,4 +1214,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("/v=1") && p.contains("/v=2"),
       "must read the two pinned versions:\n" + p)
   }
+
+  test("q223 curriculum pack: boundary + alloc frames broadcast, no cartesian") {
+    val p = plan("q223_curriculum_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
