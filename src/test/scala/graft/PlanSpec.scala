@@ -992,6 +992,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "totals must broadcast:\n" + p)
   }
 
+  test("q203 gram exchange keys on the 16-byte xxhash64 struct, not strings") {
+    // the r13 A/B winner: the corpus-sized gram exchange must carry the
+    // two-seed xxhash64 struct — no md5/array_join string materialization
+    // in the hot explode (md5 appears only in the bounded span re-slice)
+    val p = plan("q203_substring_clusters")
+    assert(p.contains("xxhash64"),
+      "gram key must be the seeded xxhash64 pair:\n" + p)
+    // the explode emits raw token slices; no md5/array_join string build
+    // anywhere between it and the gram exchange
+    val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.nonEmpty, p)
+    assert(!generates.exists(_.contains("md5")),
+      "no md5/string build inside the gram explode:\n" + generates.mkString("\n"))
+  }
+
   test("q203/q204 substring dedup tokenizes the corpus exactly once") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
