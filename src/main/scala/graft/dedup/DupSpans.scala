@@ -121,6 +121,40 @@ object DupSpans {
   }
 
   /** one row per (doc, gram start): 0-based `pos` (long) + the n-word gram */
+  /** Memorization-exposure score per document (the Carlini et al.
+    * "quantifying memorization" risk signal, corpus-side): the share of a
+    * document's word n-grams that occur ≥ `k` times corpus-wide — content
+    * a model sees k+ times is what extraction attacks recover first, so
+    * docs with high `risk_ppm` are the ones a dedup/suppression pass must
+    * handle before release. Counts OCCURRENCES (within-doc repeats
+    * included), deliberately non-distinct: a boilerplate block repeated
+    * 50× inside one doc is exactly as memorizable as one spread over 50
+    * docs. Returns (idCol, n_grams, n_risky, risk_ppm) for every doc with
+    * ≥ 1 gram.
+    *
+    * Takes the PERSISTED [[gramStarts]] frame (read under the occurrence
+    * count and the per-doc reduction — the `duplicatedSpansFromGrams`
+    * convention). One gram exchange with partial agg; the risky-gram set
+    * after the floor is small, so AQE broadcasts the probe join.
+    */
+  def memorizationRisk(grams: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val risky = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_graft_occ"))
+      .filter(col("_graft_occ") >= k)
+      .select(col("gram"))
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val riskyPerDoc = grams.join(risky, Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_risky"))
+    perDoc.join(riskyPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_risky"), lit(0L)).as("n_risky"),
+        TextFunctions.integralDiv(
+          coalesce(col("n_risky"), lit(0L)) * 1000000L, col("n_grams"))
+          .as("risk_ppm"))
+  }
+
   def gramStarts(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     // gram assembly (slice+join per position) is the CPU-bound stage:

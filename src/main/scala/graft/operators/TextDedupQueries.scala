@@ -862,6 +862,59 @@ object TextDedupQueries {
               |FROM pr GROUP BY src_a, src_b
               |ORDER BY src_a, src_b""".stripMargin)),
 
+    // ---- memorization-exposure census (Carlini et al. risk signal):
+    // per source, the share of word 8-grams occurring >= 3 times
+    // corpus-wide (within-doc repeats count — equally memorizable) plus
+    // the worst single document's exposure. The pre-release audit that
+    // decides whether the q211 strip went deep enough.
+    Q("q224_memorization_risk",
+      (s, d) => {
+        val t = Tables(s, d)
+        val grams = graft.dedup.DupSpans
+          .gramStarts(t.documents, "doc_id", "text", 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.dedup.DupSpans.memorizationRisk(grams, "doc_id", k = 3)
+          .join(t.documents.select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy(col("source").as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("grams_total"),
+            sum(col("n_risky")).as("grams_risky"),
+            max(col("risk_ppm")).as("max_doc_risk_ppm"))
+          .select(col("g"), col("n_docs"), col("grams_total"),
+            col("grams_risky"),
+            expr("(grams_risky * 1000000) div grams_total")
+              .as("risk_ppm"),
+            col("max_doc_risk_ppm"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |gr AS (SELECT doc_id, unnest(list_transform(
+             |      range(0, len(toks) - 7),
+             |      i -> array_to_string(
+             |        toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')))
+             |    AS gram
+             |  FROM t WHERE len(toks) >= 8),
+             |occ AS (SELECT gram, CAST(count(*) AS BIGINT) AS c
+             |  FROM gr GROUP BY gram),
+             |j AS (SELECT doc_id, c FROM gr JOIN occ USING (gram)),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(count(*) FILTER (WHERE c >= 3) AS BIGINT) AS n_risky
+             |  FROM j GROUP BY doc_id),
+             |pr AS (SELECT doc_id, n_grams, n_risky,
+             |    (n_risky * 1000000) // n_grams AS doc_risk_ppm FROM pd)
+             |SELECT d.source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_grams) AS BIGINT) AS grams_total,
+             |  CAST(sum(n_risky) AS BIGINT) AS grams_risky,
+             |  (CAST(sum(n_risky) AS BIGINT) * 1000000)
+             |    // CAST(sum(n_grams) AS BIGINT) AS risk_ppm,
+             |  max(doc_risk_ppm) AS max_doc_risk_ppm
+             |FROM pr JOIN documents d USING (doc_id)
+             |GROUP BY d.source ORDER BY g""".stripMargin)),
+
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle
     Q("q80_cdc_chunks",

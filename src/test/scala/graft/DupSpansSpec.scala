@@ -228,4 +228,20 @@ class DupSpansSpec extends AnyFunSuite {
     assert((bySize(0)._2, bySize(0)._3) == (6L, 1L))
     assert((bySize(1)._2, bySize(1)._3) == (10L, 2L))
   }
+
+  test("memorizationRisk: occurrence-counted (within-doc repeats), exact ppm") {
+    val docs = Seq(
+      // the 8-gram "w1..w8" occurs at pos 0 AND pos 9 (within-doc repeat)
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // third occurrence -> k=3 floor met
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val grams = DupSpans.gramStarts(docs, "doc_id", "text", 8)
+    val got = DupSpans.memorizationRisk(grams, "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((10L, 2L, 200000L)),
+      2L -> ((1L, 1L, 1000000L)),
+      3L -> ((2L, 0L, 0L))))
+  }
 }

@@ -1237,4 +1237,10 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q224 memorization risk: partial-agg'd gram exchange, no cartesian") {
+    val p = plan("q224_memorization_risk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
