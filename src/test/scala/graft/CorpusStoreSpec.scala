@@ -38,7 +38,7 @@ class CorpusStoreSpec extends AnyFunSuite {
     import spark.implicits._
     Seq(
       (1L, "web", s"one two three $passage four five six seven"),
-      (2L, "web", s"$passage aardvark badger capybara dingo echidna ferret"),
+      (2L, "web", s"$passage aardvark badger wallaby dingo echidna ferret"),
       (3L, "books", s"ONE  two three $passage four five six seven"),
       (4L, "books", "completely unrelated words nothing shared here at all"))
       .toDF("doc_id", "source", "text")
@@ -63,8 +63,8 @@ class CorpusStoreSpec extends AnyFunSuite {
     assert(rows(1L)._2 == s"one two three $passage four five six seven")
     assert(rows(1L)._5 == 0L)
     // doc 2 lost exactly the passage words, audit columns agree
-    assert(rows(2L)._2 == "aardvark badger capybara dingo echidna ferret")
-    assert(rows(2L) == (("web", "aardvark badger capybara dingo echidna ferret",
+    assert(rows(2L)._2 == "aardvark badger wallaby dingo echidna ferret")
+    assert(rows(2L) == (("web", "aardvark badger wallaby dingo echidna ferret",
       12L, 6L, 1L)))
     // untouched doc passes through whole
     assert(rows(4L)._3 == rows(4L)._4 && rows(4L)._5 == 0L)
