@@ -36,3 +36,11 @@ object QBench {
     spark.stop()
   }
 }
+
+/** prints every registered gate-query name, one per line — the name
+  * source for tools/run_gate.sh's slice-policy exclusion list
+  */
+object PrintQueries {
+  def main(args: Array[String]): Unit =
+    graft.SparkEntry.allQ.foreach(q => println(q.name))
+}
