@@ -145,7 +145,18 @@ object Bench {
     // One discarded full pass touches every input file before any timing.
     timeHeadline(spark, sfDir)
     val results = timeHeadline(spark, sfDir)
-    println(jsonLine(results, sfDir, sentinelJson(spark, loadBefore)))
+    // the heavy-path regression canary (r13 verdict item 3): the 8-query
+    // headline set is all sub-second and no longer exercises the
+    // operator class that dominates real cost (q212's full substring
+    // strip pipeline). Timed with the cold/warm split, reported as a
+    // separate `heavy` object so the historic `value` total stays
+    // comparable across rounds.
+    val heavy = timeColdWarm(spark, sfDir, Seq("q212_curation_v3"))
+    val heavyJson = heavy.map { case (k, c, w) =>
+      "\"" + k + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
+    }.mkString("{", ",", "}")
+    println(jsonLine(results, sfDir,
+      s""","heavy":$heavyJson${sentinelJson(spark, loadBefore)}"""))
     spark.stop()
   }
 }

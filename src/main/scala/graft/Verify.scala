@@ -21,8 +21,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // gate-schema convention (round-13 q206 lesson): output columns
+        // are BIGINT/STRING/DOUBLE/DATE/TIMESTAMP/... — never DECIMAL.
+        // The driver's hash canonicalization renders decimals differently
+        // between its Spark-dump and oracle paths, so an exotic display
+        // type reds the gate even when every value is identical.
+        val decimals = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decimals.isEmpty,
+          s"$name emits decimal-typed output column(s) ${decimals.mkString(",")} — " +
+          "cast to BIGINT/DOUBLE; decimal outputs are a driver-hash hazard")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -115,8 +115,20 @@ object Agreement {
       .withColumn("de", col("n_units").cast("decimal(38,0)") * col("n_units")
         * lit(4) - col("sum_nv2"))
       .filter(col("de") > lit(0))
+      // gate-schema convention: output columns are BIGINT/STRING/DOUBLE/
+      // DATE/TIMESTAMP only — decimal-typed outputs trip the driver's
+      // hash canonicalization even when values are exact (round-13
+      // lesson). Arithmetic stays DECIMAL(38,0) internally; the display
+      // cast to BIGINT is overflow-guarded (de = 4n² − Σnv² needs
+      // n_units < ~1.5e9 per group; DuckDB's HUGEINT→BIGINT cast raises
+      // on overflow, so both engines fail loudly rather than drift).
       .select(col("g"), col("n_units"), col("agree"),
-        col("de").cast("decimal(38,0)").as("de"),
+        when(col("de") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          col("de").cast("bigint"))
+          .otherwise(raise_error(lit(
+            "krippendorffAlpha: de overflows BIGINT — group too large " +
+            "for the micro-unit display contract")).cast("bigint"))
+          .as("de"),
         expr("""CAST(((de - (CAST(n_units AS DECIMAL(38,0)) * 2 - 1)
                |         * (n_units - agree) * 2) * 1000000)
                |  div de AS BIGINT)""".stripMargin).as("alpha_micro"))

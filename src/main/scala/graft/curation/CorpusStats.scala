@@ -61,9 +61,14 @@ object CorpusStats {
         sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
       .select(col("g"), col("vocab"), col("n_tokens"), col("f1"),
         col("f2"),
+        // the chao1 numerator f1·(f1−1)·1000 blows signed 64-bit past
+        // f1 ≈ 9.6e7 hapaxes per group — Spark would wrap silently while
+        // DuckDB raises (the engine-divergent overflow class the q206 de
+        // convention eliminates). Run it in DECIMAL(38,0) (HUGEINT in the
+        // q218 oracle); `div` (IntegralDivide) returns BIGINT.
         (col("vocab") * 1000 + TextFunctions.integralDiv(
-          col("f1") * (col("f1") - 1) * 1000,
-          (col("f2") + 1) * 2)).as("chao1_milli"),
+          col("f1").cast("decimal(38,0)") * (col("f1") - 1) * 1000,
+          ((col("f2") + 1) * 2).cast("decimal(38,0)"))).as("chao1_milli"),
         TextFunctions.integralDiv(col("f1") * 1000000L, col("n_tokens"))
           .as("gt_unseen_ppm"),
         TextFunctions.integralDiv(col("f1") * 1000000L, col("vocab"))

@@ -95,20 +95,30 @@ object SubstringDedup {
       .agg(countDistinct(col(idCol)).as("_graft_nd"))
       .filter(col("_graft_nd") >= minDocs)
       .select(col("gram_h"))
-    val words = grams.join(dup, Seq("gram_h"))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (minWords - 1)))
-          .as("wpos"))
-      .distinct()
-    val spans = words
-      .withColumn("_graft_grp",
-        col("wpos") - row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("wpos"))))
+    // coverage islands via interval merge over gram START positions: a
+    // dup gram at start p covers words [p, p+L−1]; with equal lengths and
+    // starts sorted per doc, the running max end is the PREVIOUS start's
+    // end, so a new island begins exactly when pos > lag(pos) + L. This
+    // replaces the r13 explode-into-covered-words + distinct() — a
+    // minWords(=50)× row amplification feeding a corpus-sized exchange —
+    // with a per-doc window over the unamplified hit frame (measured
+    // r14 A/B in NOTES.md). Island membership is identical: the word
+    // union of equal-length intervals is contiguous iff consecutive
+    // starts are ≤ L apart, and span_words of a contiguous island is
+    // span_end − span_start + 1.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = grams.join(dup, Seq("gram_h"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_graft_brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + minWords, 1L)
+          .otherwise(0L))
+      .withColumn("_graft_grp", sum(col("_graft_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("_graft_grp"))
-      .agg(min(col("wpos")).as("span_start"),
-        max(col("wpos")).as("span_end"),
-        count(lit(1)).as("span_words"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minWords - 1)).as("span_end"))
       .drop("_graft_grp")
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
     spans.join(toks, Seq(idCol))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("span_words"),

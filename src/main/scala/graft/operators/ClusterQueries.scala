@@ -360,6 +360,92 @@ object ClusterQueries {
               |  CAST((sum(num) * 1000000) // (4 * CAST(max(m) AS HUGEINT) * max(m))
               |    AS BIGINT)
               |FROM per
-              |ORDER BY comp""".stripMargin))
+              |ORDER BY comp""".stripMargin)),
+
+    // ---- canonical-selection policy audit over the q30 near-dup
+    // components: real pipelines keep the LONGEST member of a near-dup
+    // cluster (FineWeb-style), not the smallest id — this census shows,
+    // per multi-doc cluster, which document each policy keeps and how
+    // many tokens the longest-copy policy saves (`swapped` = the two
+    // policies disagree). Ties on length break to the smaller id, so both
+    // policies (and both engines) are deterministic. Scale shape: the CC
+    // label frame joins the bounded per-doc token-count projection on id
+    // (no text moves), then two cluster-keyed partial aggs.
+    Q("q227_canonical_policy",
+      (s, d) => {
+        val t = Tables(s, d)
+        val docs = Parallelism.ensure(t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = docs.select(col("doc_id").as("id"),
+          explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
+        val cc = Clusterize.connectedComponents(banded)
+          .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
+        val nTok = t.documents.select(col("doc_id"),
+          size(filter(TextFunctions.tokens(col("text")),
+            x => x =!= lit(""))).cast("long").as("n_tok"))
+        val m = cc.join(nTok, "doc_id")
+        val agg = m.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canon_minid"),
+            max(col("n_tok")).as("tokens_longest"))
+          .filter(col("n_docs") >= 2)
+        val longest = m.join(agg.select(col("cluster_rep"),
+            col("tokens_longest")), "cluster_rep")
+          .filter(col("n_tok") === col("tokens_longest"))
+          .groupBy(col("cluster_rep"))
+          .agg(min(col("doc_id")).as("canon_longest"))
+        val minTok = m.select(col("cluster_rep"),
+          col("doc_id").as("canon_minid"), col("n_tok").as("tokens_minid"))
+        agg.join(longest, "cluster_rep")
+          .join(minTok, Seq("cluster_rep", "canon_minid"))
+          .select(col("cluster_rep"), col("n_docs"), col("canon_minid"),
+            col("canon_longest"), col("tokens_minid"),
+            col("tokens_longest"),
+            when(col("canon_minid") =!= col("canon_longest"), 1L)
+              .otherwise(0L).as("swapped"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE
+              |docs AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+              |  WHERE len(t) >= 3),
+              |signed AS (
+              |  SELECT doc_id, ${Dedup.minhashSigSql("sh", 16)} AS sig
+              |  FROM docs),
+              |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, sig FROM signed),
+              |bh AS (
+              |  SELECT doc_id, CAST(band AS VARCHAR) || ':' ||
+              |    md5(array_to_string(list_slice(sig, CAST(band*4+1 AS INT), CAST(band*4+4 AS INT)), ',')) AS key
+              |  FROM banded),
+              |lbl AS (
+              |  SELECT doc_id, doc_id AS comp FROM (SELECT DISTINCT doc_id FROM bh)
+              |  UNION
+              |  SELECT b2.doc_id, l.comp
+              |  FROM lbl l JOIN bh b1 ON b1.doc_id = l.doc_id JOIN bh b2 ON b2.key = b1.key),
+              |cc AS (SELECT doc_id, min(comp) AS cluster_rep FROM lbl
+              |  GROUP BY doc_id),
+              |nt AS (SELECT doc_id, CAST(len(list_filter(
+              |    regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+              |    AS BIGINT) AS n_tok FROM documents),
+              |m AS (SELECT cc.doc_id, cluster_rep, n_tok
+              |  FROM cc JOIN nt USING (doc_id)),
+              |agg AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_docs,
+              |    min(doc_id) AS canon_minid,
+              |    max(n_tok) AS tokens_longest
+              |  FROM m GROUP BY cluster_rep HAVING count(*) >= 2),
+              |lng AS (SELECT m.cluster_rep, min(m.doc_id) AS canon_longest
+              |  FROM m JOIN agg USING (cluster_rep)
+              |  WHERE m.n_tok = agg.tokens_longest GROUP BY m.cluster_rep)
+              |SELECT agg.cluster_rep, n_docs, canon_minid, canon_longest,
+              |  mi.n_tok AS tokens_minid, tokens_longest,
+              |  CASE WHEN canon_minid <> canon_longest THEN CAST(1 AS BIGINT)
+              |    ELSE CAST(0 AS BIGINT) END AS swapped
+              |FROM agg JOIN lng USING (cluster_rep)
+              |JOIN m mi ON mi.cluster_rep = agg.cluster_rep
+              |  AND mi.doc_id = agg.canon_minid
+              |ORDER BY agg.cluster_rep""".stripMargin))
   )
 }

@@ -894,8 +894,8 @@ object CorpusReportQueries {
              |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
              |  FROM c GROUP BY g)
              |SELECT g, vocab, n_tokens, f1, f2,
-             |  vocab * 1000 + (f1 * (f1 - 1) * 1000) // ((f2 + 1) * 2)
-             |    AS chao1_milli,
+             |  vocab * 1000 + CAST((CAST(f1 AS HUGEINT) * (f1 - 1) * 1000)
+             |    // ((f2 + 1) * 2) AS BIGINT) AS chao1_milli,
              |  (f1 * 1000000) // n_tokens AS gt_unseen_ppm,
              |  (f1 * 1000000) // vocab AS hapax_ppm
              |FROM a ORDER BY g""".stripMargin)))

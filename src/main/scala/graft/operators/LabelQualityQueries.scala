@@ -475,7 +475,7 @@ object LabelQualityQueries {
               |d2 AS (SELECT t.g, n_units, agree,
               |    CAST(n_units AS HUGEINT) * n_units * 4 - sum_nv2 AS de
               |  FROM tot t JOIN s2 ON t.g = s2.g)
-              |SELECT g, n_units, agree, CAST(de AS DECIMAL(38,0)) AS de,
+              |SELECT g, n_units, agree, CAST(de AS BIGINT) AS de,
               |  CAST(((de - (CAST(n_units AS HUGEINT) * 2 - 1)
               |           * (n_units - agree) * 2) * 1000000)
               |    // de AS BIGINT) AS alpha_micro

@@ -351,8 +351,7 @@ object Relational {
     Q("q222_catalog_time_travel",
       (s, d) => {
         val t = Tables(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-timetravel").toString
+        val root = graft.storage.Catalog.tempRoot("graft-timetravel")
         val cat = new graft.storage.Catalog(s, root, "gate")
         def census(df: org.apache.spark.sql.DataFrame) =
           df.groupBy(col("source"))

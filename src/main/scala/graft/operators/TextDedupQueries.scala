@@ -782,8 +782,7 @@ object TextDedupQueries {
     Q("q216_corpus_store",
       (s, d) => {
         val t = Tables(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-corpus-gate").toString
+        val root = graft.storage.Catalog.tempRoot("graft-corpus-gate")
         val cat = new graft.storage.Catalog(s, root, "gate")
         graft.storage.CorpusStore.writeDeduped(cat, "corpus", t.documents,
           "doc_id", "text", "source")
@@ -914,6 +913,290 @@ object TextDedupQueries {
              |  max(doc_risk_ppm) AS max_doc_risk_ppm
              |FROM pr JOIN documents d USING (doc_id)
              |GROUP BY d.source ORDER BY g""".stripMargin)),
+
+    // ---- strip-exposure delta: the q224 memorization census BEFORE vs
+    // AFTER the q211 keep-one substring strip, per source — the
+    // before/after pair that demonstrates the strip actually REDUCES
+    // extraction-attack exposure (closes the loop q224's contract
+    // promises: "decides whether the strip went deep enough").
+    // exposure_drop_ppm > 0 is the evidence; SubstringDedupSpec pins the
+    // corpus-wide strict decrease. Note the census is re-run from the
+    // STRIPPED text (not inferred from removed-token counts): a strip
+    // that joined two fragments into a NEW ≥3-occurrence 8-gram would be
+    // charged for it.
+    Q("q225_strip_exposure_delta",
+      (s, d) => {
+        val t = Tables(s, d)
+        val srcOf = t.documents.select(col("doc_id"), col("source"))
+        def census(docs: org.apache.spark.sql.DataFrame) = {
+          val grams = graft.dedup.DupSpans
+            .gramStarts(docs, "doc_id", "text", 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.dedup.DupSpans.memorizationRisk(grams, "doc_id", k = 3)
+            .join(srcOf, Seq("doc_id"))
+            .groupBy(col("source").as("g"))
+            .agg(sum(col("n_grams")).as("grams"),
+              sum(col("n_risky")).as("risky"))
+        }
+        val before = census(t.documents)
+          .select(col("g"), col("grams").as("grams_before"),
+            col("risky").as("risky_before"))
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(
+          graft.dedup.SubstringDedup.crossDocSpans(toks, "doc_id",
+            minWords = 50, minDocs = 2), "doc_id")
+        val after = census(
+            graft.dedup.SubstringDedup.keepOneText(toks, verdicts, "doc_id"))
+          .select(col("g"), col("grams").as("grams_after"),
+            col("risky").as("risky_after"))
+        // after-sources ⊆ before-sources (stripping only removes tokens,
+        // so any doc with ≥8 post-strip tokens had ≥8 before) — left join
+        before.join(after, Seq("g"), "left")
+          .select(col("g"), col("grams_before"), col("risky_before"),
+            coalesce(col("grams_after"), lit(0L)).as("grams_after"),
+            coalesce(col("risky_after"), lit(0L)).as("risky_after"))
+          .select(col("g"), col("grams_before"), col("risky_before"),
+            expr("CASE WHEN grams_before > 0 THEN" +
+              " (risky_before * 1000000) div grams_before ELSE 0 END")
+              .as("risk_ppm_before"),
+            col("grams_after"), col("risky_after"),
+            expr("CASE WHEN grams_after > 0 THEN" +
+              " (risky_after * 1000000) div grams_after ELSE 0 END")
+              .as("risk_ppm_after"))
+          .withColumn("exposure_drop_ppm",
+            col("risk_ppm_before") - col("risk_ppm_after"))
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH ${substringSpansCteOn("documents")},
+              |$keepOneStripCtes,
+              |ktext AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+              |    AS text FROM keptt GROUP BY doc_id),
+              |sdocs AS (SELECT t.doc_id, COALESCE(kt.text, '') AS text
+              |  FROM t LEFT JOIN ktext kt USING (doc_id)),
+              |gb AS (SELECT doc_id, unnest(list_transform(
+              |      range(0, len(toks) - 7),
+              |      i -> array_to_string(
+              |        toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')))
+              |    AS gram
+              |  FROM t WHERE len(toks) >= 8),
+              |ob AS (SELECT gram, count(*) AS c FROM gb GROUP BY gram),
+              |cb AS (SELECT d.source AS g,
+              |    CAST(count(*) AS BIGINT) AS grams_before,
+              |    CAST(count(*) FILTER (WHERE c >= 3) AS BIGINT)
+              |      AS risky_before
+              |  FROM gb JOIN ob USING (gram) JOIN documents d USING (doc_id)
+              |  GROUP BY d.source),
+              |ta AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(text, '\\s+'),
+              |      x -> x <> '') AS toks
+              |  FROM sdocs),
+              |ga AS (SELECT doc_id, unnest(list_transform(
+              |      range(0, len(toks) - 7),
+              |      i -> array_to_string(
+              |        toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')))
+              |    AS gram
+              |  FROM ta WHERE len(toks) >= 8),
+              |oa AS (SELECT gram, count(*) AS c FROM ga GROUP BY gram),
+              |ca AS (SELECT d.source AS g,
+              |    CAST(count(*) AS BIGINT) AS grams_after,
+              |    CAST(count(*) FILTER (WHERE c >= 3) AS BIGINT)
+              |      AS risky_after
+              |  FROM ga JOIN oa USING (gram) JOIN documents d USING (doc_id)
+              |  GROUP BY d.source),
+              |fin AS (SELECT cb.g, grams_before, risky_before,
+              |    COALESCE(grams_after, 0) AS grams_after,
+              |    COALESCE(risky_after, 0) AS risky_after
+              |  FROM cb LEFT JOIN ca USING (g))
+              |SELECT g, grams_before, risky_before,
+              |  CASE WHEN grams_before > 0 THEN
+              |    (risky_before * 1000000) // grams_before ELSE 0 END
+              |    AS risk_ppm_before,
+              |  grams_after, risky_after,
+              |  CASE WHEN grams_after > 0 THEN
+              |    (risky_after * 1000000) // grams_after ELSE 0 END
+              |    AS risk_ppm_after,
+              |  (CASE WHEN grams_before > 0 THEN
+              |    (risky_before * 1000000) // grams_before ELSE 0 END)
+              |  - (CASE WHEN grams_after > 0 THEN
+              |    (risky_after * 1000000) // grams_after ELSE 0 END)
+              |    AS exposure_drop_ppm
+              |FROM fin ORDER BY g""".stripMargin)),
+
+    // ---- curation waterfall (the data-ablation ledger every release
+    // data card reports): per source, the token count SURVIVING each
+    // stage of the q212 pipeline — raw → normalized exact dedup →
+    // keep-one substring strip → MAD length screen — with each stage's
+    // removal ppm relative to its predecessor, so the census attributes
+    // shrinkage to the stage that caused it (q212 reports only the
+    // end-to-end total). One tokenization: the persisted token frame
+    // feeds the raw census, the kept-doc census, and the strip.
+    Q("q226_curation_waterfall",
+      (s, d) => {
+        val t = Tables(s, d)
+        val srcOf = t.documents.select(col("doc_id"), col("source"))
+        val tokAll = graft.dedup.SubstringDedup
+          .tokenFrame(t.documents, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTok = tokAll.select(col("doc_id"),
+          size(col("_graft_toks")).cast("long").as("n_tok"))
+        val s0 = nTok.join(srcOf, "doc_id").groupBy(col("source").as("g"))
+          .agg(sum(col("n_tok")).as("tokens_raw"))
+        val base = t.documents.select(col("doc_id"), col("source"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+        val canon = base.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("_graft_canon"))
+        val keptIds = base.join(canon, "grp")
+          .filter(col("doc_id") === col("_graft_canon"))
+          .select(col("doc_id"), col("source"))
+        val s1 = nTok.join(keptIds, "doc_id")
+          .groupBy(col("source").as("g"))
+          .agg(sum(col("n_tok")).as("tokens_dedup"))
+        val toksKept = tokAll.join(keptIds.select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("_graft_toks"))
+        val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(
+          graft.dedup.SubstringDedup.crossDocSpans(toksKept, "doc_id",
+            minWords = 50, minDocs = 2), "doc_id")
+        val stripped = graft.dedup.SubstringDedup
+          .applyKeepOne(toksKept, verdicts, "doc_id")
+          .join(keptIds, "doc_id")
+        val s2 = stripped.groupBy(col("source").as("g"))
+          .agg(sum(col("n_tokens_after")).as("tokens_strip"))
+        val s3 = graft.curation.RobustStats.madKeep(
+            stripped, "source", "n_tokens_after", kTenths = 35)
+          .groupBy(col("source").as("g"))
+          .agg(sum(col("n_tokens_after")).as("tokens_screen"))
+        s0.join(s1, Seq("g"), "left").join(s2, Seq("g"), "left")
+          .join(s3, Seq("g"), "left")
+          .select(col("g"), col("tokens_raw"),
+            coalesce(col("tokens_dedup"), lit(0L)).as("tokens_dedup"),
+            coalesce(col("tokens_strip"), lit(0L)).as("tokens_strip"),
+            coalesce(col("tokens_screen"), lit(0L)).as("tokens_screen"))
+          .select(col("g"), col("tokens_raw"), col("tokens_dedup"),
+            col("tokens_strip"), col("tokens_screen"),
+            expr("CASE WHEN tokens_raw > 0 THEN ((tokens_raw - " +
+              "tokens_dedup) * 1000000) div tokens_raw ELSE 0 END")
+              .as("drop_dedup_ppm"),
+            expr("CASE WHEN tokens_dedup > 0 THEN ((tokens_dedup - " +
+              "tokens_strip) * 1000000) div tokens_dedup ELSE 0 END")
+              .as("drop_strip_ppm"),
+            expr("CASE WHEN tokens_strip > 0 THEN ((tokens_strip - " +
+              "tokens_screen) * 1000000) div tokens_strip ELSE 0 END")
+              .as("drop_screen_ppm"))
+          .orderBy(col("g"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |rawt AS (SELECT d.source AS g, CAST(sum(len(list_filter(
+           |      regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+           |    AS BIGINT) AS tokens_raw
+           |  FROM documents d GROUP BY d.source),
+           |s1 AS (SELECT k.source AS g,
+           |    CAST(sum(len(toks)) AS BIGINT) AS tokens_dedup
+           |  FROM t JOIN keptd k USING (doc_id) GROUP BY k.source),
+           |j AS (SELECT st.*, k.source FROM stripped st
+           |  JOIN keptd k USING (doc_id)),
+           |s2 AS (SELECT source AS g,
+           |    CAST(sum(n_tokens_after) AS BIGINT) AS tokens_strip
+           |  FROM j GROUP BY source),
+           |r AS (SELECT source, n_tokens_after,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_tokens_after) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM j),
+           |med AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN n_tokens_after END) AS med FROM r GROUP BY source),
+           |dd AS (SELECT r2.source, abs(r2.n_tokens_after - med) AS dv,
+           |    CAST(row_number() OVER (PARTITION BY r2.source
+           |      ORDER BY abs(r2.n_tokens_after - med)) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY r2.source) AS BIGINT) AS n
+           |  FROM (SELECT source, n_tokens_after FROM j) r2
+           |  JOIN med USING (source)),
+           |mad AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN dv END) AS mad FROM dd GROUP BY source),
+           |scr AS (SELECT j.* FROM j
+           |  JOIN med USING (source) JOIN mad USING (source)
+           |  WHERE abs(n_tokens_after - med) * 10 <= 35 * mad),
+           |s3 AS (SELECT source AS g,
+           |    CAST(sum(n_tokens_after) AS BIGINT) AS tokens_screen
+           |  FROM scr GROUP BY source),
+           |fin AS (SELECT rawt.g, tokens_raw,
+           |    COALESCE(tokens_dedup, 0) AS tokens_dedup,
+           |    COALESCE(tokens_strip, 0) AS tokens_strip,
+           |    COALESCE(tokens_screen, 0) AS tokens_screen
+           |  FROM rawt LEFT JOIN s1 USING (g) LEFT JOIN s2 USING (g)
+           |  LEFT JOIN s3 USING (g))
+           |SELECT g, tokens_raw, tokens_dedup, tokens_strip, tokens_screen,
+           |  CASE WHEN tokens_raw > 0 THEN ((tokens_raw - tokens_dedup)
+           |    * 1000000) // tokens_raw ELSE 0 END AS drop_dedup_ppm,
+           |  CASE WHEN tokens_dedup > 0 THEN ((tokens_dedup - tokens_strip)
+           |    * 1000000) // tokens_dedup ELSE 0 END AS drop_strip_ppm,
+           |  CASE WHEN tokens_strip > 0 THEN ((tokens_strip - tokens_screen)
+           |    * 1000000) // tokens_strip ELSE 0 END AS drop_screen_ppm
+           |FROM fin ORDER BY g""".stripMargin
+      }),
+
+    // ---- duplicate-aware loss weighting (soft dedup): instead of
+    // DROPPING exact duplicates, down-weight each copy by its group size
+    // (a doc with n normalized-identical copies trains at weight 1/n), so
+    // total gradient mass per unique content is constant — the
+    // data-constrained-scaling alternative to hard removal. Census per
+    // source: raw vs effective token mass and the retained share.
+    // Weights are exact integer milli-units; the effective→ppm division
+    // runs in DECIMAL(38,0)/HUGEINT (the q218 convention — milli-token
+    // sums × 1000 pass 2⁶³ once a source holds ~10¹² tokens).
+    Q("q228_soft_dedup",
+      (s, d) => {
+        val t = Tables(s, d)
+        val toks = TextFunctions.tokens(col("text"))
+        val base = t.documents.select(col("doc_id"), col("source"),
+          size(filter(toks, x => x =!= lit(""))).cast("long").as("n_tok"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+        val gsz = base.groupBy(col("grp")).agg(count(lit(1)).as("n_copies"))
+        base.join(gsz, "grp")
+          .groupBy(col("source").as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(col("n_tok")).as("tokens_raw"),
+            sum(expr("(n_tok * 1000) div n_copies"))
+              .as("effective_tokens_milli"))
+          .select(col("g"), col("n_docs"), col("n_dup_docs"),
+            col("tokens_raw"), col("effective_tokens_milli"),
+            expr("CASE WHEN tokens_raw > 0 THEN CAST((CAST(" +
+              "effective_tokens_milli AS DECIMAL(38,0)) * 1000) div " +
+              "tokens_raw AS BIGINT) ELSE 0 END").as("retained_ppm"))
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n_tok,
+              |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+              |  FROM documents),
+              |gsz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_copies
+              |  FROM b GROUP BY grp)
+              |SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(*) FILTER (WHERE n_copies > 1) AS BIGINT)
+              |    AS n_dup_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+              |  CAST(sum((n_tok * 1000) // n_copies) AS BIGINT)
+              |    AS effective_tokens_milli,
+              |  CASE WHEN CAST(sum(n_tok) AS BIGINT) > 0 THEN
+              |    CAST((CAST(sum((n_tok * 1000) // n_copies) AS HUGEINT)
+              |      * 1000) // CAST(sum(n_tok) AS BIGINT) AS BIGINT)
+              |    ELSE 0 END AS retained_ppm
+              |FROM b JOIN gsz USING (grp)
+              |GROUP BY source ORDER BY g""".stripMargin)),
 
     // ---- content-defined chunking (rsync/FastCDC family): shift-resistant
     // rolling-hash boundaries, pure per-row HOF pipeline, zero shuffle

@@ -624,4 +624,31 @@ object Catalog {
     */
   private[storage] def encodePart(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** A temp catalog root registered for recursive deletion at JVM exit —
+    * gate queries that end in a committed store (q216/q222) run once per
+    * Verify dump but MANY times per bench/PlanSpec session; an
+    * unregistered createTempDirectory leaks the full corpus snapshot into
+    * /tmp on every invocation (round-13 advice). One shutdown hook drains
+    * a shared queue, so repeated calls stay cheap.
+    */
+  def tempRoot(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(dir)
+    dir.toString
+  }
+
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private val _hook = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempRoots.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        } catch { case _: Throwable => () } // best-effort: exit cleanup
+      }
+    }, "graft-temp-root-cleanup"))
+  }
 }

@@ -69,4 +69,75 @@ object CorpusStore {
       .collect().map(_.getString(0)).toSeq
     cat.overwritePartitions(table, out, sourceCol, touched)
   }
+
+  /** the stored-corpus schema ([[strippedCorpus]]'s output) */
+  def storedSchema(idCol: String, sourceCol: String,
+      textCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, LongType),
+      StructField(sourceCol, StringType), StructField(textCol, StringType),
+      StructField("n_tokens_before", LongType),
+      StructField("n_tokens_after", LongType),
+      StructField("n_spans_removed", LongType)))
+  }
+
+  /** Incremental ingest commit — one streaming micro-batch (or one batch
+    * increment) landed as the next snapshot version of `table`:
+    *
+    *  1. already-committed batch ids SKIP (the `<table>__stream_state`
+    *    high-water mark): an at-least-once foreachBatch replay after
+    *    restart commits each batch id at most once, so snapshot versions
+    *    stay monotone with NO duplicate content commits;
+    *  2. stored rows of the batch's touched sources merge with the batch
+    *    (batch rows override same-id stored rows — latest-version-wins,
+    *    the T6 upsert semantics), untouched source partitions keep their
+    *    files;
+    *  3. the merged working set re-runs the SAME normalize-dedup +
+    *    keep-one strip the batch path uses, so a new document duplicating
+    *    stored content is stripped against it (the stored copy, with the
+    *    smaller id, stays canonical).
+    *
+    * Returns the committed version, or the current version when the batch
+    * was a replay / empty. Contracts: the keep-one strip applies within
+    * the commit's WORKING SET (batch + stored rows of touched sources) —
+    * cross-source dups against untouched sources are caught by the next
+    * full [[writeDeduped]]; stored text is already stripped, so the audit
+    * counters (`n_tokens_before` &c.) describe this commit's increment,
+    * not the document's original form. The state write lands after the
+    * data commit: a crash between the two re-commits that batch id once
+    * (idempotent content, one extra version) — never loses it.
+    */
+  def ingestBatch(cat: Catalog, table: String, batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, sourceCol: String,
+      minWords: Int = 50, minDocs: Int = 2): Long = {
+    val stateTable = s"${table}__stream_state"
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.types._
+    val stateSchema = StructType(Seq(StructField("batch_id", LongType)))
+    val committed = cat.readOr(stateTable, stateSchema)
+      .agg(max(col("batch_id"))).head()
+    val highWater = if (committed.isNullAt(0)) Long.MinValue
+      else committed.getLong(0)
+    if (batchId <= highWater || batch.isEmpty) return cat.version(table)
+    val incoming = batch.select(col(idCol).cast("long").as(idCol),
+      col(sourceCol).cast("string").as(sourceCol),
+      col(textCol).cast("string").as(textCol))
+      .dropDuplicates(idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: one row per touched SOURCE (config-scale)
+      val touched = incoming.select(col(sourceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val stored = cat.readPartitionsOr(table,
+          storedSchema(idCol, sourceCol, textCol), touched)
+        .select(col(idCol), col(sourceCol), col(textCol))
+        .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
+      val out = strippedCorpus(stored.unionByName(incoming), idCol,
+        textCol, sourceCol, minWords, minDocs)
+      val v = cat.overwritePartitions(table, out, sourceCol, touched)
+      import spark.implicits._
+      cat.write(stateTable, Seq(batchId).toDF("batch_id"))
+      v
+    } finally { incoming.unpersist(); () }
+  }
 }

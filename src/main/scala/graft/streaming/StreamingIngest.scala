@@ -797,9 +797,22 @@ object StreamingIngest {
     * per-day double arithmetic matches the batch op bit-for-bit when
     * lam0Micro/10⁶ reproduces the batch λ0 exactly (StreamingSpec pins
     * the shared-scenario equality).
+    *
+    * State retention: a decided key keeps a minimal tombstone
+    * (two longs + a flag, empty day map) so the stop rule holds forever —
+    * clearing it outright would let the NEXT arrival recreate fresh state
+    * and restart the walk, violating the pinned stop contract. With an
+    * unbounded event-type keyspace that tombstone set grows monotonically
+    * (round-13 advice), so `stateTtl` bounds it: when set, per-key state
+    * expires that long after its last update, reclaiming decided (and
+    * long-silent undecided) keys at the cost that an arrival AFTER the
+    * horizon begins a fresh, independent test — Wald's repeated-test
+    * regime, the standard production trade for perpetual monitoring.
+    * Default None preserves exact stop-forever/batch-parity semantics.
     */
   def streamingSprtDaily(events: Dataset[TypedUserEvent], lam0Micro: Long,
-      watermarkDelay: String = "10 seconds"): Dataset[SprtDay] = {
+      watermarkDelay: String = "10 seconds",
+      stateTtl: Option[java.time.Duration] = None): Dataset[SprtDay] = {
     require(lam0Micro >= 0, s"lam0Micro must be >= 0, got $lam0Micro")
     import events.sparkSession.implicits._
     val dayMs = 86400000L
@@ -815,7 +828,8 @@ object StreamingIngest {
             timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
           st = getHandle.getValueState[SprtState]("sprt",
             org.apache.spark.sql.Encoders.product[SprtState],
-            org.apache.spark.sql.streaming.TTLConfig.NONE)
+            stateTtl.map(d => org.apache.spark.sql.streaming.TTLConfig(d))
+              .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
         private def nextDay(s: SprtState): Long =
           if (s.lastDay == Long.MinValue) s.open.map(_._1).min else s.lastDay + 1
         private def deadline(s: SprtState): Option[Long] =
@@ -834,12 +848,17 @@ object StreamingIngest {
             if (cur.lastDay == Long.MinValue || d > cur.lastDay)
               open = open.updated(d, open.getOrElse(d, 0L) + 1L)
           }
-          val next = cur.copy(open = open.toSeq.sorted)
-          st.update(next)
-          val newDeadline = deadline(next)
-          if (newDeadline != oldDeadline) {
-            oldDeadline.foreach(getHandle.deleteTimer)
-            newDeadline.foreach(getHandle.registerTimer)
+          // decided keys: dropping the rows must NOT refresh the state
+          // row (an update would reset stateTtl on every arrival, keeping
+          // hot decided tombstones alive past the retention horizon)
+          if (!cur.decided) {
+            val next = cur.copy(open = open.toSeq.sorted)
+            st.update(next)
+            val newDeadline = deadline(next)
+            if (newDeadline != oldDeadline) {
+              oldDeadline.foreach(getHandle.deleteTimer)
+              newDeadline.foreach(getHandle.registerTimer)
+            }
           }
           Iterator.empty
         }
@@ -904,6 +923,34 @@ object StreamingIngest {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) { reservoir.ingest(batch, localIdPath); () }
+      }
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()
+  }
+
+  /** Stream documents into a versioned corpus store: each micro-batch
+    * lands as the next Catalog snapshot via
+    * [[graft.storage.CorpusStore.ingestBatch]] — the batch pipeline's
+    * terminal TABLE (q216) gets its streaming twin, closing the T3/T6
+    * semantics at the storage layer. Batch-id replays after an
+    * at-least-once restart are skipped by the store's high-water mark, so
+    * snapshot versions are MONOTONE and each batch commits once
+    * (StreamingSpec pins monotonicity under replay). Set `checkpointDir`
+    * in production so batch ids survive restarts — a fresh query without
+    * a checkpoint restarts ids at 0, which the high-water mark would
+    * treat as replays of an old run; use a fresh table (or checkpoint)
+    * per logical stream. Expects (idCol, sourceCol, textCol) rows.
+    */
+  def streamIntoCorpusStore(records: DataFrame,
+      cat: graft.storage.Catalog, table: String, idCol: String,
+      textCol: String, sourceCol: String, minWords: Int = 50,
+      minDocs: Int = 2, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = records.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.CorpusStore.ingestBatch(cat, table, batch, batchId,
+          idCol, textCol, sourceCol, minWords, minDocs)
+        ()
       }
     checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()
   }

@@ -30,7 +30,7 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val root = Files.createTempDirectory("graft-soak").toString
+    val root = graft.storage.Catalog.tempRoot("graft-soak")
     val r = new Reservoir(spark, root, "bench")
     r.putMatchKeyConfig(MatchKeyConfig("issn", "jsonpath:$.inventory.issn[*]"))
 

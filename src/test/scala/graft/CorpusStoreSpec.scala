@@ -93,4 +93,35 @@ class CorpusStoreSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(second == first)
   }
+
+  test("ingestBatch: monotone versions, replay skipped, strip vs stored") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq(
+      (1L, "web", s"one two three $passage four five six seven"),
+      (2L, "web", s"$passage aardvark badger wallaby dingo echidna ferret"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text",
+      "source", minWords = 5) == 1L)
+    // a later batch re-duplicating the stored passage: stripped against
+    // the stored canonical copy (doc 1 keeps it, doc 3 loses it)
+    val b1 = Seq((3L, "web", s"zz yy $passage xx ww vv uu tt"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text",
+      "source", minWords = 5) == 2L)
+    // at-least-once replay of the SAME batch id: skipped, version holds
+    assert(CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text",
+      "source", minWords = 5) == 2L)
+    assert(cat.version("c") == 2L)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == s"one two three $passage four five six seven")
+    assert(rows(3L) == "zz yy xx ww vv uu tt")
+    // the stored corpus still satisfies the keep-one invariant
+    val toks = SubstringDedup.tokenFrame(
+      cat.readPartitionedOr("c", storedSchema), "doc_id", "text")
+    assert(SubstringDedup.crossDocSpans(toks, "doc_id", minWords = 5)
+      .isEmpty)
+  }
 }

@@ -244,4 +244,28 @@ class DupSpansSpec extends AnyFunSuite {
       2L -> ((1L, 1L, 1000000L)),
       3L -> ((2L, 0L, 0L))))
   }
+
+  test("keep-one strip strictly reduces memorization exposure (q225 pair)") {
+    import graft.dedup.SubstringDedup
+    // a 10-word passage in 3 docs: its 8-grams occur 3× (>= k) before the
+    // strip; keep-one leaves ONE copy, so every count drops to 1 (< k)
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val docs = Seq(
+      (1L, s"$passage u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"v1 v2 v3 v4 v5 v6 v7 v8 $passage"),
+      (3L, s"x1 x2 x3 $passage y1 y2 y3")).toDF("doc_id", "text")
+    def riskyTotal(d: org.apache.spark.sql.DataFrame): Long =
+      DupSpans.memorizationRisk(
+          DupSpans.gramStarts(d, "doc_id", "text", 8), "doc_id", k = 3)
+        .agg(org.apache.spark.sql.functions.sum("n_risky")).head.getLong(0)
+    val before = riskyTotal(docs)
+    val toks = SubstringDedup.tokenFrame(docs, "doc_id", "text")
+    val verdicts = SubstringDedup.dedupVerdicts(
+      SubstringDedup.crossDocSpans(toks, "doc_id", minWords = 5,
+        minDocs = 2), "doc_id")
+    val after = riskyTotal(SubstringDedup.keepOneText(toks, verdicts,
+      "doc_id"))
+    assert(before == 9L, s"before=$before") // 3 grams/occurrence × 3 docs
+    assert(after == 0L, s"after=$after")    // surviving copy occurs once
+  }
 }

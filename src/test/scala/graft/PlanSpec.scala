@@ -1243,4 +1243,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q225 strip exposure delta: two partial-agg'd censuses, no cartesian") {
+    val p = plan("q225_strip_exposure_delta")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q226 curation waterfall: stage censuses partial-agg'd, no cartesian") {
+    val p = plan("q226_curation_waterfall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q227 canonical policy: id-keyed joins only, no text in the CC frame, " +
+      "no cartesian") {
+    val p = plan("q227_canonical_policy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q228 soft dedup: one group-size exchange, partial-agg'd census, " +
+      "no cartesian") {
+    val p = plan("q228_soft_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }

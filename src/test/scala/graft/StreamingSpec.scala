@@ -579,6 +579,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus store: snapshot versions monotone, batch replay " +
+      "commits once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = new graft.storage.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-corpus")
+        .toString, "t")
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingIngest.streamIntoCorpusStore(
+      input.toDF().toDF("doc_id", "source", "text"), cat, "c",
+      "doc_id", "text", "source", minWords = 5)
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
+      "text")
+    try {
+      input.addData((1L, "web", s"one two $passage three four five six"))
+      q.processAllAvailable()
+      assert(cat.version("c") == 1L)
+      // second micro-batch duplicates the stored passage → stripped
+      // against the stored canonical, committed as version 2
+      input.addData((2L, "web", s"aa bb $passage cc dd ee ff gg"))
+      q.processAllAvailable()
+      assert(cat.version("c") == 2L)
+      val rows = cat.readPartitionedOr("c", schema).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows(1L).contains(passage) && !rows(2L).contains("alpha"),
+        rows.toString)
+    } finally q.stop()
+    // an at-least-once REPLAY of the last batch id (what a post-restart
+    // foreachBatch re-delivers): the high-water mark skips it
+    import org.apache.spark.sql.functions.lit
+    val replay = Seq((2L, "web", s"aa bb $passage cc dd ee ff gg"))
+      .toDF("doc_id", "source", "text").withColumn("_x", lit(1)).drop("_x")
+    graft.storage.CorpusStore.ingestBatch(cat, "c", replay, 1L, "doc_id",
+      "text", "source", minWords = 5)
+    assert(cat.version("c") == 2L, "replayed batch id must not re-commit")
+  }
+
   test("streaming CUSUM: watermark-driven day closes, zero-day gap alarms, " +
       "late events for finalized days dropped") {
     import spark.implicits._

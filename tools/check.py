@@ -45,7 +45,6 @@ def big_compare(con, qdir: str, sql: str):
             f"columns {[c for c, _ in gdesc]} != {[c for c, _ in wdesc]}"]
     if [t for _, t in gdesc] != [t for _, t in wdesc]:
         return False, 0, [f"dtype diff: got {gdesc} want {wdesc}"]
-    type_msgs = []
     gcols = [c for c, _ in gdesc]
     ng = con.execute("SELECT count(*) FROM _got").fetchone()[0]
     nw = con.execute("SELECT count(*) FROM _want").fetchone()[0]
@@ -58,8 +57,7 @@ def big_compare(con, qdir: str, sql: str):
         f" UNION ALL "
         f"(SELECT {cols} FROM _want EXCEPT ALL SELECT {cols} FROM _got))"
     ).fetchone()[0]
-    return diff == 0, ng, (type_msgs if diff == 0 else
-                           type_msgs +
+    return diff == 0, ng, ([] if diff == 0 else
                            [f"{diff} rows differ (symmetric EXCEPT ALL)"])
 
 
@@ -91,17 +89,22 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_fail += 1
                 print(f"  ✗ {name}: {msgs}")
             continue
-        got = norm(con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df())
+        got_raw = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name not in oracles:
-            print(f"  ~ {name}: rows-only check — {len(got)} rows")
+            print(f"  ~ {name}: rows-only check — {len(got_raw)} rows")
             continue
-        want = norm(con.execute(oracles[name]).df())
+        want_raw = con.execute(oracles[name]).df()
         ok = True
         msgs = []
-        if list(got.columns) != list(want.columns):
+        # column ORDER is part of the contract — check it BEFORE norm()
+        # sorts columns alphabetically (round-13 advice: a drifted order
+        # would otherwise pass here and fail only past BIG_ROWS at scale)
+        if list(got_raw.columns) != list(want_raw.columns):
             ok = False
-            msgs.append(f"columns {list(got.columns)} != {list(want.columns)}")
-        elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            msgs.append(
+                f"columns {list(got_raw.columns)} != {list(want_raw.columns)}")
+        got, want = norm(got_raw), norm(want_raw)
+        if ok and [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
             ok = False
             msgs.append(f"dtype diff: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
         if ok and len(got) != len(want):

@@ -17,7 +17,11 @@ across engines); every other table is symlinked unchanged. Handles both
 single-file tables (driver sf dirs) and parquet dir tables (ScaleBench
 work dirs).
 
-Usage: python3 tools/mk_slice.py <srcDir> <outDir> [mod=4]
+The residue selects WHICH 1/MOD quarter: rotating it per round
+(run_gate.sh --slice=k, k = round mod 4) accumulates at-scale coverage
+across rounds instead of re-verifying one fixed quarter.
+
+Usage: python3 tools/mk_slice.py <srcDir> <outDir> [mod=4] [rem=0]
 Then:  tools/run_main.sh graft.Verify <outDir> <dumpDir> q123_cosine_pairs q163_modularity
        python3 tools/check.py <outDir> <dumpDir>
 """
@@ -31,7 +35,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def main(src: str, out: str, mod: int) -> None:
+def main(src: str, out: str, mod: int, rem: int = 0) -> None:
+    assert 0 <= rem < mod, f"rem {rem} out of range for mod {mod}"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -42,10 +47,10 @@ def main(src: str, out: str, mod: int) -> None:
         if t in SLICED:
             rel = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
             con.execute(
-                f"COPY (SELECT * FROM {rel} WHERE {SLICED[t]} % {mod} = 0)"
+                f"COPY (SELECT * FROM {rel} WHERE {SLICED[t]} % {mod} = {rem})"
                 f" TO '{q}' (FORMAT parquet)")
             n = con.execute(f"SELECT count(*) FROM '{q}'").fetchone()[0]
-            print(f"  sliced {t}: {n} rows (1/{mod})")
+            print(f"  sliced {t}: {n} rows (1/{mod}, residue {rem})")
         else:
             if os.path.lexists(q):
                 os.remove(q)
@@ -54,4 +59,6 @@ def main(src: str, out: str, mod: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 4)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 4,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)

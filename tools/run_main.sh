@@ -4,7 +4,9 @@
 #   tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/vout [qname ...]
 set -euo pipefail
 CLS="$1"; shift
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES overrides the classes dir — lets an A/B run time a
+# previously-compiled snapshot against the current tree on the same box
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
