@@ -61,19 +61,26 @@ object DupSpans {
       .agg(count(lit(1)).as("_graft_cnt"))
       .filter(col("_graft_cnt") >= minCount)
       .select(col("gram"))
-    // one row per (doc, pos) upstream → no distinct needed before explode
-    val words = grams.join(dup, Seq("gram"))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
-      .distinct()
-    val isl = words.withColumn("_graft_grp",
-      col("wpos") - row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("wpos"))))
-    isl.groupBy(col(idCol), col("_graft_grp"))
-      .agg(min(col("wpos")).as("span_start"),
-        max(col("wpos")).as("span_end"),
-        count(lit(1)).as("span_words"))
-      .drop("_graft_grp")
+    // coverage islands via interval merge over gram START positions (the
+    // r14 crossDocSpans rewrite): a dup gram at start p covers words
+    // [p, p+n−1]; starts sorted per doc with equal lengths make the
+    // previous start's end the running max, so a new island begins
+    // exactly when pos > lag(pos) + n — no n× covered-word explode and
+    // no corpus-sized distinct. span_words of a contiguous island is
+    // span_end − span_start + 1.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, Seq("gram"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_graft_brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1L)
+          .otherwise(0L))
+      .withColumn("_graft_grp", sum(col("_graft_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_graft_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .drop("_graft_grp", "_graft_brk")
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
   }
 
   /** texts with every duplicated span removed (tokens rejoined with single
@@ -157,15 +164,25 @@ object DupSpans {
 
   def gramStarts(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    // gram assembly (slice+join per position) is the CPU-bound stage:
-    // spread a poorly-split scan before it
+    // gram key: two independently-seeded xxhash64s over the token-slice
+    // ARRAY, packed in one struct — the [[SubstringDedup.crossDocSpans]]
+    // convention: 16 bytes on every exchange (an 8-word gram string is
+    // ~55) and NO per-position string assembly in the hot explode.
+    // Consumers only ever compare grams for equality (occurrence counts,
+    // dup floors), and the oracles count raw strings — equal modulo
+    // 128-bit collisions (~n²/2¹²⁹, md5's league). Spread a poorly-split
+    // scan before the CPU-bound explode.
     graft.operators.Parallelism.ensure(
         docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks")))
       .filter(size(col("_graft_toks")) >= n)
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), size(col("_graft_toks")) - n),
-          i => array_join(slice(col("_graft_toks"), i + 1, lit(n)), " ")))
-          .as(Seq("_graft_p", "gram")))
-      .select(col(idCol), col("_graft_p").cast("long").as("pos"), col("gram"))
+          i => slice(col("_graft_toks"), i + 1, lit(n))))
+          .as(Seq("_graft_p", "_graft_gram")))
+      .select(col(idCol), col("_graft_p").cast("long").as("pos"),
+        struct(
+          xxhash64(col("_graft_gram")).as("h1"),
+          SubstringDedup.xx64Seeded(col("_graft_gram"),
+            0x9E3779B97F4A7C15L).as("h2")).as("gram"))
 }

@@ -45,9 +45,10 @@ object SubstringDedup {
     filter(TextFunctions.tokens(col(textCol)), t => t =!= lit(""))
 
   /** xxhash64 with an explicit seed (the public `xxhash64` pins seed 42);
-    * the second member of the 128-bit gram key
+    * the second member of the 128-bit gram key (shared with
+    * [[DupSpans.gramStarts]]'s key)
     */
-  private def xx64Seeded(c: Column, seed: Long): Column =
+  private[dedup] def xx64Seeded(c: Column, seed: Long): Column =
     org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
       org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(c)),
@@ -91,6 +92,11 @@ object SubstringDedup {
           xxhash64(col("_graft_gram")).as("h1"),
           xx64Seeded(col("_graft_gram"), 0x9E3779B97F4A7C15L).as("h2"))
           .as("gram_h"))
+    // (the gram frame feeds the distinct-doc floor AND the hit probe; a
+    // MEMORY_AND_DISK persist between them was A/B'd at 10× in r14 and
+    // measured NEUTRAL — cold 13.6 vs 13.5 s — so the recompute stays:
+    // the cache write+scan costs what the second explode+hash pass costs,
+    // and not caching leaves executor memory to the token frame)
     val dup = grams.groupBy(col("gram_h"))
       .agg(countDistinct(col(idCol)).as("_graft_nd"))
       .filter(col("_graft_nd") >= minDocs)

@@ -386,15 +386,20 @@ object LabelQualityQueries {
     Q("q200_curation_v2",
       (s, d) => {
         val t = Tables(s, d)
+        // slim frames persisted (r14 composition finding): canon agg +
+        // probe otherwise EACH re-normalize the corpus, and madKeep
+        // references its input twice more
         val base = t.documents.select(col("doc_id"), col("lang"),
           col("source"), col("n_chars"),
           md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
             "UTF-8")).as("grp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val canon = base.groupBy(col("grp"))
           .agg(min(col("doc_id")).as("_graft_canon"))
         val kept = base.join(canon, "grp")
           .filter(col("doc_id") === col("_graft_canon"))
           .drop("_graft_canon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val screened = graft.curation.RobustStats.madKeep(
           kept, "source", "n_chars", kTenths = 35)
         graft.sampling.Sampling.cvFoldAssign(screened, col("grp"), 5, "cv")
@@ -745,12 +750,17 @@ object LabelQualityQueries {
             size(filter(toksL, x => x.isin(stops.map(v => v: Any): _*)))
               .cast("long") * 1000000L,
             greatest(size(toksL).cast("long"), lit(1L))).as("score"))
-        val canon = base.groupBy(col("grp"))
+        // persist the slim scored-hash frame TOO (r14 composition
+        // finding): the canon agg and the probe side otherwise each
+        // re-run normalize+md5+tokenize over the corpus — one pass total
+        val baseP = base
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val canon = baseP.groupBy(col("grp"))
           .agg(min(col("doc_id")).as("_graft_canon"))
         // persist: calibratedKeep reads its input twice (threshold
         // derivation + the final filter) — without the cache the
         // normalize-dedup join would run twice over the corpus
-        val kept = base.join(canon, "grp")
+        val kept = baseP.join(canon, "grp")
           .filter(col("doc_id") === col("_graft_canon"))
           .drop("_graft_canon")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -34,20 +34,31 @@ object CorpusStore {
     */
   def strippedCorpus(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, minWords: Int = 50, minDocs: Int = 2): DataFrame = {
-    val base = docs.select(col(idCol), col(sourceCol), col(textCol),
+    // caching discipline (the r14 composition finding): Spark re-runs
+    // md5(normalize(text)) over BOTH join sides on EVERY reference to the
+    // dedup frame — persist the slim (id, source, grp) hash frame so
+    // normalization runs EXACTLY once (canon agg + probe both read the
+    // cache), persist the kept-id projection, and rebuild the kept text
+    // via an id semi-join, however many consumers the strip chain fans
+    // into
+    val base = docs.select(col(idCol), col(sourceCol),
       md5(encode(Normalize.normalizeText(col(textCol)), "UTF-8"))
         .as("_graft_grp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = base.groupBy(col("_graft_grp"))
       .agg(min(col(idCol)).as("_graft_canon"))
-    val kept = base.join(canon, "_graft_grp")
+    val keptIds = base.join(canon, "_graft_grp")
       .filter(col(idCol) === col("_graft_canon"))
-      .select(col(idCol), col(sourceCol), col(textCol))
+      .select(col(idCol), col(sourceCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = docs.select(col(idCol), col(textCol))
+      .join(keptIds.select(col(idCol)), Seq(idCol))
     val toks = SubstringDedup.tokenFrame(kept, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = SubstringDedup.crossDocSpans(toks, idCol, minWords, minDocs)
     val verdicts = SubstringDedup.dedupVerdicts(spans, idCol)
     SubstringDedup.keepOneStripped(toks, verdicts, idCol)
-      .join(kept.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .join(keptIds, Seq(idCol))
       .select(col(idCol), col(sourceCol), col("text"),
         col("n_tokens_before"), col("n_tokens_after"),
         col("n_spans_removed"))
@@ -61,13 +72,19 @@ object CorpusStore {
   def writeDeduped(cat: Catalog, table: String, docs: DataFrame,
       idCol: String, textCol: String, sourceCol: String,
       minWords: Int = 50, minDocs: Int = 2): Long = {
+    // the stripped frame is consumed THREE times (touched-source collect,
+    // staging write, and nothing else reads it) — persist so the strip
+    // chain runs once, not once per consumer (the r14 composition finding)
     val out = strippedCorpus(docs, idCol, textCol, sourceCol, minWords,
       minDocs)
-    // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
-    // touched-partition convention — never a corpus-sized collect
-    val touched = out.select(col(sourceCol)).distinct()
-      .collect().map(_.getString(0)).toSeq
-    cat.overwritePartitions(table, out, sourceCol, touched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
+      // touched-partition convention — never a corpus-sized collect
+      val touched = out.select(col(sourceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      cat.overwritePartitions(table, out, sourceCol, touched)
+    } finally { out.unpersist(); () }
   }
 
   /** the stored-corpus schema ([[strippedCorpus]]'s output) */

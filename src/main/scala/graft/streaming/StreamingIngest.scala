@@ -803,16 +803,19 @@ object StreamingIngest {
     * clearing it outright would let the NEXT arrival recreate fresh state
     * and restart the walk, violating the pinned stop contract. With an
     * unbounded event-type keyspace that tombstone set grows monotonically
-    * (round-13 advice), so `stateTtl` bounds it: when set, per-key state
-    * expires that long after its last update, reclaiming decided (and
-    * long-silent undecided) keys at the cost that an arrival AFTER the
-    * horizon begins a fresh, independent test — Wald's repeated-test
-    * regime, the standard production trade for perpetual monitoring.
-    * Default None preserves exact stop-forever/batch-parity semantics.
+    * (round-13 advice), so `decidedRetention` bounds it: when set, the
+    * decision registers one EVENT-TIME timer at decision-day end +
+    * retention, and its firing clears the key's state entirely (Spark
+    * forbids state TTL in EventTime mode —
+    * STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL — so retention
+    * rides the same timer mechanism the day-close logic uses). Events
+    * arriving after the horizon begin a fresh, independent test — Wald's
+    * repeated-test regime, the standard production trade for perpetual
+    * monitoring. Default None preserves exact stop-forever semantics.
     */
   def streamingSprtDaily(events: Dataset[TypedUserEvent], lam0Micro: Long,
       watermarkDelay: String = "10 seconds",
-      stateTtl: Option[java.time.Duration] = None): Dataset[SprtDay] = {
+      decidedRetention: Option[java.time.Duration] = None): Dataset[SprtDay] = {
     require(lam0Micro >= 0, s"lam0Micro must be >= 0, got $lam0Micro")
     import events.sparkSession.implicits._
     val dayMs = 86400000L
@@ -828,8 +831,7 @@ object StreamingIngest {
             timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
           st = getHandle.getValueState[SprtState]("sprt",
             org.apache.spark.sql.Encoders.product[SprtState],
-            stateTtl.map(d => org.apache.spark.sql.streaming.TTLConfig(d))
-              .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
         private def nextDay(s: SprtState): Long =
           if (s.lastDay == Long.MinValue) s.open.map(_._1).min else s.lastDay + 1
         private def deadline(s: SprtState): Option[Long] =
@@ -848,9 +850,9 @@ object StreamingIngest {
             if (cur.lastDay == Long.MinValue || d > cur.lastDay)
               open = open.updated(d, open.getOrElse(d, 0L) + 1L)
           }
-          // decided keys: dropping the rows must NOT refresh the state
-          // row (an update would reset stateTtl on every arrival, keeping
-          // hot decided tombstones alive past the retention horizon)
+          // decided keys: drop the rows without touching state or timers —
+          // the pending decidedRetention timer (if configured) must stay
+          // armed so hot decided tombstones still expire on schedule
           if (!cur.decided) {
             val next = cur.copy(open = open.toSeq.sorted)
             st.update(next)
@@ -869,6 +871,10 @@ object StreamingIngest {
           val wm = tv.getCurrentWatermarkInMs
           val cur = if (st.exists()) st.get()
             else SprtState(Long.MinValue, 0L, decided = false, Seq.empty)
+          // a decided key holds no day-close deadline: the only timer that
+          // can fire is the decidedRetention one — evict the tombstone
+          // (a later arrival begins a fresh, independent test epoch)
+          if (cur.decided) { st.clear(); return Iterator.empty }
           val out = scala.collection.mutable.ArrayBuffer.empty[SprtDay]
           var open = cur.open.toMap
           var lastDay = cur.lastDay
@@ -897,6 +903,10 @@ object StreamingIngest {
             if (decided) Seq.empty else open.toSeq.sorted)
           st.update(next)
           deadline(next).foreach(getHandle.registerTimer)
+          // arm the tombstone-eviction timer at decision-day end +
+          // retention (event time; state TTL is unavailable in this mode)
+          if (decided) decidedRetention.foreach(r =>
+            getHandle.registerTimer((lastDay + 1) * dayMs + r.toMillis))
           out.iterator
         }
       }

@@ -579,6 +579,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SPRT: decidedRetention evicts the tombstone, a fresh " +
+      "epoch starts after the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SprtDay, TypedUserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedUserEvent](spark)
+    val dayMs = 86400000L
+    def ev(id: Long, day: Long, k: Long) =
+      TypedUserEvent(1L, id, new Timestamp(day * dayMs + k), "a")
+    val q = StreamingIngest.streamingSprtDaily(input.toDS(),
+        lam0Micro = 2000000L, watermarkDelay = "0 seconds",
+        decidedRetention = Some(java.time.Duration.ofDays(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sprt_ret").start()
+    def rows() = spark.table("sprt_ret").as[SprtDay].collect()
+      .map(r => (r.dayEpoch, r.c, r.llrMicro, r.cumMicro, r.decision))
+    try {
+      // day-0 burst of 20 crosses the +2944439 Wald bound immediately
+      input.addData((1L to 20L).map(i => ev(i, 0, i * 100)): _*)
+      input.addData(ev(30, 1, 500)) // watermark past day 0 → decision
+      q.processAllAvailable()
+      assert(rows().toSet == Set((0L, 20L, 7109302L, 7109302L,
+        "reject_h0")), rows().toString)
+      // inside the retention horizon (eviction timer sits at day-1 end +
+      // 1 day = day-2 end): the stop rule still holds, nothing emits
+      input.addData(ev(31, 1, 900))
+      q.processAllAvailable()
+      assert(rows().length == 1, rows().toString)
+      // an event past day-2 end fires the eviction timer; the NEXT
+      // arrivals find no state and begin a fresh, independent epoch
+      input.addData(ev(32, 3, 100))
+      q.processAllAvailable()
+      input.addData((40L to 59L).map(i => ev(i, 4, i * 50)): _*)
+      input.addData(ev(60, 5, 100)) // watermark past day 4 → new decision
+      q.processAllAvailable()
+      val r = rows()
+      assert(r.length >= 2 &&
+        r.count(_._5 == "reject_h0") == 2, r.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming corpus store: snapshot versions monotone, batch replay " +
       "commits once") {
     import spark.implicits._
