@@ -164,21 +164,33 @@ object DupSpans {
 
   def gramStarts(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    // gram key: two independently-seeded xxhash64s over the token-slice
-    // ARRAY, packed in one struct — the [[SubstringDedup.crossDocSpans]]
-    // convention: 16 bytes on every exchange (an 8-word gram string is
-    // ~55) and NO per-position string assembly in the hot explode.
-    // Consumers only ever compare grams for equality (occurrence counts,
-    // dup floors), and the oracles count raw strings — equal modulo
-    // 128-bit collisions (~n²/2¹²⁹, md5's league). Spread a poorly-split
-    // scan before the CPU-bound explode.
-    graft.operators.Parallelism.ensure(
-        docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks")))
-      .filter(size(col("_graft_toks")) >= n)
+    // spread a poorly-split scan before the CPU-bound explode
+    gramStartsFromTokens(
+      graft.operators.Parallelism.ensure(
+        docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks"))),
+      idCol, "_graft_toks", n)
+
+  /** [[gramStarts]] over a pre-tokenized (idCol, toksCol) frame — lets a
+    * pipeline that already holds token arrays (the keep-one strip, a
+    * persisted [[SubstringDedup.tokenFrame]]) gram-index WITHOUT the
+    * rebuild-text-then-retokenize round trip.
+    *
+    * Gram key: two independently-seeded xxhash64s over the token-slice
+    * ARRAY, packed in one struct — the [[SubstringDedup.crossDocSpans]]
+    * convention: 16 bytes on every exchange (an 8-word gram string is
+    * ~55) and NO per-position string assembly in the hot explode.
+    * Consumers only ever compare grams for equality (occurrence counts,
+    * dup floors), and the oracles count raw strings — equal modulo
+    * 128-bit collisions (~n²/2¹²⁹, md5's league).
+    */
+  def gramStartsFromTokens(toks: DataFrame, idCol: String, toksCol: String,
+      n: Int): DataFrame =
+    toks
+      .filter(size(col(toksCol)) >= n)
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(0), size(col("_graft_toks")) - n),
-          i => slice(col("_graft_toks"), i + 1, lit(n))))
+          sequence(lit(0), size(col(toksCol)) - n),
+          i => slice(col(toksCol), i + 1, lit(n))))
           .as(Seq("_graft_p", "_graft_gram")))
       .select(col(idCol), col("_graft_p").cast("long").as("pos"),
         struct(

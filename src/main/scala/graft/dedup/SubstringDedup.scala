@@ -234,6 +234,18 @@ object SubstringDedup {
     keepOneTokens(toks, verdicts, idCol)
       .select(col(idCol), array_join(col("_graft_kept"), " ").as("text"))
 
+  /** The kept TOKEN ARRAYS themselves — (idCol, `_graft_toks`), the
+    * [[tokenFrame]] column convention — for a consumer that gram-indexes
+    * or re-slices the post-strip corpus
+    * ([[DupSpans.gramStartsFromTokens]]): skips the
+    * rebuild-text-then-retokenize round trip of [[keepOneText]], which is
+    * exact anyway (tokens joined on single spaces re-split identically).
+    */
+  def keepOneTokenFrame(toks: DataFrame, verdicts: DataFrame,
+      idCol: String): DataFrame =
+    keepOneTokens(toks, verdicts, idCol)
+      .select(col(idCol), col("_graft_kept").as("_graft_toks"))
+
   /** [[keepOneText]] and [[applyKeepOne]] in ONE strip pass: the stripped
     * text plus the removal audit columns, for a consumer (the
     * [[graft.storage.CorpusStore]] sink) that stores both.

@@ -384,6 +384,12 @@ object ClusterQueries {
         val nTok = t.documents.select(col("doc_id"),
           size(filter(TextFunctions.tokens(col("text")),
             x => x =!= lit(""))).cast("long").as("n_tok"))
+        // the labeled frame feeds THREE consumers (cluster agg, longest
+        // probe, min-id token lookup), but connectedComponents already
+        // CHECKPOINTS its label frame each round, so the consumers share
+        // the iterative work — an extra persist here was A/B'd at 100×
+        // in r14 and measured NEGATIVE (cold 11.5 → 14.2 s: one more
+        // materialization barrier, nothing saved); it stays unpersisted
         val m = cc.join(nTok, "doc_id")
         val agg = m.groupBy(col("cluster_rep"))
           .agg(count(lit(1)).as("n_docs"),

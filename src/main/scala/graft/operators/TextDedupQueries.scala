@@ -941,9 +941,8 @@ object TextDedupQueries {
       (s, d) => {
         val t = Tables(s, d)
         val srcOf = t.documents.select(col("doc_id"), col("source"))
-        def census(docs: org.apache.spark.sql.DataFrame) = {
-          val grams = graft.dedup.DupSpans
-            .gramStarts(docs, "doc_id", "text", 8)
+        def census(grams0: org.apache.spark.sql.DataFrame) = {
+          val grams = grams0
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           graft.dedup.DupSpans.memorizationRisk(grams, "doc_id", k = 3)
             .join(srcOf, Seq("doc_id"))
@@ -951,17 +950,24 @@ object TextDedupQueries {
             .agg(sum(col("n_grams")).as("grams"),
               sum(col("n_risky")).as("risky"))
         }
-        val before = census(t.documents)
-          .select(col("g"), col("grams").as("grams_before"),
-            col("risky").as("risky_before"))
         val toks = graft.dedup.SubstringDedup
           .tokenFrame(t.documents, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // before-census grams slice the SAME persisted token frame the
+        // strip reads; after-census grams slice the kept token arrays
+        // directly (keepOneTokenFrame) — no rebuild-text-then-retokenize
+        // round trip, which is exact anyway (single-space join re-splits
+        // identically)
+        val before = census(graft.dedup.DupSpans
+            .gramStartsFromTokens(toks, "doc_id", "_graft_toks", 8))
+          .select(col("g"), col("grams").as("grams_before"),
+            col("risky").as("risky_before"))
         val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(
           graft.dedup.SubstringDedup.crossDocSpans(toks, "doc_id",
             minWords = 50, minDocs = 2), "doc_id")
-        val after = census(
-            graft.dedup.SubstringDedup.keepOneText(toks, verdicts, "doc_id"))
+        val after = census(graft.dedup.DupSpans.gramStartsFromTokens(
+            graft.dedup.SubstringDedup.keepOneTokenFrame(toks, verdicts,
+              "doc_id"), "doc_id", "_graft_toks", 8))
           .select(col("g"), col("grams").as("grams_after"),
             col("risky").as("risky_after"))
         // after-sources ⊆ before-sources (stripping only removes tokens,
@@ -1162,6 +1168,156 @@ object TextDedupQueries {
            |  CASE WHEN tokens_strip > 0 THEN ((tokens_strip - tokens_screen)
            |    * 1000000) // tokens_strip ELSE 0 END AS drop_screen_ppm
            |FROM fin ORDER BY g""".stripMargin
+      }),
+
+    // ---- tokenizer fertility census: per source, how many BPE-proxy
+    // tokens a whitespace word costs (fertility) and how many characters
+    // ride in each token — the budgeting numbers that decide whether a
+    // source is cheap or expensive to train on under a given tokenizer
+    // (q65's per-doc counts rolled into the per-source planning view,
+    // exact integer milli-units). One corpus scan, one partial-agg'd
+    // group exchange.
+    Q("q230_tokenizer_fertility",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.documents.select(col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("ws"),
+            TextFunctions.bpeishTokenCount(col("text")).cast("long")
+              .as("bpe"),
+            length(col("text")).cast("long").as("chars"))
+          .groupBy(col("source").as("g"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("ws_tokens"),
+            sum(col("bpe")).as("bpe_tokens"),
+            sum(col("chars")).as("n_chars"))
+          .select(col("g"), col("n_docs"), col("ws_tokens"),
+            col("bpe_tokens"), col("n_chars"),
+            expr("CASE WHEN ws_tokens > 0 THEN" +
+              " (bpe_tokens * 1000) div ws_tokens ELSE 0 END")
+              .as("fertility_milli"),
+            expr("CASE WHEN bpe_tokens > 0 THEN" +
+              " (n_chars * 1000) div bpe_tokens ELSE 0 END")
+              .as("chars_per_token_milli"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH b AS (SELECT source,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+             |      AS ws,
+             |    CAST(len(regexp_extract_all(text,
+             |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+'))
+             |      AS BIGINT) AS bpe,
+             |    CAST(len(text) AS BIGINT) AS chars
+             |  FROM documents)
+             |SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+             |  CAST(sum(chars) AS BIGINT) AS n_chars,
+             |  CASE WHEN CAST(sum(ws) AS BIGINT) > 0 THEN
+             |    (CAST(sum(bpe) AS BIGINT) * 1000) // CAST(sum(ws) AS BIGINT)
+             |    ELSE 0 END AS fertility_milli,
+             |  CASE WHEN CAST(sum(bpe) AS BIGINT) > 0 THEN
+             |    (CAST(sum(chars) AS BIGINT) * 1000)
+             |      // CAST(sum(bpe) AS BIGINT)
+             |    ELSE 0 END AS chars_per_token_milli
+             |FROM b GROUP BY source ORDER BY g""".stripMargin)),
+
+    // ---- per-document curation lineage: for EVERY input document, which
+    // q212 pipeline stage decided its fate — 'exact_dup' (lost the
+    // normalized-dedup canon race), 'mad_screen' (post-strip length
+    // outlier), or 'kept' — plus the strip's token audit. The
+    // "why was my document dropped" debugging view a production pipeline
+    // answers per-doc, where q226's waterfall answers per-source.
+    // Same persisted-frame discipline as q212 (one normalize pass, one
+    // tokenization, one strip evaluation); the lineage itself is three
+    // id-keyed left joins against bounded audit frames.
+    Q("q229_curation_lineage",
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.documents.select(col("doc_id"), col("source"),
+          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+            "UTF-8")).as("grp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val canon = base.groupBy(col("grp"))
+          .agg(min(col("doc_id")).as("_graft_canon"))
+        val keptIds = base.join(canon, "grp")
+          .filter(col("doc_id") === col("_graft_canon"))
+          .select(col("doc_id"), col("source"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = t.documents.select(col("doc_id"), col("text"))
+          .join(keptIds.select(col("doc_id")), "doc_id")
+        val toks = graft.dedup.SubstringDedup
+          .tokenFrame(kept, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val verdicts = graft.dedup.SubstringDedup.dedupVerdicts(
+          graft.dedup.SubstringDedup.crossDocSpans(toks, "doc_id",
+            minWords = 50, minDocs = 2), "doc_id")
+        val stripped = graft.dedup.SubstringDedup
+          .applyKeepOne(toks, verdicts, "doc_id")
+          .join(keptIds, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val surviving = graft.curation.RobustStats.madKeep(
+            stripped, "source", "n_tokens_after", kTenths = 35)
+          .select(col("doc_id"), lit(1L).as("_graft_surv"))
+        val rawTok = t.documents.select(col("doc_id"),
+          size(filter(TextFunctions.tokens(col("text")),
+            x => x =!= lit(""))).cast("long").as("tokens_raw"))
+        rawTok.join(base.select(col("doc_id"), col("source")), "doc_id")
+          .join(stripped.select(col("doc_id"),
+            col("n_tokens_after"), col("n_spans_removed")),
+            Seq("doc_id"), "left")
+          .join(surviving, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("n_tokens_after").isNull, lit("exact_dup"))
+              .when(col("_graft_surv").isNull, lit("mad_screen"))
+              .otherwise(lit("kept")).as("status"),
+            col("tokens_raw"),
+            coalesce(col("n_tokens_after"), lit(0L)).as("tokens_after"),
+            coalesce(col("n_spans_removed"), lit(0L)).as("spans_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |j AS (SELECT st.*, k.source FROM stripped st
+           |  JOIN keptd k USING (doc_id)),
+           |r AS (SELECT source, n_tokens_after,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_tokens_after) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM j),
+           |med AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN n_tokens_after END) AS med FROM r GROUP BY source),
+           |dd AS (SELECT r2.source, abs(r2.n_tokens_after - med) AS dv,
+           |    CAST(row_number() OVER (PARTITION BY r2.source
+           |      ORDER BY abs(r2.n_tokens_after - med)) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY r2.source) AS BIGINT) AS n
+           |  FROM (SELECT source, n_tokens_after FROM j) r2
+           |  JOIN med USING (source)),
+           |mad AS (SELECT source, min(CASE WHEN rn >= (n + 1) // 2
+           |    THEN dv END) AS mad FROM dd GROUP BY source),
+           |scr AS (SELECT j.doc_id FROM j
+           |  JOIN med USING (source) JOIN mad USING (source)
+           |  WHERE abs(n_tokens_after - med) * 10 <= 35 * mad),
+           |rawt AS (SELECT doc_id, CAST(len(list_filter(
+           |    regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           |    AS BIGINT) AS tokens_raw FROM documents)
+           |SELECT b.doc_id, b.source,
+           |  CASE WHEN st.doc_id IS NULL THEN 'exact_dup'
+           |       WHEN scr.doc_id IS NULL THEN 'mad_screen'
+           |       ELSE 'kept' END AS status,
+           |  rawt.tokens_raw,
+           |  COALESCE(st.n_tokens_after, 0) AS tokens_after,
+           |  COALESCE(st.n_spans_removed, 0) AS spans_removed
+           |FROM b JOIN rawt USING (doc_id)
+           |LEFT JOIN stripped st ON st.doc_id = b.doc_id
+           |LEFT JOIN scr ON scr.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin
       }),
 
     // ---- duplicate-aware loss weighting (soft dedup): instead of

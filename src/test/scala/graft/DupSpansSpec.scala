@@ -245,6 +245,24 @@ class DupSpansSpec extends AnyFunSuite {
       3L -> ((2L, 0L, 0L))))
   }
 
+  test("gramStartsFromTokens over a token frame equals gramStarts over " +
+      "text (the q225 no-retokenize claim)") {
+    import graft.dedup.SubstringDedup
+    // messy whitespace: the token frame and the text path must agree
+    // because cleanTokens drops empties on both routes
+    val docs = Seq(
+      (1L, "  a b\tc d e  f g h i "),
+      (2L, "x y z w v u t s r q p")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getStruct(2).getLong(0), r.getStruct(2).getLong(1))).toSet
+    val direct = rows(DupSpans.gramStarts(docs, "doc_id", "text", 8))
+    val viaToks = rows(DupSpans.gramStartsFromTokens(
+      SubstringDedup.tokenFrame(docs, "doc_id", "text"),
+      "doc_id", "_graft_toks", 8))
+    assert(direct == viaToks && direct.nonEmpty, direct.toString)
+  }
+
   test("keep-one strip strictly reduces memorization exposure (q225 pair)") {
     import graft.dedup.SubstringDedup
     // a 10-word passage in 3 docs: its 8-grams occur 3× (>= k) before the

@@ -1269,4 +1269,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q229 curation lineage: id-keyed audit joins, no cartesian") {
+    val p = plan("q229_curation_lineage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q230 tokenizer fertility: one scan, partial-agg'd group exchange") {
+    val p = plan("q230_tokenizer_fertility")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), "single-scan census must not join:\n" + p)
+  }
 }
