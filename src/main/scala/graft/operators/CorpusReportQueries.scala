@@ -398,61 +398,6 @@ object CorpusReportQueries {
              |GROUP BY t.label, n_vecs, tot, n_zero
              |ORDER BY t.label""".stripMargin)),
 
-    // ---- per-label embedding-centroid drift: the L1 distance between
-    // each label's mean embedding and the corpus mean, in exact integer
-    // milli-units — the embedding-space health census that flags a
-    // cluster (or a source, when labels carry provenance) drifting away
-    // from the corpus, without a single engine-divergent double sum:
-    // components quantize to milli BIGINT first, per-(label, dim) sums
-    // are exact integers, and the deviation |s_ld·N − g_d·n_l| runs in
-    // DECIMAL(38,0)/HUGEINT on the BOUNDED (labels × dims) frame.
-    // Scale shape: one (label, dim) partial-agg'd exchange over the
-    // exploded components; everything after is bounded.
-    Q("q231_embedding_drift",
-      (s, d) => {
-        val t = Tables(s, d)
-        val ev = t.embeddings.select(col("label").cast("long").as("g"),
-          posexplode(transform(col("embedding"),
-            x => round(x.cast("double") * 1000d).cast("long")))
-            .as(Seq("dim", "v")))
-        val perLabel = ev.groupBy(col("g"), col("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        val glob = perLabel.groupBy(col("dim"))
-          .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
-        perLabel.join(broadcast(glob), "dim")
-          .groupBy(col("g"))
-          .agg(max(col("n")).as("n_vecs"), max(col("gn")).as("_graft_nn"),
-            sum(abs(col("s").cast("decimal(38,0)") * col("gn")
-              - col("gs").cast("decimal(38,0)") * col("n"))).as("_graft_dev"))
-          .select(col("g"), col("n_vecs"),
-            graft.text.TextFunctions.integralDiv(col("_graft_dev"),
-              (col("n_vecs") * col("_graft_nn")).cast("decimal(38,0)"))
-              .as("l1_dev_milli"))
-          .orderBy(col("g"))
-      },
-      Some("""WITH ev AS (SELECT CAST(label AS BIGINT) AS g, u.dim AS dim,
-             |    u.v AS v
-             |  FROM (SELECT label, unnest(list_transform(
-             |      range(0, len(embedding)),
-             |      i -> {'dim': i, 'v': CAST(round(
-             |        CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1000)
-             |        AS BIGINT)})) AS u
-             |    FROM embeddings)),
-             |pl AS (SELECT g, dim, CAST(sum(v) AS BIGINT) AS s,
-             |    CAST(count(*) AS BIGINT) AS n
-             |  FROM ev GROUP BY g, dim),
-             |gl AS (SELECT dim, CAST(sum(s) AS BIGINT) AS gs,
-             |    CAST(sum(n) AS BIGINT) AS gn
-             |  FROM pl GROUP BY dim),
-             |a AS (SELECT g, max(n) AS n_vecs, max(gn) AS nn,
-             |    sum(abs(CAST(s AS HUGEINT) * gn - CAST(gs AS HUGEINT) * n))
-             |      AS dev
-             |  FROM pl JOIN gl USING (dim) GROUP BY g)
-             |SELECT g, n_vecs,
-             |  CAST(dev // (CAST(n_vecs AS HUGEINT) * nn) AS BIGINT)
-             |    AS l1_dev_milli
-             |FROM a ORDER BY g""".stripMargin)),
-
     // ---- corpus snapshot diff: added/removed/changed/unchanged per source
     // between two deterministic snapshot simulations of the same id space
     Q("q131_snapshot_diff",

@@ -1283,11 +1283,4 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "single-scan census must not join:\n" + p)
   }
 
-  test("q231 embedding drift: bounded global frame broadcast, one " +
-      "partial-agg'd component exchange, no cartesian") {
-    val p = plan("q231_embedding_drift")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("partial_"), p)
-  }
 }
