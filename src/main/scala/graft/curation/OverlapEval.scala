@@ -38,10 +38,16 @@ object OverlapEval {
       pairs: DataFrame, candIdCol: String, refIdCol: String,
       groupCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    // the token frame feeds FOUR consumers (cand grams, ref grams, and
+    // both sides of the length totals) — persist it or each re-scans and
+    // re-tokenizes the corpus (the r14 composition finding); the slim
+    // pair frame likewise feeds three joins
     val toks = docs.select(col(idCol).as("_graft_did"),
       TextFunctions.tokens(col(textCol)).as("_graft_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = pairs.select(col(candIdCol).as("_graft_cid"),
       col(refIdCol).as("_graft_rid"), col(groupCol).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ALL n in one generator: tag each n's gram array with its n, flatten,
     // explode once — one pair-text join + one shuffle per side instead of

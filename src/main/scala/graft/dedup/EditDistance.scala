@@ -52,10 +52,19 @@ object EditDistance {
       if (maxDist == 1) expr(del1("_s"))
       else expr(s"""array_distinct(flatten(transform(${del1("_s")},
                    |  v -> ${del1("v")})))""".stripMargin)
+    // The raw variant explode stays UNPERSISTED even though the self-join
+    // references it twice: the dist-1 neighborhood is cheap enough that
+    // recomputing it inside each join side's codegen stage beats columnar
+    // cache reads (r14 A/B at 10×: persisting ex made q181's warm pass
+    // 2.2× SLOWER, cold neutral). The CAPPED frame is different — it
+    // carries a full agg+join chain, so its two self-join references
+    // would re-run that chain; persisting it won the A/B (q208-style
+    // composition finding).
     val ex = base.select(col("_id"), col("_s"), explode(variants).as("_v"))
     val capped = maxDf.fold(ex) { cap =>
       val freq = ex.groupBy(col("_v")).agg(count(lit(1)).as("_df"))
       ex.join(freq.filter(col("_df") <= cap).select(col("_v")), "_v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     capped.as("a").join(capped.as("b"),
         col("a._v") === col("b._v") && col("a._id") < col("b._id"))
