@@ -43,7 +43,12 @@ object Conformal {
   def conformalScreen(df: DataFrame, idCol: String, scoreCol: Column,
       labelCol: Column, calFraction: Double, salt: String,
       alphasPpm: Seq[Long]): DataFrame = {
+    // the slim split frame feeds the threshold derivation AND the eval
+    // pass — persist it or the caller's score expression (typically a
+    // corpus tokenization) re-runs per reference (the r14 composition
+    // finding)
     val base = calSplit(df, idCol, scoreCol, labelCol, calFraction, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thresholds = conformalThresholds(base, alphasPpm)
     val eval = base.filter(!col("_graft_cal"))
     eval.crossJoin(broadcast(thresholds))
