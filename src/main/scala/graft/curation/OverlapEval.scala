@@ -77,15 +77,21 @@ object OverlapEval {
           .as("clipped"),
         sum(col("c_cand")).as("cand_grams"))
 
-    // exact token-length totals per group (the brevity-penalty inputs)
+    // exact token-length totals per group (the brevity-penalty inputs):
+    // the lens joins need only a token COUNT per doc, so they probe a
+    // slim persisted (id, len) projection instead of dragging the full
+    // token-array cache through two more joins
+    val lenF = toks.select(col("_graft_did"),
+        size(col("_graft_w")).cast("long").as("_graft_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = p
-      .join(toks.withColumnRenamed("_graft_w", "_graft_wc"),
+      .join(lenF.withColumnRenamed("_graft_len", "_graft_lc"),
         col("_graft_cid") === col("_graft_did")).drop("_graft_did")
-      .join(toks, col("_graft_rid") === col("_graft_did"))
+      .join(lenF, col("_graft_rid") === col("_graft_did"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(size(col("_graft_wc")).cast("long")).as("cand_tokens"),
-        sum(size(col("_graft_w")).cast("long")).as("ref_tokens"))
+        sum(col("_graft_lc")).as("cand_tokens"),
+        sum(col("_graft_len")).as("ref_tokens"))
 
     clipped.join(lens, Seq("g"))
       .select(col("g"), col("n"), col("n_pairs"),
