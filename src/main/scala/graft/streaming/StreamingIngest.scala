@@ -114,6 +114,45 @@ object StreamingIngest {
       }
   }
 
+  final case class DupWeight(docId: Long, nCopies: Long, weightMilli: Long)
+
+  /** Streaming twin of the q228 duplicate-aware loss weighting (soft
+    * dedup): per normalized-content group, each arrival emits the group's
+    * RUNNING copy count and its own training weight 1000/n milli-units —
+    * the prefix view of the batch op's final-group-size weighting (the
+    * streaming-LSH cap's prefix-semantics contract): a copy arriving as
+    * the group's n-th member trains at 1/n, while earlier copies keep the
+    * heavier weight they were emitted with, exactly as a pipeline that
+    * already consumed them must. State per group is ONE counter; arrivals
+    * within a micro-batch order by docId so replays emit identically.
+    */
+  def streamingDupWeights(docs: Dataset[DocEvent],
+      normalized: Boolean = true): Dataset[DupWeight] = {
+    import docs.sparkSession.implicits._
+    def md5(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val key: DocEvent => String =
+      if (normalized) e => md5(graft.dedup.Normalize.normalizeTextJvm(e.text))
+      else e => md5(e.text)
+    docs
+      .groupByKey(key)
+      .flatMapGroupsWithState[Long, DupWeight](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Long]) =>
+          val events = batch.toSeq.sortBy(_.docId)
+          var n = state.getOption.getOrElse(0L)
+          val out = events.map { e =>
+            n += 1
+            DupWeight(e.docId, n, 1000L / n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   final case class PassageVerdict(docId: Long, idx: Int, kept: Boolean)
 
   /** Streaming passage-level dedup — the stateful twin of

@@ -75,6 +75,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dup weights: running 1/n weights across micro-batches, " +
+      "normalized grouping") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamingIngest.DocEvent](spark)
+    val q = StreamingIngest.streamingDupWeights(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dupw_out").start()
+    try {
+      input.addData(StreamingIngest.DocEvent(1, "Same Text"),
+        StreamingIngest.DocEvent(2, "same   text"), // normalized-equal
+        StreamingIngest.DocEvent(3, "other"))
+      q.processAllAvailable()
+      // the counter survives the batch boundary: the third copy weighs 1/3
+      input.addData(StreamingIngest.DocEvent(9, "same text!"))
+      q.processAllAvailable()
+      val rows = spark.table("dupw_out").as[StreamingIngest.DupWeight]
+        .collect().sortBy(_.docId)
+        .map(r => (r.docId, r.nCopies, r.weightMilli)).toSeq
+      assert(rows == Seq((1L, 1L, 1000L), (2L, 2L, 500L),
+        (3L, 1L, 1000L), (9L, 3L, 333L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming normalized dedup agrees with the batch normalized key") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
