@@ -135,8 +135,36 @@ object Bench {
     f"""$before,"loadavg":${loadavgJson()},"calibration_sec":${calibrationSec(spark)}%.3f"""
   }
 
+  /** 1-minute loadavg, or 0.0 where /proc is unavailable */
+  def loadavg1m(): Double =
+    scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+      _.mkString.trim.split("\\s+").head.toDouble).getOrElse(0.0)
+
+  /** Refuse to measure on a hot box (r14 verdict item 2: BENCH_r14 went
+    * out 21% slow at loadavg 5.68 — the one cross-round artifact box
+    * state can still poison). Wait for 1-min loadavg <= `threshold`,
+    * polling every `sleepSec`, up to `maxWaitSec`; returns true when the
+    * box settled, false when the wait expired (the caller then emits
+    * `"contended": true` so tooling can flag the artifact instead of a
+    * reader mistaking load noise for a regression).
+    */
+  def awaitIdle(threshold: Double = 2.0, sleepSec: Int = 30,
+      maxWaitSec: Int = 300): Boolean = {
+    val deadline = System.currentTimeMillis() + maxWaitSec * 1000L
+    var load = loadavg1m()
+    while (load > threshold && System.currentTimeMillis() < deadline) {
+      System.err.println(
+        f"[bench] box is hot (loadavg $load%.2f > $threshold%.1f); " +
+          s"waiting ${sleepSec}s for it to settle")
+      Thread.sleep(sleepSec * 1000L)
+      load = loadavg1m()
+    }
+    load <= threshold
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val settled = awaitIdle()
     val loadBefore = loadavgJson()
     val spark = benchSession("graft-bench")
     // page-cache warmup: the per-query warmup pass in timeSet covers JIT +
@@ -155,8 +183,9 @@ object Bench {
     val heavyJson = heavy.map { case (k, c, w) =>
       "\"" + k + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
+    val contended = if (settled) "" else ""","contended":true"""
     println(jsonLine(results, sfDir,
-      s""","heavy":$heavyJson${sentinelJson(spark, loadBefore)}"""))
+      s""","heavy":$heavyJson${sentinelJson(spark, loadBefore)}$contended"""))
     spark.stop()
   }
 }

@@ -39,6 +39,11 @@ object Conformal {
     * Output per α: (alpha_ppm, n_cal, k_rank, thr_score [null when
     * k = 0], n_eval_pos, n_eval_pos_kept, coverage_ppm [null when the
     * held-out slice has no positives], n_eval, n_eval_kept, accept_ppm).
+    *
+    * Caching note: the internal split frame persists (MEMORY_AND_DISK)
+    * and — the result being lazy — stays pinned until the caller runs
+    * `spark.catalog.clearCache()` after its last action (the Verify gate
+    * does this between queries).
     */
   def conformalScreen(df: DataFrame, idCol: String, scoreCol: Column,
       labelCol: Column, calFraction: Double, salt: String,

@@ -33,6 +33,11 @@ object OverlapEval {
     * candidate totals, precision ppm, and the summed candidate/reference
     * token lengths (identical across the n rows of a group — carried on
     * each row for a self-contained report).
+    *
+    * Caching note: three internal frames persist (MEMORY_AND_DISK) and —
+    * the result being lazy — stay pinned until the caller runs
+    * `spark.catalog.clearCache()` after its last action (the Verify gate
+    * does this between queries).
     */
   def ngramPrecisionProfile(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, candIdCol: String, refIdCol: String,

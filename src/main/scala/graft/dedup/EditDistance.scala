@@ -39,6 +39,11 @@ object EditDistance {
        |    i -> concat(substr($a, 1, i - 1), substr($a, i + 1))) END))"""
       .stripMargin
 
+  /** Caching note: with `maxDf` set, the capped variant frame persists
+    * (MEMORY_AND_DISK) and — the result being lazy — stays pinned until
+    * the caller runs `spark.catalog.clearCache()` after its last action
+    * (the Verify gate does this between queries).
+    */
   def deletionNeighborhoodJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxDf: Option[Long] = None): DataFrame = {
     require(maxDist == 1 || maxDist == 2,

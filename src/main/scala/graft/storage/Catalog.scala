@@ -643,9 +643,10 @@ object Catalog {
   private val _hook = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       tempRoots.forEach { p =>
-        try {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
+        // Using closes the walk stream (one open directory handle per
+        // temp root otherwise leaks for the rest of JVM shutdown)
+        try scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+          _.sorted(java.util.Comparator.reverseOrder())
             .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
         } catch { case _: Throwable => () } // best-effort: exit cleanup
       }

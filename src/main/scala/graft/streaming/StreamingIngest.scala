@@ -124,7 +124,15 @@ object StreamingIngest {
     * the group's n-th member trains at 1/n, while earlier copies keep the
     * heavier weight they were emitted with, exactly as a pipeline that
     * already consumed them must. State per group is ONE counter; arrivals
-    * within a micro-batch order by docId so replays emit identically.
+    * within a micro-batch order by docId so replays emit identically —
+    * only the group's in-batch doc IDS buffer for that sort (8 bytes per
+    * arrival, never the texts: a pathological micro-batch with millions
+    * of identical docs costs one long array per task, not the text
+    * slice). Rounding: weightMilli = 1000/n floors to 0 past 1000 copies
+    * — the 1001st+ copy trains at zero mass, the intended reading (its
+    * true weight is under half a milli-unit, and the batch q228 census
+    * floors identically via `(n_tok * 1000) div n_copies`); a consumer
+    * needing sub-milli resolution derives weights from nCopies instead.
     */
   def streamingDupWeights(docs: Dataset[DocEvent],
       normalized: Boolean = true): Dataset[DupWeight] = {
@@ -142,11 +150,12 @@ object StreamingIngest {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         case (_, batch, state: GroupState[Long]) =>
-          val events = batch.toSeq.sortBy(_.docId)
+          val ids = batch.map(_.docId).toArray
+          java.util.Arrays.sort(ids)
           var n = state.getOption.getOrElse(0L)
-          val out = events.map { e =>
+          val out = ids.map { id =>
             n += 1
-            DupWeight(e.docId, n, 1000L / n)
+            DupWeight(id, n, 1000L / n)
           }
           state.update(n)
           out.iterator
