@@ -62,25 +62,24 @@ object SubstringDedup {
     graft.operators.Parallelism.ensure(
       docs.select(col(idCol), cleanTokens(textCol).as("_graft_toks")))
 
-  /** (idCol, span_start, span_end, span_words, span_hash) — maximal word
-    * spans covered by an L-gram occurring in ≥ `minDocs` distinct
-    * documents, with the md5 of the span's reassembled text. Positions are
-    * 0-based indexes into the whitespace token list.
+  /** Per-position L-gram keys of a [[tokenFrame]]: (idCol, pos,
+    * gram_h struct{h1, h2}) — one row per gram start. The key is two
+    * independently-seeded xxhash64s over the token-slice ARRAY, packed in
+    * one struct — 16 bytes on the corpus-sized exchange (a 32-hex md5
+    * string is ~48) and no per-position string materialization or
+    * cryptographic hash in the hot explode. 128 bits total puts
+    * accidental collisions in md5's league (~n²/2¹²⁹); callers asserting
+    * exact content (crossDocSpans) re-slice and hash span text
+    * downstream. (A two-phase xx64-prefilter + md5-confirm variant
+    * measured SLOWER at 1×/10× — two extra shuffles and a candidate
+    * regroup join cost more than the narrower key saves; r13 A/B in
+    * NOTES.md.) Also the key the [[graft.storage.CorpusStore]] gram
+    * index stores — index rows and probe keys come from this ONE
+    * definition, so they can never drift.
     */
-  def crossDocSpans(toks: DataFrame, idCol: String, minWords: Int,
-      minDocs: Int = 2): DataFrame = {
+  def gramKeys(toks: DataFrame, idCol: String, minWords: Int): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // gram key: two independently-seeded xxhash64s over the token-slice
-    // ARRAY, packed in one struct — 16 bytes on the corpus-sized exchange
-    // (a 32-hex md5 string is ~48) and no per-position string
-    // materialization or cryptographic hash in the hot explode. 128 bits
-    // total puts accidental collisions in md5's league (~n²/2¹²⁹); the
-    // exact-content claim downstream still comes from the span re-slice.
-    // (A two-phase xx64-prefilter + md5-confirm variant measured SLOWER
-    // at 1×/10× — two extra shuffles and a candidate regroup join cost
-    // more than the narrower key saves; r13 A/B in NOTES.md.)
-    val grams = toks
+    toks
       .filter(size(col("_graft_toks")) >= minWords)
       .select(col(idCol),
         posexplode(transform(
@@ -92,29 +91,25 @@ object SubstringDedup {
           xxhash64(col("_graft_gram")).as("h1"),
           xx64Seeded(col("_graft_gram"), 0x9E3779B97F4A7C15L).as("h2"))
           .as("gram_h"))
-    // (the gram frame feeds the distinct-doc floor AND the hit probe; a
-    // MEMORY_AND_DISK persist between them was A/B'd at 10× in r14 and
-    // measured NEUTRAL — cold 13.6 vs 13.5 s — so the recompute stays:
-    // the cache write+scan costs what the second explode+hash pass costs,
-    // and not caching leaves executor memory to the token frame)
-    val dup = grams.groupBy(col("gram_h"))
-      .agg(countDistinct(col(idCol)).as("_graft_nd"))
-      .filter(col("_graft_nd") >= minDocs)
-      .select(col("gram_h"))
-    // coverage islands via interval merge over gram START positions: a
-    // dup gram at start p covers words [p, p+L−1]; with equal lengths and
-    // starts sorted per doc, the running max end is the PREVIOUS start's
-    // end, so a new island begins exactly when pos > lag(pos) + L. This
-    // replaces the r13 explode-into-covered-words + distinct() — a
-    // minWords(=50)× row amplification feeding a corpus-sized exchange —
-    // with a per-doc window over the unamplified hit frame (measured
-    // r14 A/B in NOTES.md). Island membership is identical: the word
-    // union of equal-length intervals is contiguous iff consecutive
-    // starts are ≤ L apart, and span_words of a contiguous island is
-    // span_end − span_start + 1.
+  }
+
+  /** Coverage islands via interval merge over gram START positions: a
+    * dup gram at start p covers words [p, p+L−1]; with equal lengths and
+    * starts sorted per doc, the running max end is the PREVIOUS start's
+    * end, so a new island begins exactly when pos > lag(pos) + L. This
+    * replaces the r13 explode-into-covered-words + distinct() — a
+    * minWords(=50)× row amplification feeding a corpus-sized exchange —
+    * with a per-doc window over the unamplified hit frame (measured
+    * r14 A/B in NOTES.md). Island membership is identical: the word
+    * union of equal-length intervals is contiguous iff consecutive
+    * starts are ≤ L apart, and span_words of a contiguous island is
+    * span_end − span_start + 1. Input: (idCol, pos) hit rows; output:
+    * (idCol, span_start, span_end, span_words).
+    */
+  private def coverageIslands(hits: DataFrame, idCol: String,
+      minWords: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val spans = grams.join(dup, Seq("gram_h"))
-      .select(col(idCol), col("pos"))
+    hits
       .withColumn("_graft_brk",
         when(col("pos") > lag(col("pos"), 1).over(w) + minWords, 1L)
           .otherwise(0L))
@@ -125,6 +120,29 @@ object SubstringDedup {
         (max(col("pos")) + (minWords - 1)).as("span_end"))
       .drop("_graft_grp")
       .withColumn("span_words", col("span_end") - col("span_start") + 1)
+  }
+
+  /** (idCol, span_start, span_end, span_words, span_hash) — maximal word
+    * spans covered by an L-gram occurring in ≥ `minDocs` distinct
+    * documents, with the md5 of the span's reassembled text. Positions are
+    * 0-based indexes into the whitespace token list.
+    */
+  def crossDocSpans(toks: DataFrame, idCol: String, minWords: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = gramKeys(toks, idCol, minWords)
+    // (the gram frame feeds the distinct-doc floor AND the hit probe; a
+    // MEMORY_AND_DISK persist between them was A/B'd at 10× in r14 and
+    // measured NEUTRAL — cold 13.6 vs 13.5 s — so the recompute stays:
+    // the cache write+scan costs what the second explode+hash pass costs,
+    // and not caching leaves executor memory to the token frame)
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(countDistinct(col(idCol)).as("_graft_nd"))
+      .filter(col("_graft_nd") >= minDocs)
+      .select(col("gram_h"))
+    val spans = coverageIslands(
+      grams.join(dup, Seq("gram_h")).select(col(idCol), col("pos")),
+      idCol, minWords)
     spans.join(toks, Seq(idCol))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("span_words"),
@@ -132,6 +150,43 @@ object SubstringDedup {
           (col("span_start") + 1).cast("int"),
           col("span_words").cast("int")), " ")).as("span_hash"))
   }
+
+  /** Maximal word spans of `toks` documents covered by an L-gram present
+    * ANYWHERE in `refToks` (the reference corpus) — the asymmetric twin
+    * of [[crossDocSpans]] for stripping NEW documents against an
+    * already-deduplicated STORE: one stored occurrence suffices (the
+    * batch doc + the stored doc are the ≥2 distinct documents), and the
+    * stored copy is canonical unconditionally, so every returned span is
+    * a removal. Returns (idCol, span_start, span_end, span_words) over
+    * `toks` ids only. Feed [[removeAllVerdicts]] + [[keepOneStripped]]
+    * to materialize.
+    *
+    * Scale shape: the reference side reduces to DISTINCT gram keys (one
+    * partial-agg'd pass, 16-byte keys); the probe is one hash join
+    * against the (typically batch-sized, broadcastable) `toks` gram
+    * frame; islands merge per doc as in [[crossDocSpans]]. Exactness:
+    * membership rides the 128-bit gram key alone (no content re-slice
+    * against the reference — its text may not be co-resident); collisions
+    * sit in md5's league, documented at [[gramKeys]].
+    */
+  def containedSpans(toks: DataFrame, refToks: DataFrame, idCol: String,
+      minWords: Int): DataFrame = {
+    val refGrams = gramKeys(refToks, idCol, minWords)
+      .select(col("gram_h")).distinct()
+    val hits = gramKeys(toks, idCol, minWords)
+      .join(refGrams, Seq("gram_h"))
+      .select(col(idCol), col("pos"))
+    coverageIslands(hits, idCol, minWords)
+  }
+
+  /** Remove-ALL verdicts over a span frame (no span_hash required): every
+    * span is `kept = false` — the shape [[keepOneStripped]] consumes when
+    * the canonical copy lives elsewhere ([[containedSpans]] against a
+    * store whose copies must stay untouched).
+    */
+  def removeAllVerdicts(spans: DataFrame, idCol: String): DataFrame =
+    spans.select(col(idCol), col("span_start"), col("span_end"),
+      col("span_words"), lit(false).as("kept"))
 
   /** Cross-source contamination crosstab at SUBSTRING granularity — the
     * provenance view of [[crossDocSpans]]: for every ordered source pair

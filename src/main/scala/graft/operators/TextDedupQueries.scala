@@ -842,6 +842,90 @@ object TextDedupQueries {
            |FROM j GROUP BY source ORDER BY g""".stripMargin
       }),
 
+    // ---- store-wide dedup at INGEST (r15: the r14 verdict item-1
+    // close): phase 1 commits the full corpus (q216's writeDeduped —
+    // data + the gram/docs index tables); phase 2 ingests a batch for a
+    // brand-NEW source whose docs each prepend a unique 3-token prefix
+    // to a stored src1 doc's CURRENT text. src1 is NOT in the batch, so
+    // ONLY the store-wide gram-index probe can catch the duplication:
+    // each batch doc must commit with the stored passage stripped (the
+    // stored copy stays canonical, untouched partitions keep their
+    // files) and exact audit counters (original token count, +1 span).
+    // Docs whose stored base has < 50 tokens have no grams and pass
+    // through whole — the strip's documented granularity floor. The
+    // census reads the FINAL store back: every stored row plus the
+    // batch rows, with a text crc, so a word wrongly stripped (or
+    // wrongly kept) anywhere in the store flips the hash.
+    Q("q232_store_ingest_probe",
+      (s, d) => {
+        val t = Tables(s, d)
+        val root = graft.storage.Catalog.tempRoot("graft-ingest-gate")
+        val cat = new graft.storage.Catalog(s, root, "gate")
+        graft.storage.CorpusStore.writeDeduped(cat, "corpus", t.documents,
+          "doc_id", "text", "source")
+        val schema = graft.storage.CorpusStore.storedSchema("doc_id",
+          "source", "text")
+        val stored = cat.readPartitionedOr("corpus", schema)
+        val batch = stored.filter(col("source") === "src1")
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("probe_batch").as("source"),
+            concat(lit("zq"), col("doc_id").cast("string"), lit("a zq"),
+              col("doc_id").cast("string"), lit("b zq"),
+              col("doc_id").cast("string"), lit("c "),
+              col("text")).as("text"))
+        graft.storage.CorpusStore.ingestBatch(cat, "corpus", batch, 0L,
+          "doc_id", "text", "source")
+        cat.readPartitionedOr("corpus", schema)
+          .select(col("doc_id"), col("source"), col("n_tokens_before"),
+            col("n_tokens_after"), col("n_spans_removed"),
+            expr("CAST(conv(substring(md5(text),1,8),16,10) AS BIGINT)")
+              .as("text_crc"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |kat AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+           |    AS text_after FROM keptt GROUP BY doc_id),
+           |store0 AS (SELECT k.doc_id, k.source, st.n_tokens_before,
+           |    st.n_tokens_after, st.n_spans_removed,
+           |    COALESCE(kat.text_after, '') AS text
+           |  FROM stripped st JOIN keptd k USING (doc_id)
+           |  LEFT JOIN kat USING (doc_id)),
+           |bat AS (SELECT s.doc_id + 10000000 AS doc_id,
+           |    'probe_batch' AS source,
+           |    'zq' || CAST(s.doc_id AS VARCHAR) || 'a zq'
+           |      || CAST(s.doc_id AS VARCHAR) || 'b zq'
+           |      || CAST(s.doc_id AS VARCHAR) || 'c' AS prefix,
+           |    s.n_tokens_after AS n_stored, s.text AS stext
+           |  FROM store0 s WHERE s.source = 'src1'),
+           |bfin AS (SELECT doc_id, source,
+           |    CASE WHEN n_stored >= 50 OR n_stored = 0 THEN prefix
+           |         ELSE prefix || ' ' || stext END AS text,
+           |    CAST(3 + n_stored AS BIGINT) AS n_tokens_before,
+           |    CASE WHEN n_stored >= 50 THEN CAST(3 AS BIGINT)
+           |         ELSE CAST(3 + n_stored AS BIGINT) END
+           |      AS n_tokens_after,
+           |    CASE WHEN n_stored >= 50 THEN CAST(1 AS BIGINT)
+           |         ELSE CAST(0 AS BIGINT) END AS n_spans_removed
+           |  FROM bat),
+           |allr AS (SELECT doc_id, source, n_tokens_before,
+           |    n_tokens_after, n_spans_removed, text FROM store0
+           |  UNION ALL SELECT doc_id, source, n_tokens_before,
+           |    n_tokens_after, n_spans_removed, text FROM bfin)
+           |SELECT doc_id, source, n_tokens_before, n_tokens_after,
+           |  n_spans_removed,
+           |  CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+           |    AS text_crc
+           |FROM allr ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- cross-source substring contamination crosstab: q197's
     // exact-dup source matrix pushed down to Lee-et-al span granularity —
     // which source PAIRS share duplicated passages, and how many words

@@ -33,7 +33,21 @@ object CorpusStore {
     * finds nothing (the Lee et al. invariant, pinned by CorpusStoreSpec).
     */
   def strippedCorpus(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, minWords: Int = 50, minDocs: Int = 2): DataFrame = {
+      sourceCol: String, minWords: Int = 50, minDocs: Int = 2): DataFrame =
+    strippedCorpusWithCleanup(docs, idCol, textCol, sourceCol, minWords,
+      minDocs)._1
+
+  /** [[strippedCorpus]] plus a cleanup thunk releasing its internal
+    * persisted frames (the slim hash frame, kept-id projection, and token
+    * frame) — call it after the LAST action consuming the result, as
+    * [[writeDeduped]]/[[ingestBatch]] do in their `finally`. The plain
+    * [[strippedCorpus]] leaves them pinned for the session (a lazy result
+    * can't know when its consumer is done); library callers composing it
+    * directly should use this variant or `spark.catalog.clearCache()`.
+    */
+  def strippedCorpusWithCleanup(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minWords: Int = 50,
+      minDocs: Int = 2): (DataFrame, () => Unit) = {
     // caching discipline (the r14 composition finding): Spark re-runs
     // md5(normalize(text)) over BOTH join sides on EVERY reference to the
     // dedup frame — persist the slim (id, source, grp) hash frame so
@@ -57,17 +71,21 @@ object CorpusStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = SubstringDedup.crossDocSpans(toks, idCol, minWords, minDocs)
     val verdicts = SubstringDedup.dedupVerdicts(spans, idCol)
-    SubstringDedup.keepOneStripped(toks, verdicts, idCol)
+    val out = SubstringDedup.keepOneStripped(toks, verdicts, idCol)
       .join(keptIds, Seq(idCol))
-      .select(col(idCol), col(sourceCol), col("text"),
+      .select(col(idCol), col(sourceCol), col("text").as(textCol),
         col("n_tokens_before"), col("n_tokens_after"),
         col("n_spans_removed"))
+    (out, () => { base.unpersist(); keptIds.unpersist(); toks.unpersist(); () })
   }
 
   /** Dedup `docs` with [[strippedCorpus]] and commit the result as the next
     * version of `table`, partitioned by `sourceCol` (only touched source
     * partitions are written; a re-run with new data for one source leaves
-    * the others' files untouched). Returns the committed version.
+    * the others' files untouched). The two dedup index tables' touched
+    * partitions rebuild from the committed rows (see the index note
+    * below), so subsequent [[ingestBatch]] commits can probe the store.
+    * Returns the committed version.
     */
   def writeDeduped(cat: Catalog, table: String, docs: DataFrame,
       idCol: String, textCol: String, sourceCol: String,
@@ -75,16 +93,20 @@ object CorpusStore {
     // the stripped frame is consumed THREE times (touched-source collect,
     // staging write, and nothing else reads it) — persist so the strip
     // chain runs once, not once per consumer (the r14 composition finding)
-    val out = strippedCorpus(docs, idCol, textCol, sourceCol, minWords,
-      minDocs)
+    val (strippedF, cleanup) = strippedCorpusWithCleanup(docs, idCol,
+      textCol, sourceCol, minWords, minDocs)
+    val out = strippedF
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
       // touched-partition convention — never a corpus-sized collect
       val touched = out.select(col(sourceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
-      cat.overwritePartitions(table, out, sourceCol, touched)
-    } finally { out.unpersist(); () }
+      val v = cat.overwritePartitions(table, out, sourceCol, touched)
+      commitIndexes(cat, table, out, idCol, textCol, sourceCol, minWords,
+        touched)
+      v
+    } finally { out.unpersist(); cleanup(); () }
   }
 
   /** the stored-corpus schema ([[strippedCorpus]]'s output) */
@@ -98,6 +120,74 @@ object CorpusStore {
       StructField("n_spans_removed", LongType)))
   }
 
+  // ---------------- store-wide dedup indexes ----------------
+  // Two slim catalog tables ride alongside every corpus table, partitioned
+  // by source exactly like the data (a commit that rewrites source S's data
+  // rewrites S's index partitions and no others):
+  //   <table>__docs   (id, source)          — one row per stored doc
+  //   <table>__grams  (h1, h2, id, source)  — one row per DISTINCT
+  //       (minWords-gram, doc), the SubstringDedup.gramKeys key
+  // They are what lets ingestBatch enforce store-WIDE semantics while
+  // touching only the batch's partitions: the docs index finds a doc_id
+  // re-ingested under a different source (its old partition must drop the
+  // old copy — same-id upsert across partitions), and the gram index finds
+  // a batch passage duplicating an UNTOUCHED source's text (the reference's
+  // probe-all-of-cluster_values J5 analog, Storage.java:370-400 — the batch
+  // probes the whole store's values, not just touched pools).
+  //
+  // Staleness discipline: indexes commit AFTER the data table and BEFORE
+  // the stream-state high-water mark. A crash between data and index
+  // commits re-runs the whole batch on replay (the state mark is last), so
+  // missing index entries heal; EXTRA/stale gram entries can never
+  // over-strip because hits are confirmed against the hit docs' CURRENT
+  // stored text (the context re-gram below) before any word is removed.
+
+  private def docsIndexTable(table: String) = s"${table}__docs"
+  private def gramIndexTable(table: String) = s"${table}__grams"
+
+  /** the docs-index schema: one (id, source) row per stored document */
+  def docsIndexSchema(idCol: String, sourceCol: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, LongType),
+      StructField(sourceCol, StringType)))
+  }
+
+  /** the gram-index schema: one (h1, h2, id, source) row per distinct
+    * (gram, doc) — h1/h2 are [[SubstringDedup.gramKeys]]'s two seeded
+    * xxhash64s
+    */
+  def gramIndexSchema(idCol: String, sourceCol: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("h1", LongType), StructField("h2", LongType),
+      StructField(idCol, LongType), StructField(sourceCol, StringType)))
+  }
+
+  /** Rebuild the two index tables' `touched` partitions from the freshly
+    * committed rows (`out`, the [[strippedCorpus]] output — post-strip, so
+    * index grams describe exactly what the store holds). Runs after the
+    * data commit; see the staleness discipline note above.
+    */
+  private def commitIndexes(cat: Catalog, table: String, out: DataFrame,
+      idCol: String, textCol: String, sourceCol: String, minWords: Int,
+      touched: Seq[String]): Unit = {
+    val toks = SubstringDedup.tokenFrame(
+      out.select(col(idCol), col(textCol)), idCol, textCol)
+    val gramRows = graft.dedup.SubstringDedup
+      .gramKeys(toks, idCol, minWords)
+      .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
+        col(idCol))
+      .distinct()
+      .join(out.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
+    cat.overwritePartitions(gramIndexTable(table), gramRows, sourceCol,
+      touched)
+    cat.overwritePartitions(docsIndexTable(table),
+      out.select(col(idCol), col(sourceCol)), sourceCol, touched)
+    ()
+  }
+
   /** Incremental ingest commit — one streaming micro-batch (or one batch
     * increment) landed as the next snapshot version of `table`:
     *
@@ -105,24 +195,48 @@ object CorpusStore {
     *    high-water mark): an at-least-once foreachBatch replay after
     *    restart commits each batch id at most once, so snapshot versions
     *    stay monotone with NO duplicate content commits;
-    *  2. stored rows of the batch's touched sources merge with the batch
+    *  2. a doc id re-ingested under a DIFFERENT source is found in the
+    *    docs index and its old partition joins the touched set, so the
+    *    old copy is dropped — same-id upsert holds across partitions,
+    *    never just within one;
+    *  3. stored rows of the touched sources merge with the batch
     *    (batch rows override same-id stored rows — latest-version-wins,
     *    the T6 upsert semantics), untouched source partitions keep their
     *    files;
-    *  3. the merged working set re-runs the SAME normalize-dedup +
-    *    keep-one strip the batch path uses, so a new document duplicating
-    *    stored content is stripped against it (the stored copy, with the
-    *    smaller id, stays canonical).
+    *  4. the batch PROBES the store-wide gram index: a batch passage
+    *    duplicating an UNTOUCHED source's text is confirmed against that
+    *    doc's current stored text and stripped from the batch doc before
+    *    the merge (the stored copy is canonical unconditionally — it
+    *    committed first), so store-wide keep-one holds at ingest, not
+    *    just at the next full [[writeDeduped]];
+    *  5. the merged working set re-runs the SAME normalize-dedup +
+    *    keep-one strip the batch path uses (within-batch and
+    *    touched-source dups, min-id canonical);
+    *  6. both index tables' touched partitions rebuild from the committed
+    *    rows, then the high-water mark advances.
     *
     * Returns the committed version, or the current version when the batch
-    * was a replay / empty. Contracts: the keep-one strip applies within
-    * the commit's WORKING SET (batch + stored rows of touched sources) —
-    * cross-source dups against untouched sources are caught by the next
-    * full [[writeDeduped]]; stored text is already stripped, so the audit
-    * counters (`n_tokens_before` &c.) describe this commit's increment,
-    * not the document's original form. The state write lands after the
-    * data commit: a crash between the two re-commits that batch id once
-    * (idempotent content, one extra version) — never loses it.
+    * was a replay / empty. Contracts: `minWords`/`minDocs` must be the
+    * same values every commit of `table` uses (the gram index is built at
+    * one gram length); whole-document EXACT duplicates across untouched
+    * sources are caught only when the doc carries ≥ `minWords` tokens
+    * (shorter docs have no grams — the strip's granularity floor; the
+    * next full [[writeDeduped]] still collapses them); stored text is
+    * already stripped, so the audit counters (`n_tokens_before` &c.)
+    * describe this commit's increment, not the document's original form.
+    * Commit order is data → gram index → docs index → state mark: the
+    * state write lands last, so a crash anywhere re-runs the whole batch
+    * on replay (idempotent content, one extra version) and missing index
+    * entries heal; stale gram entries can never over-strip (hits confirm
+    * against current stored text before any removal).
+    *
+    * Scale shape: the probe is ONE slim columnar scan of each index
+    * (3–4 long/string columns, never text) hash-joined against the
+    * broadcast batch keys — per-batch cost is O(store index), the same
+    * contract as the reference's batch probe of ALL of cluster_values
+    * (Storage.java:370-400), with the confirmation re-read bounded by hit
+    * docs. Everything else touches only batch-sized or touched-partition
+    * frames.
     */
   def ingestBatch(cat: Catalog, table: String, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String, sourceCol: String,
@@ -135,26 +249,118 @@ object CorpusStore {
       .agg(max(col("batch_id"))).head()
     val highWater = if (committed.isNullAt(0)) Long.MinValue
       else committed.getLong(0)
-    if (batchId <= highWater || batch.isEmpty) return cat.version(table)
+    if (batchId <= highWater) {
+      // make a skipped batch VISIBLE: a fresh streaming query without a
+      // checkpoint restarts batch ids at 0, and the high-water mark would
+      // silently drop every batch against an existing table (the
+      // documented streamIntoCorpusStore caveat — enforce it here too, at
+      // the layer every caller goes through)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ingestBatch: batch $batchId <= high-water $highWater for " +
+          s"'$table' - treated as an at-least-once REPLAY and skipped. " +
+          "If this is a fresh streaming query (ids restarted at 0), set " +
+          "a checkpointLocation or use a fresh table.")
+      return cat.version(table)
+    }
+    if (batch.isEmpty) return cat.version(table)
     val incoming = batch.select(col(idCol).cast("long").as(idCol),
       col(sourceCol).cast("string").as(sourceCol),
       col(textCol).cast("string").as(textCol))
       .dropDuplicates(idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     try {
       // bounded: one row per touched SOURCE (config-scale)
-      val touched = incoming.select(col(sourceCol)).distinct()
+      val touchedBatch = incoming.select(col(sourceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
+      // same-id-different-source conflicts (docs-index probe): those old
+      // partitions must rewrite without the old copy. The batch id set
+      // broadcasts (micro-batch-bounded); the index side is one slim scan.
+      val docsIdx = cat.readPartitionedOr(docsIndexTable(table),
+        docsIndexSchema(idCol, sourceCol))
+      val conflictSources = docsIdx
+        .join(broadcast(incoming.select(col(idCol),
+          col(sourceCol).as("_graft_new_src"))), Seq(idCol))
+        .filter(col(sourceCol) =!= col("_graft_new_src"))
+        .select(col(sourceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val touched = (touchedBatch ++ conflictSources).distinct
       val stored = cat.readPartitionsOr(table,
           storedSchema(idCol, sourceCol, textCol), touched)
         .select(col(idCol), col(sourceCol), col(textCol))
         .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-      val out = strippedCorpus(stored.unionByName(incoming), idCol,
-        textCol, sourceCol, minWords, minDocs)
-      val v = cat.overwritePartitions(table, out, sourceCol, touched)
-      import spark.implicits._
-      cat.write(stateTable, Seq(batchId).toDF("batch_id"))
-      v
+      // gram-probe the UNTOUCHED rest of the store (touched sources'
+      // stored rows are in the working set — keep-one handles them with
+      // min-id canonicality, and a replaced doc's stale grams must not
+      // strip its own new version)
+      val batchToks = SubstringDedup.tokenFrame(
+          incoming.select(col(idCol), col(textCol)), idCol, textCol)
+        .persist(lvl) // feeds the probe grams AND the pre-strip
+      val batchKeys = SubstringDedup.gramKeys(batchToks, idCol, minWords)
+        .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
+        .distinct()
+      val gramsIdx = cat.readPartitionedOr(gramIndexTable(table),
+          gramIndexSchema(idCol, sourceCol))
+        .filter(if (touched.isEmpty) lit(true)
+          else !col(sourceCol).isin(touched: _*))
+      val hits = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))
+        .select(col(idCol), col(sourceCol)).distinct()
+        .persist(lvl) // consumed by the source collect AND the id semi-join
+      try {
+        // bounded: one row per hit SOURCE (config-scale)
+        val hitSources = hits.select(col(sourceCol)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        // confirmation + pre-strip: hit docs re-gram from their CURRENT
+        // stored text (a stale index entry yields no confirmed gram), and
+        // every batch span covered by a confirmed gram is removed — the
+        // stored copy stays canonical and its partition stays untouched
+        val context = cat.readPartitionsOr(table,
+            storedSchema(idCol, sourceCol, textCol), hitSources)
+          .join(hits.select(col(idCol)), Seq(idCol))
+          .select(col(idCol), col(textCol))
+        val ctxToks = SubstringDedup.tokenFrame(context, idCol, textCol)
+        val preSpans = SubstringDedup.containedSpans(batchToks, ctxToks,
+          idCol, minWords)
+        val pre = SubstringDedup.keepOneStripped(batchToks,
+            SubstringDedup.removeAllVerdicts(preSpans, idCol), idCol)
+          .persist(lvl) // feeds the working set AND the audit merge
+        try {
+          val preDocs = pre
+            .join(incoming.select(col(idCol), col(sourceCol)), Seq(idCol))
+            .select(col(idCol), col(sourceCol),
+              col("text").as(textCol)) // keepOneStripped's literal name
+          val (strippedF, cleanup) = strippedCorpusWithCleanup(
+            stored.unionByName(preDocs), idCol, textCol, sourceCol,
+            minWords, minDocs)
+          try {
+            // merge the pre-strip audit into the working-set audit: batch
+            // docs report their ORIGINAL token count and total removed
+            // spans; stored pass-through rows (null pre columns) keep the
+            // working-set values
+            val preAudit = pre.select(col(idCol),
+              col("n_tokens_before").as("_graft_pre_b"),
+              col("n_spans_removed").as("_graft_pre_r"))
+            val out = strippedF.join(preAudit, Seq(idCol), "left")
+              .select(col(idCol), col(sourceCol), col(textCol),
+                coalesce(col("_graft_pre_b"), col("n_tokens_before"))
+                  .as("n_tokens_before"),
+                col("n_tokens_after"),
+                (col("n_spans_removed") +
+                  coalesce(col("_graft_pre_r"), lit(0L)))
+                  .as("n_spans_removed"))
+              .persist(lvl) // data write + two index rebuilds
+            try {
+              val v = cat.overwritePartitions(table, out, sourceCol,
+                touched)
+              commitIndexes(cat, table, out, idCol, textCol, sourceCol,
+                minWords, touched)
+              import spark.implicits._
+              cat.write(stateTable, Seq(batchId).toDF("batch_id"))
+              v
+            } finally { out.unpersist(); () }
+          } finally { cleanup() }
+        } finally { pre.unpersist(); () }
+      } finally { hits.unpersist(); batchToks.unpersist(); () }
     } finally { incoming.unpersist(); () }
   }
 }

@@ -94,6 +94,87 @@ class CorpusStoreSpec extends AnyFunSuite {
     assert(second == first)
   }
 
+  test("ingestBatch strips a passage duplicated from an UNTOUCHED source") {
+    import spark.implicits._
+    val cat = fresh()
+    // store via the full path: 'web' and 'books' partitions + gram index
+    CorpusStore.writeDeduped(cat, "c", docs, "doc_id", "text", "source",
+      minWords = 5)
+    // a batch for a brand-NEW source duplicating doc 1's stored passage:
+    // 'web' is untouched (not in the batch), so only the gram-index probe
+    // can catch it — the r14 verdict item 1 scenario
+    val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv ww"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+      minWords = 5)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // stored canonical copy untouched, batch copy stripped, audit exact
+    assert(rows(1L)._2 == s"one two three $passage four five six seven")
+    assert(rows(9L) == (("wiki", "qq rr ss tt uu vv ww", 13L, 7L, 1L)))
+    // the whole store STILL satisfies the keep-one invariant
+    val toks = SubstringDedup.tokenFrame(
+      cat.readPartitionedOr("c", storedSchema), "doc_id", "text")
+    assert(SubstringDedup.crossDocSpans(toks, "doc_id", minWords = 5)
+      .isEmpty)
+  }
+
+  test("ingestBatch drops the old copy when a doc id changes source") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "books", "completely different words live in this one here"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5)
+    // doc 1 re-ingested under 'books': the docs-index probe must pull the
+    // 'web' partition into the touched set and drop the old copy there —
+    // same-id upsert across partitions (r14 ADVICE medium)
+    val b1 = Seq((1L, "books", "the very same document moved to a new home"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.count(_._1 == 1L) == 1)
+    assert(rows.find(_._1 == 1L).get._2 == "books")
+    assert(rows.find(_._1 == 1L).get._3 ==
+      "the very same document moved to a new home")
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("ingestBatch: stale gram-index entries never over-strip (confirmation)") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq(
+      (1L, "web", s"one two three $passage four five six seven"),
+      (2L, "books", "completely unrelated words nothing shared here at all"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5)
+    // doc 1's text REPLACED (same source) — its old grams are rebuilt out
+    // of the index by the commit, but simulate a crashed index commit by
+    // rewriting the data table directly and leaving the index stale
+    val newText = "fresh content with no trace of that old passage text"
+    val replaced = Seq((1L, "web", newText, 10L, 10L, 0L))
+      .toDF("doc_id", "source", "text", "n_tokens_before",
+        "n_tokens_after", "n_spans_removed")
+    cat.overwritePartitions("c", replaced, "source", Seq("web"))
+    // a 'wiki' batch duplicating the OLD (gone) passage: the stale gram
+    // index still lists it under doc 1, but confirmation re-grams doc 1's
+    // CURRENT text and finds nothing — the batch doc must pass through
+    val b1 = Seq((9L, "wiki", s"aa bb $passage cc dd ee ff gg"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5)
+    val nine = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 9L).get
+    assert(nine.getString(2) == s"aa bb $passage cc dd ee ff gg")
+    assert(nine.getLong(5) == 0L)
+  }
+
   test("ingestBatch: monotone versions, replay skipped, strip vs stored") {
     import spark.implicits._
     val cat = fresh()

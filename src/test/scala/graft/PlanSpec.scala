@@ -1283,4 +1283,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "single-scan census must not join:\n" + p)
   }
 
+  test("q232 store ingest probe: final census reads the committed store, " +
+      "no cartesian") {
+    val p = plan("q232_store_ingest_probe")
+    assert(!p.contains("CartesianProduct"), p)
+    // the census is a plain scan+sort over the committed table — the
+    // writeDeduped/ingestBatch work ran eagerly inside the query fn; the
+    // probe join's broadcast shape is pinned below on the operator itself
+    assert(p.contains("FileScan parquet"), p)
+  }
+
+  test("store gram probe: batch keys broadcast against the index scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the exact join ingestBatch builds: slim index scan ⋈ broadcast
+    // batch gram keys — the per-batch cost must stay one index pass, so
+    // the batch side must BROADCAST (a shuffled index would re-exchange
+    // the store every micro-batch)
+    val idx = Seq((1L, 2L, 10L, "web")).toDF("h1", "h2", "doc_id", "source")
+    val keys = Seq((1L, 2L)).toDF("h1", "h2")
+    val joined = idx.join(broadcast(keys), Seq("h1", "h2"))
+      .select(col("doc_id"), col("source")).distinct()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
 }
