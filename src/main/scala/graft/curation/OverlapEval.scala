@@ -60,27 +60,39 @@ object OverlapEval {
     // ngrams() calls under array() stay cheap column refs (the HOF-
     // re-evaluation gotcha does not bite: the lambda bodies only touch
     // their own gram element and a literal).
+    // the gram side rides a NARROW pair frame (cid, rid only — no group
+    // column): `g` would otherwise be carried through the explode, both
+    // gram-level exchanges, and the clip join, paying its bytes on every
+    // gram row; it rejoins from the slim persisted pair frame AFTER the
+    // per-pair reduction, where rows are pairs×n, not grams. The distinct
+    // keeps per-pair counts single under duplicate pair rows — the final
+    // p join re-multiplies them exactly as the wide form did.
+    val pSlim = p.select(col("_graft_cid"), col("_graft_rid")).distinct()
     def gramCounts(side: String, joinId: String): DataFrame =
-      p.join(toks, col(joinId) === col("_graft_did"))
-        .select(col("_graft_cid"), col("_graft_rid"), col("g"),
+      pSlim.join(toks, col(joinId) === col("_graft_did"))
+        .select(col("_graft_cid"), col("_graft_rid"),
           explode(flatten(array((1 to maxN).map(n =>
             transform(TextFunctions.ngrams(col("_graft_w"), n),
               gr => struct(lit(n).as("n"), gr.as("gram")))): _*)))
             .as("_graft_ng"))
-        .select(col("_graft_cid"), col("_graft_rid"), col("g"),
+        .select(col("_graft_cid"), col("_graft_rid"),
           col("_graft_ng.n").as("n"), col("_graft_ng.gram").as("gram"))
-        .groupBy(col("_graft_cid"), col("_graft_rid"), col("g"),
+        .groupBy(col("_graft_cid"), col("_graft_rid"),
           col("n"), col("gram"))
         .agg(count(lit(1)).as(s"c_$side"))
 
     val cand = gramCounts("cand", "_graft_cid")
     val ref = gramCounts("ref", "_graft_rid")
     val clipped = cand.join(ref,
-        Seq("_graft_cid", "_graft_rid", "g", "n", "gram"), "left")
-      .groupBy(col("g"), col("n"))
+        Seq("_graft_cid", "_graft_rid", "n", "gram"), "left")
+      .groupBy(col("_graft_cid"), col("_graft_rid"), col("n"))
       .agg(sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
-          .as("clipped"),
-        sum(col("c_cand")).as("cand_grams"))
+          .as("_graft_cl"),
+        sum(col("c_cand")).as("_graft_cg"))
+      .join(p, Seq("_graft_cid", "_graft_rid"))
+      .groupBy(col("g"), col("n"))
+      .agg(sum(col("_graft_cl")).as("clipped"),
+        sum(col("_graft_cg")).as("cand_grams"))
 
     // exact token-length totals per group (the brevity-penalty inputs):
     // the lens joins need only a token COUNT per doc, so they probe a

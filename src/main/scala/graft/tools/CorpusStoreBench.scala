@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** CorpusStore incremental-ingest soak: is a micro-batch commit's cost
+  * dominated by the BATCH (good) or by the store (the failure mode the
+  * per-source partitioning + slim indexes exist to avoid)?
+  *
+  *  1. `writeDeduped` the sf dir's documents table (the q216 path —
+  *     data + gram/docs indexes);
+  *  2. time `ingestBatch` for a small batch duplicating stored passages
+  *     of an UNTOUCHED source (exercises the store-wide gram probe:
+  *     full slim index scan + confirmation read of hit docs);
+  *  3. time a second batch of FRESH text (probe scans the index, finds
+  *     nothing — the common case).
+  *
+  * The honest contract (documented on ingestBatch): per-batch cost is
+  * O(store gram index) for the probe's slim columnar scan + O(batch)
+  * for everything else. This tool puts a NUMBER on that scan so the
+  * store-size slope is observed, not inferred — run it on the 10× and
+  * 100× wordsalt dirs and compare.
+  *
+  * Usage: runMain graft.tools.CorpusStoreBench [sfDir] [batchSize]
+  */
+object CorpusStoreBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(200)
+    val loadBefore = graft.Bench.loadavgJson()
+    val spark = graft.Bench.benchSession("graft-corpus-store-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables(spark, dir).documents
+
+    val root = graft.storage.Catalog.tempRoot("graft-store-soak")
+    val cat = new graft.storage.Catalog(spark, root, "bench")
+
+    def time[T](f: => T): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val tStore = time {
+      graft.storage.CorpusStore.writeDeduped(cat, "c", docs,
+        "doc_id", "text", "source")
+    }
+    val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
+      "text")
+    val nStored = cat.readPartitionedOr("c", schema).count()
+
+    // batch 1: duplicates of an untouched source's stored passages (the
+    // q232 construction — unique prefixes + src1 text, landing in a new
+    // source), so the probe HITS and the confirmation path runs
+    val dup = cat.readPartitionedOr("c", schema)
+      .filter(col("source") === "src1")
+      .orderBy(col("doc_id")).limit(batchSize)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        lit("soak_dup").as("source"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit("a zq"),
+          col("doc_id").cast("string"), lit("b "), col("text")).as("text"))
+      .persist()
+    dup.count()
+    val tDup = time {
+      graft.storage.CorpusStore.ingestBatch(cat, "c", dup, 0L,
+        "doc_id", "text", "source")
+    }
+
+    // batch 2: fresh text (deterministic word salad, no stored grams) —
+    // the probe scans the whole index and finds nothing
+    val fresh = spark.range(batchSize).select(
+        (col("id") + 20000000L).as("doc_id"),
+        lit("soak_fresh").as("source"),
+        concat_ws(" ", (0 until 120).map(i =>
+          concat(lit(s"w$i"), pmod(col("id") * 37 + i * 101, lit(99991))
+            .cast("string"))): _*).as("text"))
+      .persist()
+    fresh.count()
+    val tFresh = time {
+      graft.storage.CorpusStore.ingestBatch(cat, "c", fresh, 1L,
+        "doc_id", "text", "source")
+    }
+
+    val gramRows = cat.readPartitionedOr("c__grams",
+      graft.storage.CorpusStore.gramIndexSchema("doc_id", "source")).count()
+    println(f"""{"metric":"corpus_store_soak","store_sec":$tStore%.2f,""" +
+      f""""n_stored":$nStored,"gram_index_rows":$gramRows,""" +
+      f""""batch":$batchSize,"ingest_dup_sec":$tDup%.2f,""" +
+      f""""ingest_fresh_sec":$tFresh%.2f,"sf":"$dir"""" +
+      graft.Bench.sentinelJson(spark, loadBefore) + "}")
+    spark.stop()
+  }
+}
