@@ -121,11 +121,13 @@ object CorpusStore {
   }
 
   // ---------------- store-wide dedup indexes ----------------
-  // Two slim catalog tables ride alongside every corpus table, partitioned
-  // by source exactly like the data (a commit that rewrites source S's data
-  // rewrites S's index partitions and no others):
-  //   <table>__docs   (id, source)          — one row per stored doc
-  //   <table>__grams  (h1, h2, id, source)  — one row per DISTINCT
+  // ONE slim group table (`<table>__idx`) rides alongside every corpus
+  // table, holding two sub-tables committed ATOMICALLY (one manifest, one
+  // `_LATEST` flip — the Catalog group-commit machinery), each partitioned
+  // by source exactly like the data (a commit that rewrites source S's
+  // data rewrites S's index partitions and no others):
+  //   docs   (id, source)          — one row per stored doc
+  //   grams  (h1, h2, id, source)  — one row per DISTINCT
   //       (minWords-gram, doc), the SubstringDedup.gramKeys key
   // They are what lets ingestBatch enforce store-WIDE semantics while
   // touching only the batch's partitions: the docs index finds a doc_id
@@ -135,15 +137,16 @@ object CorpusStore {
   // probe-all-of-cluster_values J5 analog, Storage.java:370-400 — the batch
   // probes the whole store's values, not just touched pools).
   //
-  // Staleness discipline: indexes commit AFTER the data table and BEFORE
-  // the stream-state high-water mark. A crash between data and index
+  // Staleness discipline: the index group commits AFTER the data table and
+  // BEFORE the stream-state high-water mark. A crash between data and index
   // commits re-runs the whole batch on replay (the state mark is last), so
   // missing index entries heal; EXTRA/stale gram entries can never
   // over-strip because hits are confirmed against the hit docs' CURRENT
   // stored text (the context re-gram below) before any word is removed.
+  // Both sub-tables share the commit, so they can never drift from each
+  // other — only (within the one crash window) from the data.
 
-  private def docsIndexTable(table: String) = s"${table}__docs"
-  private def gramIndexTable(table: String) = s"${table}__grams"
+  private def indexTable(table: String) = s"${table}__idx"
 
   /** the docs-index schema: one (id, source) row per stored document */
   def docsIndexSchema(idCol: String, sourceCol: String)
@@ -164,10 +167,11 @@ object CorpusStore {
       StructField(idCol, LongType), StructField(sourceCol, StringType)))
   }
 
-  /** Rebuild the two index tables' `touched` partitions from the freshly
+  /** Rebuild both index sub-tables' `touched` partitions from the freshly
     * committed rows (`out`, the [[strippedCorpus]] output — post-strip, so
-    * index grams describe exactly what the store holds). Runs after the
-    * data commit; see the staleness discipline note above.
+    * index grams describe exactly what the store holds) in ONE atomic
+    * group commit. Runs after the data commit; see the staleness
+    * discipline note above.
     */
   private def commitIndexes(cat: Catalog, table: String, out: DataFrame,
       idCol: String, textCol: String, sourceCol: String, minWords: Int,
@@ -181,11 +185,20 @@ object CorpusStore {
       .distinct()
       .join(out.select(col(idCol), col(sourceCol)), Seq(idCol))
       .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
-    cat.overwritePartitions(gramIndexTable(table), gramRows, sourceCol,
-      touched)
-    cat.overwritePartitions(docsIndexTable(table),
-      out.select(col(idCol), col(sourceCol)), sourceCol, touched)
+    cat.overwriteGroupIf(indexTable(table), Seq(
+      GroupBatch("grams", gramRows, sourceCol, touched),
+      GroupBatch("docs", out.select(col(idCol), col(sourceCol)),
+        sourceCol, touched)), -1L)
     ()
+  }
+
+  /** one index sub-table at the latest committed snapshot (empty frame
+    * with the schema when the index doesn't exist yet)
+    */
+  private def readIndex(cat: Catalog, table: String, sub: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (_, manifest) = cat.snapshot(indexTable(table))
+    cat.readGroupOr(indexTable(table), manifest, sub, schema)
   }
 
   /** Incremental ingest commit — one streaming micro-batch (or one batch
@@ -270,21 +283,23 @@ object CorpusStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     try {
-      // bounded: one row per touched SOURCE (config-scale)
-      val touchedBatch = incoming.select(col(sourceCol)).distinct()
-        .collect().map(_.getString(0)).toSeq
-      // same-id-different-source conflicts (docs-index probe): those old
-      // partitions must rewrite without the old copy. The batch id set
-      // broadcasts (micro-batch-bounded); the index side is one slim scan.
-      val docsIdx = cat.readPartitionedOr(docsIndexTable(table),
+      // the touched set = batch sources ∪ same-id-different-source
+      // CONFLICT sources (docs-index probe: a doc_id re-ingested under a
+      // new source leaves an old copy whose partition must rewrite
+      // without it). One union, ONE collect — bounded by source count
+      // (config-scale, the Reservoir.ingest convention); the batch id
+      // set broadcasts (micro-batch-bounded), the index side is one slim
+      // scan.
+      val docsIdx = readIndex(cat, table, "docs",
         docsIndexSchema(idCol, sourceCol))
       val conflictSources = docsIdx
         .join(broadcast(incoming.select(col(idCol),
           col(sourceCol).as("_graft_new_src"))), Seq(idCol))
         .filter(col(sourceCol) =!= col("_graft_new_src"))
-        .select(col(sourceCol)).distinct()
+        .select(col(sourceCol))
+      val touched = incoming.select(col(sourceCol))
+        .unionByName(conflictSources).distinct()
         .collect().map(_.getString(0)).toSeq
-      val touched = (touchedBatch ++ conflictSources).distinct
       val stored = cat.readPartitionsOr(table,
           storedSchema(idCol, sourceCol, textCol), touched)
         .select(col(idCol), col(sourceCol), col(textCol))
@@ -299,7 +314,7 @@ object CorpusStore {
       val batchKeys = SubstringDedup.gramKeys(batchToks, idCol, minWords)
         .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
         .distinct()
-      val gramsIdx = cat.readPartitionedOr(gramIndexTable(table),
+      val gramsIdx = readIndex(cat, table, "grams",
           gramIndexSchema(idCol, sourceCol))
         .filter(if (touched.isEmpty) lit(true)
           else !col(sourceCol).isin(touched: _*))

@@ -80,7 +80,8 @@ object CorpusStoreBench {
         "doc_id", "text", "source")
     }
 
-    val gramRows = cat.readPartitionedOr("c__grams",
+    val (_, idxManifest) = cat.snapshot("c__idx")
+    val gramRows = cat.readGroupOr("c__idx", idxManifest, "grams",
       graft.storage.CorpusStore.gramIndexSchema("doc_id", "source")).count()
     println(f"""{"metric":"corpus_store_soak","store_sec":$tStore%.2f,""" +
       f""""n_stored":$nStored,"gram_index_rows":$gramRows,""" +
