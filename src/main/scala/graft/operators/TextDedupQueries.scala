@@ -926,6 +926,90 @@ object TextDedupQueries {
            |FROM allr ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- snapshot DIFF (r15): what did the commit DO — q222's time
+    // travel reads two pinned versions; this classifies every
+    // (id, source) row across them. Phase 1 commits the corpus (v1);
+    // phase 2 ingests one batch that exercises all three mutation
+    // classes: every src2 doc re-ingested with one extra unique token
+    // (→ changed), every third src3 doc moved to a new source (→
+    // removed from src3 + added to diff_moved, through the docs-index
+    // conflict path), everything else untouched (→ same). The diff is
+    // keyed on (id, source), so a moved doc charges BOTH partitions —
+    // the per-partition accounting a storage audit wants. Oracle
+    // reconstructs v1 (the writeDeduped CTE chain), applies the same
+    // mutations in SQL, and full-outer-joins the two states.
+    Q("q233_snapshot_diff",
+      (s, d) => {
+        val t = Tables(s, d)
+        val root = graft.storage.Catalog.tempRoot("graft-diff-gate")
+        val cat = new graft.storage.Catalog(s, root, "gate")
+        graft.storage.CorpusStore.writeDeduped(cat, "corpus", t.documents,
+          "doc_id", "text", "source") // v1
+        val stored = cat.readPartitionedOr("corpus",
+          graft.storage.CorpusStore.storedSchema("doc_id", "source",
+            "text"))
+        val modified = stored.filter(col("source") === "src2")
+          .select(col("doc_id"), col("source"),
+            when(col("text") === "",
+              concat(lit("yx"), col("doc_id").cast("string")))
+              .otherwise(concat(col("text"), lit(" yx"),
+                col("doc_id").cast("string"))).as("text"))
+        val moved = stored.filter(col("source") === "src3" &&
+            pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), lit("diff_moved").as("source"),
+            col("text"))
+        graft.storage.CorpusStore.ingestBatch(cat, "corpus",
+          modified.unionByName(moved), 0L, "doc_id", "text", "source") // v2
+        graft.storage.CorpusStore.diffVersions(cat, "corpus", 1L, 2L,
+            "doc_id", "source", "text")
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |    md5(${graft.dedup.Normalize.normalizeSql("text")}) AS grp
+           |  FROM documents),
+           |canon AS (SELECT grp, min(doc_id) AS cid FROM b GROUP BY grp),
+           |keptd AS (SELECT b.doc_id, b.source, b.text FROM b
+           |  JOIN canon USING (grp) WHERE doc_id = cid),
+           |${substringSpansCteOn("keptd")},
+           |$keepOneStripCtes,
+           |kat AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+           |    AS text_after FROM keptt GROUP BY doc_id),
+           |v1 AS (SELECT k.doc_id, k.source,
+           |    COALESCE(kat.text_after, '') AS text,
+           |    st.n_tokens_after AS nt
+           |  FROM stripped st JOIN keptd k USING (doc_id)
+           |  LEFT JOIN kat USING (doc_id)),
+           |md AS (SELECT doc_id, source,
+           |    CASE WHEN text = '' THEN 'yx' || CAST(doc_id AS VARCHAR)
+           |         ELSE text || ' yx' || CAST(doc_id AS VARCHAR) END
+           |      AS text,
+           |    nt + 1 AS nt
+           |  FROM v1 WHERE source = 'src2'),
+           |mv AS (SELECT doc_id, 'diff_moved' AS source, text, nt
+           |  FROM v1 WHERE source = 'src3' AND doc_id % 3 = 0),
+           |v2 AS (SELECT doc_id, source, text, nt FROM v1
+           |    WHERE source <> 'src2'
+           |      AND NOT (source = 'src3' AND doc_id % 3 = 0)
+           |  UNION ALL SELECT doc_id, source, text, nt FROM md
+           |  UNION ALL SELECT doc_id, source, text, nt FROM mv),
+           |j AS (SELECT COALESCE(a.source, c.source) AS source,
+           |    a.text AS t1, c.text AS t2, a.nt AS n1, c.nt AS n2
+           |  FROM v1 a FULL OUTER JOIN v2 c
+           |    ON a.doc_id = c.doc_id AND a.source = c.source)
+           |SELECT source,
+           |  CAST(count(*) FILTER (WHERE t1 IS NULL) AS BIGINT)
+           |    AS n_added,
+           |  CAST(count(*) FILTER (WHERE t2 IS NULL) AS BIGINT)
+           |    AS n_removed,
+           |  CAST(count(*) FILTER (WHERE t1 IS NOT NULL
+           |    AND t2 IS NOT NULL AND t1 <> t2) AS BIGINT) AS n_changed,
+           |  CAST(count(*) FILTER (WHERE t1 = t2) AS BIGINT) AS n_same,
+           |  CAST(sum(COALESCE(n1, 0)) AS BIGINT) AS tokens_v1,
+           |  CAST(sum(COALESCE(n2, 0)) AS BIGINT) AS tokens_v2
+           |FROM j GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ---- cross-source substring contamination crosstab: q197's
     // exact-dup source matrix pushed down to Lee-et-al span granularity —
     // which source PAIRS share duplicated passages, and how many words

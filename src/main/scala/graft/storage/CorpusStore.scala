@@ -201,6 +201,57 @@ object CorpusStore {
     cat.readGroupOr(indexTable(table), manifest, sub, schema)
   }
 
+  /** the whole stored corpus at a PINNED snapshot version (the manifest a
+    * past commit wrote — empty once vacuumed past the retention window)
+    */
+  def readVersion(cat: Catalog, table: String, v: Long, idCol: String,
+      sourceCol: String, textCol: String): DataFrame = {
+    val mf = cat.snapshotAt(table, v)
+    cat.readManifestParts(table, mf,
+      storedSchema(idCol, sourceCol, textCol), mf.keys.toSeq)
+  }
+
+  /** Snapshot DIFF — what changed between two committed versions of a
+    * corpus table, per source: row classes keyed on (id, source) so a
+    * document that MOVED source shows as a removal from the old source
+    * and an addition to the new one (the per-partition accounting a
+    * storage audit wants), `changed` = same (id, source) with different
+    * text bytes (md5). Returns one row per source present in either
+    * version: (sourceCol, n_added, n_removed, n_changed, n_same,
+    * tokens_v1, tokens_v2) with the token totals summing each side's
+    * post-strip `n_tokens_after`. The reproducibility tool q222's time
+    * travel reads AROUND — not "what does v say" but "what did the
+    * commit do".
+    *
+    * Scale shape: two pinned-snapshot scans projected slim (id, source,
+    * md5(text), n_tokens_after), one (id, source)-keyed full-outer join
+    * — a diff is inherently one co-shuffle of both versions — then a
+    * partial-agg'd census bounded by source count. Works within the
+    * catalog's two-version retention window (older manifests may be
+    * vacuumed).
+    */
+  def diffVersions(cat: Catalog, table: String, v1: Long, v2: Long,
+      idCol: String, sourceCol: String, textCol: String): DataFrame = {
+    def slim(v: Long, tag: String) =
+      readVersion(cat, table, v, idCol, sourceCol, textCol)
+        .select(col(idCol), col(sourceCol),
+          md5(col(textCol)).as(s"_graft_h$tag"),
+          col("n_tokens_after").as(s"_graft_t$tag"))
+    slim(v1, "1").join(slim(v2, "2"), Seq(idCol, sourceCol), "full_outer")
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(when(col("_graft_h1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_graft_h2").isNull, 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("_graft_h1").isNotNull && col("_graft_h2").isNotNull
+          && col("_graft_h1") =!= col("_graft_h2"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("_graft_h1") === col("_graft_h2"), 1L).otherwise(0L))
+          .as("n_same"),
+        sum(coalesce(col("_graft_t1"), lit(0L))).as("tokens_v1"),
+        sum(coalesce(col("_graft_t2"), lit(0L))).as("tokens_v2"))
+  }
+
   /** Incremental ingest commit — one streaming micro-batch (or one batch
     * increment) landed as the next snapshot version of `table`:
     *

@@ -175,6 +175,33 @@ class CorpusStoreSpec extends AnyFunSuite {
     assert(nine.getLong(5) == 0L)
   }
 
+  test("diffVersions classifies added/removed/changed/same per (id, source)") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a wholly different second document lives right here"),
+      (3L, "books", "third doc in another partition stays untouched below"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5)
+    // v2: doc 1 changed in place, doc 2 moved web→books, doc 3 untouched
+    val b1 = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog yx1"),
+      (2L, "books", "a wholly different second document lives right here"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5)
+    val diff = CorpusStore.diffVersions(cat, "c", 1L, 2L, "doc_id",
+      "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // web: doc 1 changed (9→10 tokens), doc 2 removed (moved away)
+    assert(diff("web") == ((0L, 1L, 1L, 0L, 17L, 10L)), diff.toString)
+    // books: doc 2 added (8 tokens), doc 3 same (8 tokens)
+    assert(diff("books") == ((1L, 0L, 0L, 1L, 8L, 16L)), diff.toString)
+  }
+
   test("ingestBatch: monotone versions, replay skipped, strip vs stored") {
     import spark.implicits._
     val cat = fresh()

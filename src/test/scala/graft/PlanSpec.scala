@@ -1293,6 +1293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"), p)
   }
 
+  test("q233 snapshot diff: one (id, source)-keyed co-shuffle, slim " +
+      "projections, no cartesian") {
+    val p = plan("q233_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // the diff must scan pinned PARTITION data dirs (the copy-on-write
+    // manifest layout), not whole-table paths
+    assert(p.contains("/parts/"), p)
+  }
+
   test("store gram probe: batch keys broadcast against the index scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
