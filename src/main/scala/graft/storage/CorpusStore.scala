@@ -167,11 +167,39 @@ object CorpusStore {
       StructField(idCol, LongType), StructField(sourceCol, StringType)))
   }
 
+  private def confSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("min_words", LongType),
+      StructField("p", StringType)))
+  }
+
+  /** The gram length the index group was built at — every commit of a
+    * table must use the SAME `minWords` (a probe at a different length
+    * slices different token windows, hashes differently, and silently
+    * finds nothing). The value is pinned in a one-row `conf` sub-table
+    * written with the FIRST index commit; later commits verify against
+    * it instead of trusting the caller.
+    */
+  private def requireConf(cat: Catalog, table: String,
+      manifest: Map[String, Long], minWords: Int): Boolean = {
+    val present = manifest.contains("conf/0")
+    if (present) {
+      val stored = cat.readGroupOr(indexTable(table), manifest, "conf",
+        confSchema).head().getLong(0)
+      require(stored == minWords.toLong,
+        s"corpus table '$table' has its dedup index built at minWords=" +
+          s"$stored but this commit passed minWords=$minWords; all " +
+          "commits of a table must use one gram length (rebuildIndexes " +
+          "migrates)")
+    }
+    present
+  }
+
   /** Rebuild both index sub-tables' `touched` partitions from the freshly
     * committed rows (`out`, the [[strippedCorpus]] output — post-strip, so
     * index grams describe exactly what the store holds) in ONE atomic
-    * group commit. Runs after the data commit; see the staleness
-    * discipline note above.
+    * group commit, pinning `minWords` in the conf sub on first write.
+    * Runs after the data commit; see the staleness discipline note above.
     */
   private def commitIndexes(cat: Catalog, table: String, out: DataFrame,
       idCol: String, textCol: String, sourceCol: String, minWords: Int,
@@ -185,20 +213,78 @@ object CorpusStore {
       .distinct()
       .join(out.select(col(idCol), col(sourceCol)), Seq(idCol))
       .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
-    cat.overwriteGroupIf(indexTable(table), Seq(
-      GroupBatch("grams", gramRows, sourceCol, touched),
-      GroupBatch("docs", out.select(col(idCol), col(sourceCol)),
-        sourceCol, touched)), -1L)
+    cat.overwriteGroupIf(indexTable(table),
+      indexBatches(cat, table, gramRows,
+        out.select(col(idCol), col(sourceCol)), sourceCol, minWords,
+        touched), -1L)
     ()
   }
 
-  /** one index sub-table at the latest committed snapshot (empty frame
-    * with the schema when the index doesn't exist yet)
+  /** the grams/docs group batches for one index commit, plus the one-row
+    * conf pin when the group doesn't carry it yet (first commit);
+    * enforces the pinned gram length otherwise
     */
-  private def readIndex(cat: Catalog, table: String, sub: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val (_, manifest) = cat.snapshot(indexTable(table))
-    cat.readGroupOr(indexTable(table), manifest, sub, schema)
+  private def indexBatches(cat: Catalog, table: String, gramRows: DataFrame,
+      docRows: DataFrame, sourceCol: String, minWords: Int,
+      touched: Seq[String]): Seq[GroupBatch] = {
+    val base = Seq(GroupBatch("grams", gramRows, sourceCol, touched),
+      GroupBatch("docs", docRows, sourceCol, touched))
+    if (requireConf(cat, table, cat.snapshot(indexTable(table))._2,
+        minWords)) base
+    else base :+ confBatch(docRows.sparkSession, minWords)
+  }
+
+  private def confBatch(spark: org.apache.spark.sql.SparkSession,
+      minWords: Int): GroupBatch = {
+    import org.apache.spark.sql.Row
+    val conf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(minWords.toLong, "0")), 1),
+      confSchema)
+    GroupBatch("conf", conf, "p", Seq("0"))
+  }
+
+
+  /** Build (or rebuild) the dedup index group for an EXISTING corpus
+    * table from its current committed text — the migration path for
+    * stores committed before the indexes existed, and the repair path
+    * after an index table was lost: one pass over the stored corpus, one
+    * atomic group commit covering every stored source (plus any stale
+    * index partitions of sources no longer in the store, which are
+    * dropped). Returns the committed index version. writeDeduped /
+    * ingestBatch maintain the index incrementally — this full rebuild is
+    * never needed in the steady state.
+    */
+  def rebuildIndexes(cat: Catalog, table: String, idCol: String,
+      textCol: String, sourceCol: String, minWords: Int = 50): Long = {
+    val stored = cat.readPartitionedOr(table,
+        storedSchema(idCol, sourceCol, textCol))
+      .select(col(idCol), col(sourceCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: one row per stored SOURCE (config-scale), plus existing
+      // index partitions so a vanished source's stale entries drop
+      val storedSources = stored.select(col(sourceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val staleIdx = cat.snapshot(indexTable(table))._2.keysIterator
+        .map(_.split("/", 2).last).toSeq
+      val touched = (storedSources ++ staleIdx).distinct
+      val toks = SubstringDedup.tokenFrame(
+        stored.select(col(idCol), col(textCol)), idCol, textCol)
+      val gramRows = SubstringDedup.gramKeys(toks, idCol, minWords)
+        .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
+          col(idCol))
+        .distinct()
+        .join(stored.select(col(idCol), col(sourceCol)), Seq(idCol))
+        .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
+      // a full rebuild REPLACES the gram-length pin (this IS the
+      // migration path for changing minWords) — conf overwritten, not
+      // verified
+      cat.overwriteGroupIf(indexTable(table), Seq(
+        GroupBatch("grams", gramRows, sourceCol, touched),
+        GroupBatch("docs", stored.select(col(idCol), col(sourceCol)),
+          sourceCol, touched),
+        confBatch(stored.sparkSession, minWords)), -1L)
+    } finally { stored.unpersist(); () }
   }
 
   /** the whole stored corpus at a PINNED snapshot version (the manifest a
@@ -341,7 +427,12 @@ object CorpusStore {
       // (config-scale, the Reservoir.ingest convention); the batch id
       // set broadcasts (micro-batch-bounded), the index side is one slim
       // scan.
-      val docsIdx = readIndex(cat, table, "docs",
+      // ONE pinned index snapshot serves the whole batch; the gram-length
+      // pin is verified BEFORE any probe (a mismatched minWords would
+      // silently find nothing — fail fast, before the data commit)
+      val (_, idxManifest) = cat.snapshot(indexTable(table))
+      requireConf(cat, table, idxManifest, minWords)
+      val docsIdx = cat.readGroupOr(indexTable(table), idxManifest, "docs",
         docsIndexSchema(idCol, sourceCol))
       val conflictSources = docsIdx
         .join(broadcast(incoming.select(col(idCol),
@@ -365,8 +456,8 @@ object CorpusStore {
       val batchKeys = SubstringDedup.gramKeys(batchToks, idCol, minWords)
         .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
         .distinct()
-      val gramsIdx = readIndex(cat, table, "grams",
-          gramIndexSchema(idCol, sourceCol))
+      val gramsIdx = cat.readGroupOr(indexTable(table), idxManifest,
+          "grams", gramIndexSchema(idCol, sourceCol))
         .filter(if (touched.isEmpty) lit(true)
           else !col(sourceCol).isin(touched: _*))
       val hits = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))

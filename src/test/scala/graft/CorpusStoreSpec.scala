@@ -175,6 +175,55 @@ class CorpusStoreSpec extends AnyFunSuite {
     assert(nine.getLong(5) == 0L)
   }
 
+  test("rebuildIndexes migrates a store committed without indexes") {
+    import spark.implicits._
+    val cat = fresh()
+    // simulate a pre-index store: commit data directly through the
+    // catalog (what an r14 writeDeduped left on disk — no __idx table)
+    val legacy = Seq(
+      (1L, "web", s"one two three $passage four five six seven", 13L, 13L,
+        0L),
+      (2L, "books", "totally unrelated filler words occupy this doc", 7L,
+        7L, 0L))
+      .toDF("doc_id", "source", "text", "n_tokens_before",
+        "n_tokens_after", "n_spans_removed")
+    cat.overwritePartitions("c", legacy, "source", Seq("web", "books"))
+    // without indexes, a cross-source dup would sail through; rebuild
+    // then ingest — the probe must now catch it
+    CorpusStore.rebuildIndexes(cat, "c", "doc_id", "text", "source",
+      minWords = 5)
+    val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+      minWords = 5)
+    val nine = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 9L).get
+    assert(nine.getString(2) == "qq rr ss tt uu vv", nine.toString)
+    assert(nine.getLong(5) == 1L)
+  }
+
+  test("a commit with a different minWords than the index pin is refused") {
+    import spark.implicits._
+    val cat = fresh()
+    CorpusStore.writeDeduped(cat, "c", docs, "doc_id", "text", "source",
+      minWords = 5)
+    val b = Seq((9L, "wiki", "some new words arriving later on here"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+        minWords = 7)
+    }
+    assert(e.getMessage.contains("minWords"), e.getMessage)
+    // nothing was committed by the refused batch
+    assert(cat.version("c") == 1L)
+    // rebuildIndexes IS the migration path: re-pin at 7, then the same
+    // batch commits
+    CorpusStore.rebuildIndexes(cat, "c", "doc_id", "text", "source",
+      minWords = 7)
+    assert(CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text",
+      "source", minWords = 7) == 2L)
+  }
+
   test("diffVersions classifies added/removed/changed/same per (id, source)") {
     import spark.implicits._
     val cat = fresh()
