@@ -937,7 +937,16 @@ object TextDedupQueries {
     // keyed on (id, source), so a moved doc charges BOTH partitions —
     // the per-partition accounting a storage audit wants. Oracle
     // reconstructs v1 (the writeDeduped CTE chain), applies the same
-    // mutations in SQL, and full-outer-joins the two states.
+    // mutations in SQL, and full-outer-joins the two states — INCLUDING
+    // the working-set re-dedup: a touched source's stored rows re-run
+    // normalize-dedup with the batch, so two POST-STRIP-identical texts
+    // (e.g. fully-stripped empties, one moved + one staying) collapse to
+    // the min id — the r15 ~sf1 red row: the first oracle took the
+    // transformed rows verbatim and missed exactly that collapse. The
+    // gram probe and the keep-one strip both provably no-op here (every
+    // body gram's only occurrence is its own touched-source row, and
+    // suffixed windows are unique), so the one normalized-md5 group-by
+    // below is the COMPLETE v2 model.
     Q("q233_snapshot_diff",
       (s, d) => {
         val t = Tables(s, d)
@@ -988,11 +997,18 @@ object TextDedupQueries {
            |  FROM v1 WHERE source = 'src2'),
            |mv AS (SELECT doc_id, 'diff_moved' AS source, text, nt
            |  FROM v1 WHERE source = 'src3' AND doc_id % 3 = 0),
+           |rem AS (SELECT doc_id, source, text, nt FROM v1
+           |  WHERE source = 'src3' AND doc_id % 3 <> 0),
+           |ws AS (SELECT doc_id, source, text, nt FROM md
+           |  UNION ALL SELECT doc_id, source, text, nt FROM mv
+           |  UNION ALL SELECT doc_id, source, text, nt FROM rem),
+           |wkeep AS (SELECT min(doc_id) AS kid FROM ws
+           |  GROUP BY md5(${graft.dedup.Normalize.normalizeSql("text")})),
+           |v2t AS (SELECT * FROM ws
+           |  WHERE doc_id IN (SELECT kid FROM wkeep)),
            |v2 AS (SELECT doc_id, source, text, nt FROM v1
-           |    WHERE source <> 'src2'
-           |      AND NOT (source = 'src3' AND doc_id % 3 = 0)
-           |  UNION ALL SELECT doc_id, source, text, nt FROM md
-           |  UNION ALL SELECT doc_id, source, text, nt FROM mv),
+           |    WHERE source <> 'src2' AND source <> 'src3'
+           |  UNION ALL SELECT doc_id, source, text, nt FROM v2t),
            |j AS (SELECT COALESCE(a.source, c.source) AS source,
            |    a.text AS t1, c.text AS t2, a.nt AS n1, c.nt AS n2
            |  FROM v1 a FULL OUTER JOIN v2 c
