@@ -61,14 +61,29 @@ def big_compare(con, qdir: str, sql: str):
                            [f"{diff} rows differ (symmetric EXCEPT ALL)"])
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def fresh_con(sf_dir: str):
+    """One connection per ORACLE: the r15 ~sf1 compare OOM'd inside
+    DuckDB's buffer manager after ~150 oracles on a shared connection
+    (accumulated buffers + two new strip-chain oracles) — per-query
+    connections cap the blast radius, and an explicit memory_limit +
+    temp_directory lets a heavy oracle SPILL instead of raising
+    OutOfMemoryException mid-gate. View creation is O(metadata)."""
     con = duckdb.connect()
+    # keep DuckDB's default-sized budget (80% of RAM) — q30's recursive-CTE
+    # oracle at ~sf1 legitimately exceeds 48GB — but point spills at a real
+    # temp dir so operators that CAN spill do, instead of raising
+    con.execute("SET memory_limit='100GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dirs (ScaleBench ~sf1)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
@@ -77,6 +92,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
+        con = fresh_con(sf_dir)
         n_got = con.execute(
             f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
         if name in oracles and n_got > BIG_ROWS:
