@@ -172,6 +172,22 @@ object Bench {
     // ~35% (r12 finding 3: 8.81 s vs 6.56 s with an idle CPU calibration).
     // One discarded full pass touches every input file before any timing.
     timeHeadline(spark, sfDir)
+    // r15 verdict item 4: BENCH_r15 passed the 1-min loadavg gate and
+    // still read 34% over idle — the tell was the warmup calibration
+    // (0.191 s vs the ~0.15 idle floor) while the 5-min loadavg was 6.2.
+    // Gate on the signal that actually predicted contention: after the
+    // discarded warmup, the calibration probe must be at/below the
+    // ceiling; one sleep-and-retry, else the artifact carries
+    // "contended": true.
+    val calCeiling =
+      sys.env.getOrElse("SPARK_GRAFT_CAL_CEILING", "0.17").toDouble
+    var calSettled = calibrationSec(spark) <= calCeiling
+    if (!calSettled) {
+      System.err.println(f"[bench] warmup calibration exceeded the " +
+        f"$calCeiling%.2f s idle ceiling; sleeping 60s and retrying once")
+      Thread.sleep(60000L)
+      calSettled = calibrationSec(spark) <= calCeiling
+    }
     val results = timeHeadline(spark, sfDir)
     // the heavy-path regression canary (r13 verdict item 3): the 8-query
     // headline set is all sub-second and no longer exercises the
@@ -183,7 +199,8 @@ object Bench {
     val heavyJson = heavy.map { case (k, c, w) =>
       "\"" + k + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
-    val contended = if (settled) "" else ""","contended":true"""
+    val contended =
+      if (settled && calSettled) "" else ""","contended":true"""
     println(jsonLine(results, sfDir,
       s""","heavy":$heavyJson${sentinelJson(spark, loadBefore)}$contended"""))
     spark.stop()

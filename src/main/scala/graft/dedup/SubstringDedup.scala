@@ -93,6 +93,52 @@ object SubstringDedup {
           .as("gram_h"))
   }
 
+  /** Winnow-selected DISTINCT gram keys per document — the MOSS/winnowing
+    * sample of [[gramKeys]] (Schleimer et al. 2003, the q66 kernel's idea
+    * applied to token grams): for every window of `w` consecutive gram
+    * start positions, the window's minimum key (by (h1, h2), ties broken
+    * by position) is selected; tail windows truncate rather than vanish,
+    * so every document with at least one gram keeps at least one
+    * fingerprint (its suffix minima — short documents stay detectable,
+    * and a document that IS a shared span selects the span's global
+    * minimum on both sides). Returns (idCol, gram_h) with one row per
+    * distinct selected (gram, doc) — expected density 2/(w+1) of gram
+    * positions; `w = 1` selects every gram (density 1, the exact floor).
+    *
+    * Guarantee (the winnowing theorem restated for token grams): any
+    * substring of ≥ `minWords + w − 1` words shared by two documents
+    * contains a full window of `w` gram starts in each copy; that
+    * window's minimum is determined by the shared CONTENT alone, so both
+    * documents select the same key and a key-equality probe finds the
+    * pair. Shared spans in [minWords, minWords + w − 2] words may or may
+    * not be sampled — the detection floor a
+    * [[graft.storage.CorpusStore]] index built at (minWords, w)
+    * documents (the next full writeDeduped, which runs the full-density
+    * [[crossDocSpans]], still collapses them).
+    *
+    * Scale shape: one per-doc window pass over the gram frame (skew
+    * bounded by the longest document), then a partial-agg'd distinct —
+    * and everything DOWNSTREAM (index bytes, probe broadcast, shuffle)
+    * shrinks by the density factor.
+    */
+  def winnowedGramKeys(toks: DataFrame, idCol: String, minWords: Int,
+      w: Int): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val g = gramKeys(toks, idCol, minWords)
+    val sel =
+      if (w == 1) g
+      else {
+        val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, (w - 1).toLong)
+        g.select(col(idCol),
+          min(struct(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
+            col("pos").as("p"))).over(win).as("_graft_sel"))
+          .select(col(idCol), struct(col("_graft_sel.h1").as("h1"),
+            col("_graft_sel.h2").as("h2")).as("gram_h"))
+      }
+    sel.select(col(idCol), col("gram_h")).distinct()
+  }
+
   /** Coverage islands via interval merge over gram START positions: a
     * dup gram at start p covers words [p, p+L−1]; with equal lengths and
     * starts sorted per doc, the running max end is the PREVIOUS start's

@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Normalize, SubstringDedup}
@@ -89,7 +89,8 @@ object CorpusStore {
     */
   def writeDeduped(cat: Catalog, table: String, docs: DataFrame,
       idCol: String, textCol: String, sourceCol: String,
-      minWords: Int = 50, minDocs: Int = 2): Long = {
+      minWords: Int = 50, minDocs: Int = 2, winnowW: Int = 8,
+      buckets: Int = 16): Long = {
     // the stripped frame is consumed THREE times (touched-source collect,
     // staging write, and nothing else reads it) — persist so the strip
     // chain runs once, not once per consumer (the r14 composition finding)
@@ -98,13 +99,18 @@ object CorpusStore {
     val out = strippedF
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // verify the index pins BEFORE the data commit (mirrors
+      // ingestBatch's fail-fast, r15 ADVICE): a mismatched pin otherwise
+      // threw only after the data version advanced with the new strip
+      // while the index kept the old pin and entries
+      requireIndexReady(cat, table, minWords, winnowW, buckets)
       // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
       // touched-partition convention — never a corpus-sized collect
       val touched = out.select(col(sourceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
       val v = cat.overwritePartitions(table, out, sourceCol, touched)
       commitIndexes(cat, table, out, idCol, textCol, sourceCol, minWords,
-        touched)
+        winnowW, buckets, touched)
       v
     } finally { out.unpersist(); cleanup(); () }
   }
@@ -124,18 +130,35 @@ object CorpusStore {
   // ONE slim group table (`<table>__idx`) rides alongside every corpus
   // table, holding two sub-tables committed ATOMICALLY (one manifest, one
   // `_LATEST` flip — the Catalog group-commit machinery), each partitioned
-  // by source exactly like the data (a commit that rewrites source S's
-  // data rewrites S's index partitions and no others):
-  //   docs   (id, source)          — one row per stored doc
-  //   grams  (h1, h2, id, source)  — one row per DISTINCT
-  //       (minWords-gram, doc), the SubstringDedup.gramKeys key
+  // by (bucket, source) — the source dimension keeps rewrites
+  // commit-granular (a commit that rewrites source S's data rewrites S's
+  // index partitions and no others), the bucket dimension makes the
+  // per-batch PROBE prunable (see below):
+  //   docs   (id, source)          — one row per stored doc,
+  //       bucketed by pmod(id, b)
+  //   grams  (h1, h2, id, source)  — one row per WINNOW-SELECTED
+  //       (minWords-gram, doc) — SubstringDedup.winnowedGramKeys, the
+  //       same 16-byte key definition queries and probes share —
+  //       bucketed by pmod(h1, b), sorted by h1 within each bucket's
+  //       files (row groups cover narrow h1 ranges)
   // They are what lets ingestBatch enforce store-WIDE semantics while
   // touching only the batch's partitions: the docs index finds a doc_id
   // re-ingested under a different source (its old partition must drop the
   // old copy — same-id upsert across partitions), and the gram index finds
   // a batch passage duplicating an UNTOUCHED source's text (the reference's
-  // probe-all-of-cluster_values J5 analog, Storage.java:370-400 — the batch
-  // probes the whole store's values, not just touched pools).
+  // indexed cluster_values probe, Storage.java:370-400).
+  //
+  // Probe cost at scale (the r15 "one thing between ingestBatch and
+  // 100 TB"): winnowing cuts index rows AND probe keys to ~2/(w+1) of
+  // gram positions, and the probe reads ONLY the index buckets named by
+  // the batch's own key set — with the bucket count `b` sized to the
+  // store (fixed target bucket bytes; rebuildIndexes re-buckets as the
+  // store grows, like a B-tree splitting), per-batch probe I/O is
+  // O(batch keys × bucket size), the B-tree-leaf bound, instead of
+  // O(store index). Detection floor: shared spans ≥ minWords + w − 1
+  // words are ALWAYS caught (the winnowing guarantee, documented at
+  // winnowedGramKeys); shorter shared spans heal at the next full
+  // writeDeduped. (minWords, w, b) are pinned per table in the conf sub.
   //
   // Staleness discipline: the index group commits AFTER the data table and
   // BEFORE the stream-state high-water mark. A crash between data and index
@@ -148,6 +171,25 @@ object CorpusStore {
 
   private def indexTable(table: String) = s"${table}__idx"
 
+  /** index partition value: zero-padded bucket + '#' + source. Bucket
+    * digits never contain '#', so the FIRST '#' splits unambiguously even
+    * when the source value itself carries one.
+    */
+  private def idxPart(bucket: Column, source: Column): Column =
+    concat(format_string("%05d", bucket), lit("#"), source)
+
+  private def partBucket(p: String): Long = p.takeWhile(_ != '#').toLong
+
+  private def partSource(p: String): String = p.drop(p.indexOf('#') + 1)
+
+  /** one sub-table's partition values in a pinned group manifest */
+  private def subParts(manifest: Map[String, Long],
+      sub: String): Seq[String] = {
+    val prefix = s"$sub/"
+    manifest.keysIterator.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSeq
+  }
+
   /** the docs-index schema: one (id, source) row per stored document */
   def docsIndexSchema(idCol: String, sourceCol: String)
       : org.apache.spark.sql.types.StructType = {
@@ -156,9 +198,10 @@ object CorpusStore {
       StructField(sourceCol, StringType)))
   }
 
-  /** the gram-index schema: one (h1, h2, id, source) row per distinct
-    * (gram, doc) — h1/h2 are [[SubstringDedup.gramKeys]]'s two seeded
-    * xxhash64s
+  /** the gram-index schema: one (h1, h2, id, source) row per
+    * winnow-selected distinct (gram, doc) — h1/h2 are
+    * [[SubstringDedup.gramKeys]]'s two seeded xxhash64s, sampled by
+    * [[SubstringDedup.winnowedGramKeys]] at the pinned window
     */
   def gramIndexSchema(idCol: String, sourceCol: String)
       : org.apache.spark.sql.types.StructType = {
@@ -170,75 +213,137 @@ object CorpusStore {
   private def confSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("min_words", LongType),
+      StructField("w", LongType), StructField("b", LongType),
       StructField("p", StringType)))
   }
 
-  /** The gram length the index group was built at — every commit of a
-    * table must use the SAME `minWords` (a probe at a different length
-    * slices different token windows, hashes differently, and silently
-    * finds nothing). The value is pinned in a one-row `conf` sub-table
-    * written with the FIRST index commit; later commits verify against
-    * it instead of trusting the caller.
+  /** The index shape the group was built at — every commit of a table
+    * must use the SAME (minWords, winnowW, buckets): a probe at a
+    * different gram length or winnow window slices/samples different
+    * token windows and silently finds nothing, and a different bucket
+    * count prunes the wrong partitions. The triple is pinned in a
+    * one-row `conf` sub-table written with the FIRST index commit;
+    * later commits verify against it instead of trusting the caller.
+    * A conf row missing the (w, b) columns is a pre-winnowing (r15)
+    * index — refused with a pointer at [[rebuildIndexes]].
     */
   private def requireConf(cat: Catalog, table: String,
-      manifest: Map[String, Long], minWords: Int): Boolean = {
+      manifest: Map[String, Long], minWords: Int, winnowW: Int,
+      buckets: Int): Boolean = {
     val present = manifest.contains("conf/0")
     if (present) {
-      val stored = cat.readGroupOr(indexTable(table), manifest, "conf",
-        confSchema).head().getLong(0)
-      require(stored == minWords.toLong,
-        s"corpus table '$table' has its dedup index built at minWords=" +
-          s"$stored but this commit passed minWords=$minWords; all " +
-          "commits of a table must use one gram length (rebuildIndexes " +
-          "migrates)")
+      val row = cat.readGroupOr(indexTable(table), manifest, "conf",
+        confSchema).head()
+      require(!row.isNullAt(1) && !row.isNullAt(2),
+        s"corpus table '$table' carries a pre-winnowing dedup index " +
+          "(no (w, b) pins in its conf sub-table); run rebuildIndexes " +
+          "to migrate it to the winnowed bucketed layout")
+      def pin(i: Int, name: String, got: Long): Unit =
+        require(row.getLong(i) == got,
+          s"corpus table '$table' has its dedup index built at $name=" +
+            s"${row.getLong(i)} but this commit passed $name=$got; all " +
+            "commits of a table must use one index shape " +
+            "(rebuildIndexes migrates)")
+      pin(0, "minWords", minWords.toLong)
+      pin(1, "winnowW", winnowW.toLong)
+      pin(2, "buckets", buckets.toLong)
     }
     present
+  }
+
+  /** The fail-fast every committer runs BEFORE its data commit: the pin
+    * check above, plus the half-indexed-store guard (r15 ADVICE): a data
+    * table committed before the index feature existed has an EMPTY index
+    * manifest, so a silent probe would no-op, commitIndexes would index
+    * only the batch's touched sources, and every LATER batch would pass
+    * the pin check while store-wide dedup silently skipped all legacy
+    * sources — the exact guarantee this layer documents. Committed data
+    * with no conf pin must go through [[rebuildIndexes]] first.
+    */
+  private def requireIndexReady(cat: Catalog, table: String, minWords: Int,
+      winnowW: Int, buckets: Int): Unit = {
+    val confPresent = requireConf(cat, table,
+      cat.snapshot(indexTable(table))._2, minWords, winnowW, buckets)
+    require(confPresent || cat.version(table) == 0L,
+      s"corpus table '$table' has committed data but no dedup index " +
+        "group; run rebuildIndexes before committing (a probe against an " +
+        "empty index would silently skip store-wide dedup for every " +
+        "already-stored source)")
   }
 
   /** Rebuild both index sub-tables' `touched` partitions from the freshly
     * committed rows (`out`, the [[strippedCorpus]] output — post-strip, so
     * index grams describe exactly what the store holds) in ONE atomic
-    * group commit, pinning `minWords` in the conf sub on first write.
-    * Runs after the data commit; see the staleness discipline note above.
+    * group commit, pinning (minWords, winnowW, buckets) in the conf sub
+    * on first write. Runs after the data commit; see the staleness
+    * discipline note above.
     */
   private def commitIndexes(cat: Catalog, table: String, out: DataFrame,
       idCol: String, textCol: String, sourceCol: String, minWords: Int,
-      touched: Seq[String]): Unit = {
+      winnowW: Int, buckets: Int, touched: Seq[String]): Unit = {
     val toks = SubstringDedup.tokenFrame(
       out.select(col(idCol), col(textCol)), idCol, textCol)
-    val gramRows = graft.dedup.SubstringDedup
-      .gramKeys(toks, idCol, minWords)
+    val gramRows = SubstringDedup
+      .winnowedGramKeys(toks, idCol, minWords, winnowW)
       .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
         col(idCol))
-      .distinct()
       .join(out.select(col(idCol), col(sourceCol)), Seq(idCol))
       .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
     cat.overwriteGroupIf(indexTable(table),
       indexBatches(cat, table, gramRows,
-        out.select(col(idCol), col(sourceCol)), sourceCol, minWords,
-        touched), -1L)
+        out.select(col(idCol), col(sourceCol)), idCol, sourceCol, minWords,
+        winnowW, buckets, touched), -1L)
     ()
   }
 
+  /** Bucket, lay out, and enumerate one index sub-table's commit batch:
+    * rows gain the `_graft_part` partition value ([[idxPart]]), shuffle
+    * so each bucket partition lands in ONE task (one file per bucket
+    * dir), and sort within partitions by the probe key so parquet row
+    * groups cover narrow key ranges (the at-scale footer-stats path).
+    * The touched partition set = existing index parts of the touched
+    * SOURCES (so emptied buckets drop from the manifest — including
+    * legacy source-only part values during migration) ∪ the new rows'
+    * own part values (one bounded collect, ≤ touched sources × buckets).
+    */
+  private def idxBatch(sub: String, rows: DataFrame, bucket: Column,
+      sortKey: String, sourceCol: String, existing: Seq[String],
+      touched: Seq[String]): GroupBatch = {
+    val df = rows.withColumn("_graft_part", idxPart(bucket, col(sourceCol)))
+      .repartition(col("_graft_part"))
+      .sortWithinPartitions(col("_graft_part"), col(sortKey))
+    val tset = touched.toSet
+    val old = existing.filter(p => tset.contains(partSource(p)))
+    val fresh = df.select(col("_graft_part")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    GroupBatch(sub, df, "_graft_part", (old ++ fresh).distinct)
+  }
+
   /** the grams/docs group batches for one index commit, plus the one-row
-    * conf pin when the group doesn't carry it yet (first commit);
-    * enforces the pinned gram length otherwise
+    * conf pin when the group doesn't carry it yet (first commit — the
+    * pins themselves were verified by the caller's pre-data-commit
+    * [[requireIndexReady]])
     */
   private def indexBatches(cat: Catalog, table: String, gramRows: DataFrame,
-      docRows: DataFrame, sourceCol: String, minWords: Int,
-      touched: Seq[String]): Seq[GroupBatch] = {
-    val base = Seq(GroupBatch("grams", gramRows, sourceCol, touched),
-      GroupBatch("docs", docRows, sourceCol, touched))
-    if (requireConf(cat, table, cat.snapshot(indexTable(table))._2,
-        minWords)) base
-    else base :+ confBatch(docRows.sparkSession, minWords)
+      docRows: DataFrame, idCol: String, sourceCol: String, minWords: Int,
+      winnowW: Int, buckets: Int, touched: Seq[String]): Seq[GroupBatch] = {
+    val manifest = cat.snapshot(indexTable(table))._2
+    val b = buckets.toLong
+    val base = Seq(
+      idxBatch("grams", gramRows, pmod(col("h1"), lit(b)), "h1",
+        sourceCol, subParts(manifest, "grams"), touched),
+      idxBatch("docs", docRows, pmod(col(idCol), lit(b)), idCol,
+        sourceCol, subParts(manifest, "docs"), touched))
+    if (manifest.contains("conf/0")) base
+    else base :+ confBatch(docRows.sparkSession, minWords, winnowW, buckets)
   }
 
   private def confBatch(spark: org.apache.spark.sql.SparkSession,
-      minWords: Int): GroupBatch = {
+      minWords: Int, winnowW: Int, buckets: Int): GroupBatch = {
     import org.apache.spark.sql.Row
     val conf = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(minWords.toLong, "0")), 1),
+      spark.sparkContext.parallelize(
+        Seq(Row(minWords.toLong, winnowW.toLong, buckets.toLong, "0")), 1),
       confSchema)
     GroupBatch("conf", conf, "p", Seq("0"))
   }
@@ -255,35 +360,42 @@ object CorpusStore {
     * never needed in the steady state.
     */
   def rebuildIndexes(cat: Catalog, table: String, idCol: String,
-      textCol: String, sourceCol: String, minWords: Int = 50): Long = {
+      textCol: String, sourceCol: String, minWords: Int = 50,
+      winnowW: Int = 8, buckets: Int = 16): Long = {
     val stored = cat.readPartitionedOr(table,
         storedSchema(idCol, sourceCol, textCol))
       .select(col(idCol), col(sourceCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded: one row per stored SOURCE (config-scale), plus existing
-      // index partitions so a vanished source's stale entries drop
-      val storedSources = stored.select(col(sourceCol)).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val staleIdx = cat.snapshot(indexTable(table))._2.keysIterator
-        .map(_.split("/", 2).last).toSeq
-      val touched = (storedSources ++ staleIdx).distinct
+      val manifest = cat.snapshot(indexTable(table))._2
       val toks = SubstringDedup.tokenFrame(
         stored.select(col(idCol), col(textCol)), idCol, textCol)
-      val gramRows = SubstringDedup.gramKeys(toks, idCol, minWords)
+      val gramRows = SubstringDedup
+        .winnowedGramKeys(toks, idCol, minWords, winnowW)
         .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
           col(idCol))
-        .distinct()
         .join(stored.select(col(idCol), col(sourceCol)), Seq(idCol))
         .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
-      // a full rebuild REPLACES the gram-length pin (this IS the
-      // migration path for changing minWords) — conf overwritten, not
-      // verified
+      val docRows = stored.select(col(idCol), col(sourceCol))
+      // touched = EVERY existing index partition (whatever its layout —
+      // the pre-bucketing source-only names included, so legacy and
+      // vanished-source entries drop) ∪ the rebuilt rows' own parts; a
+      // full rebuild REPLACES the (minWords, w, b) pin (this IS the
+      // migration path for changing the index shape) — conf overwritten,
+      // not verified. idxBatch's existing-parts filter keys on touched
+      // SOURCES, so hand it every stored source plus every source an
+      // existing part names.
+      val b = buckets.toLong
+      val storedSources = stored.select(col(sourceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      def allSources(sub: String) =
+        (storedSources ++ subParts(manifest, sub).map(partSource)).distinct
       cat.overwriteGroupIf(indexTable(table), Seq(
-        GroupBatch("grams", gramRows, sourceCol, touched),
-        GroupBatch("docs", stored.select(col(idCol), col(sourceCol)),
-          sourceCol, touched),
-        confBatch(stored.sparkSession, minWords)), -1L)
+        idxBatch("grams", gramRows, pmod(col("h1"), lit(b)), "h1",
+          sourceCol, subParts(manifest, "grams"), allSources("grams")),
+        idxBatch("docs", docRows, pmod(col(idCol), lit(b)), idCol,
+          sourceCol, subParts(manifest, "docs"), allSources("docs")),
+        confBatch(stored.sparkSession, minWords, winnowW, buckets)), -1L)
     } finally { stored.unpersist(); () }
   }
 
@@ -366,31 +478,39 @@ object CorpusStore {
     *    rows, then the high-water mark advances.
     *
     * Returns the committed version, or the current version when the batch
-    * was a replay / empty. Contracts: `minWords`/`minDocs` must be the
-    * same values every commit of `table` uses (the gram index is built at
-    * one gram length); whole-document EXACT duplicates across untouched
-    * sources are caught only when the doc carries ≥ `minWords` tokens
-    * (shorter docs have no grams — the strip's granularity floor; the
-    * next full [[writeDeduped]] still collapses them); stored text is
-    * already stripped, so the audit counters (`n_tokens_before` &c.)
-    * describe this commit's increment, not the document's original form.
-    * Commit order is data → gram index → docs index → state mark: the
-    * state write lands last, so a crash anywhere re-runs the whole batch
-    * on replay (idempotent content, one extra version) and missing index
-    * entries heal; stale gram entries can never over-strip (hits confirm
-    * against current stored text before any removal).
+    * was a replay / empty. Contracts: `minWords`/`minDocs`/`winnowW`/
+    * `buckets` must be the same values every commit of `table` uses (the
+    * index shape is pinned; [[rebuildIndexes]] migrates); cross-source
+    * duplication against UNTOUCHED sources is caught with the winnowing
+    * guarantee — shared spans ≥ `minWords + winnowW − 1` words always,
+    * shorter ones best-effort (and whole-doc exact dups only when the doc
+    * carries ≥ `minWords` tokens — the strip's granularity floor); the
+    * next full [[writeDeduped]] still collapses everything ≥ `minWords`.
+    * Stored text is already stripped, so the audit counters
+    * (`n_tokens_before` &c.) describe this commit's increment, not the
+    * document's original form. Commit order is data → index group →
+    * state mark: the state write lands last, so a crash anywhere re-runs
+    * the whole batch on replay (idempotent content, one extra version)
+    * and missing index entries heal; stale gram entries can never
+    * over-strip (hits confirm against current stored text before any
+    * removal).
     *
-    * Scale shape: the probe is ONE slim columnar scan of each index
-    * (3–4 long/string columns, never text) hash-joined against the
-    * broadcast batch keys — per-batch cost is O(store index), the same
-    * contract as the reference's batch probe of ALL of cluster_values
-    * (Storage.java:370-400), with the confirmation re-read bounded by hit
-    * docs. Everything else touches only batch-sized or touched-partition
+    * Scale shape: both probes read ONLY the index bucket partitions named
+    * by the batch's own key sets (winnowed gram keys / doc ids — the
+    * pruning is lossless: a matching index row's bucket is by definition
+    * in the batch's bucket set), hash-joined against the broadcast batch
+    * keys. With `buckets` sized to the store (fixed target bucket bytes;
+    * [[rebuildIndexes]] re-buckets as the store grows), per-batch probe
+    * I/O is O(batch keys × bucket size) — the B-tree-leaf bound of the
+    * reference's indexed cluster_values probe (Storage.java:370-400) —
+    * not O(store index). The confirmation re-read is bounded by hit
+    * docs; everything else touches only batch-sized or touched-partition
     * frames.
     */
   def ingestBatch(cat: Catalog, table: String, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String, sourceCol: String,
-      minWords: Int = 50, minDocs: Int = 2): Long = {
+      minWords: Int = 50, minDocs: Int = 2, winnowW: Int = 8,
+      buckets: Int = 16): Long = {
     val stateTable = s"${table}__stream_state"
     val spark = batch.sparkSession
     import org.apache.spark.sql.types._
@@ -425,15 +545,26 @@ object CorpusStore {
       // new source leaves an old copy whose partition must rewrite
       // without it). One union, ONE collect — bounded by source count
       // (config-scale, the Reservoir.ingest convention); the batch id
-      // set broadcasts (micro-batch-bounded), the index side is one slim
-      // scan.
-      // ONE pinned index snapshot serves the whole batch; the gram-length
-      // pin is verified BEFORE any probe (a mismatched minWords would
-      // silently find nothing — fail fast, before the data commit)
+      // set broadcasts (micro-batch-bounded), the index side reads only
+      // the id-buckets the batch names.
+      // ONE pinned index snapshot serves the whole batch; the index-shape
+      // pins and the half-indexed-store guard run BEFORE any probe and
+      // before the data commit (fail fast — a mismatched pin or a legacy
+      // store would silently find nothing)
+      requireIndexReady(cat, table, minWords, winnowW, buckets)
       val (_, idxManifest) = cat.snapshot(indexTable(table))
-      requireConf(cat, table, idxManifest, minWords)
-      val docsIdx = cat.readGroupOr(indexTable(table), idxManifest, "docs",
-        docsIndexSchema(idCol, sourceCol))
+      val b = buckets.toLong
+      def prunedParts(sub: String, batchBuckets: Set[Long],
+          excludeSources: Set[String]): Seq[String] =
+        subParts(idxManifest, sub).filter(p =>
+          batchBuckets.contains(partBucket(p)) &&
+            !excludeSources.contains(partSource(p)))
+      val idBuckets = incoming
+        .select(pmod(col(idCol), lit(b)).as("_graft_b")).distinct()
+        .collect().map(_.getLong(0)).toSet // bounded: <= buckets values
+      val docsIdx = cat.readManifestParts(indexTable(table), idxManifest,
+        docsIndexSchema(idCol, sourceCol),
+        prunedParts("docs", idBuckets, Set.empty), "docs")
       val conflictSources = docsIdx
         .join(broadcast(incoming.select(col(idCol),
           col(sourceCol).as("_graft_new_src"))), Seq(idCol))
@@ -449,17 +580,23 @@ object CorpusStore {
       // gram-probe the UNTOUCHED rest of the store (touched sources'
       // stored rows are in the working set — keep-one handles them with
       // min-id canonicality, and a replaced doc's stale grams must not
-      // strip its own new version)
+      // strip its own new version). Both probe sides winnow with the SAME
+      // pinned window, so the detection guarantee above holds; only the
+      // index buckets named by the batch's own key set are read.
       val batchToks = SubstringDedup.tokenFrame(
           incoming.select(col(idCol), col(textCol)), idCol, textCol)
         .persist(lvl) // feeds the probe grams AND the pre-strip
-      val batchKeys = SubstringDedup.gramKeys(batchToks, idCol, minWords)
+      val batchKeys = SubstringDedup
+        .winnowedGramKeys(batchToks, idCol, minWords, winnowW)
         .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
         .distinct()
-      val gramsIdx = cat.readGroupOr(indexTable(table), idxManifest,
-          "grams", gramIndexSchema(idCol, sourceCol))
-        .filter(if (touched.isEmpty) lit(true)
-          else !col(sourceCol).isin(touched: _*))
+        .persist(lvl) // consumed by the bucket collect AND the probe join
+      val keyBuckets = batchKeys
+        .select(pmod(col("h1"), lit(b)).as("_graft_b")).distinct()
+        .collect().map(_.getLong(0)).toSet // bounded: <= buckets values
+      val gramsIdx = cat.readManifestParts(indexTable(table), idxManifest,
+        gramIndexSchema(idCol, sourceCol),
+        prunedParts("grams", keyBuckets, touched.toSet), "grams")
       val hits = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))
         .select(col(idCol), col(sourceCol)).distinct()
         .persist(lvl) // consumed by the source collect AND the id semi-join
@@ -510,14 +647,16 @@ object CorpusStore {
               val v = cat.overwritePartitions(table, out, sourceCol,
                 touched)
               commitIndexes(cat, table, out, idCol, textCol, sourceCol,
-                minWords, touched)
+                minWords, winnowW, buckets, touched)
               import spark.implicits._
               cat.write(stateTable, Seq(batchId).toDF("batch_id"))
               v
             } finally { out.unpersist(); () }
           } finally { cleanup() }
         } finally { pre.unpersist(); () }
-      } finally { hits.unpersist(); batchToks.unpersist(); () }
+      } finally {
+        hits.unpersist(); batchKeys.unpersist(); batchToks.unpersist(); ()
+      }
     } finally { incoming.unpersist(); () }
   }
 }

@@ -1001,13 +1001,14 @@ object StreamingIngest {
   def streamIntoCorpusStore(records: DataFrame,
       cat: graft.storage.Catalog, table: String, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
-      minDocs: Int = 2, checkpointDir: Option[String] = None)
+      minDocs: Int = 2, winnowW: Int = 8, buckets: Int = 16,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = records.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.CorpusStore.ingestBatch(cat, table, batch, batchId,
-          idCol, textCol, sourceCol, minWords, minDocs)
+          idCol, textCol, sourceCol, minWords, minDocs, winnowW, buckets)
         ()
       }
     checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()

@@ -14,18 +14,23 @@ import org.apache.spark.sql.functions._
   *  3. time a second batch of FRESH text (probe scans the index, finds
   *     nothing — the common case).
   *
-  * The honest contract (documented on ingestBatch): per-batch cost is
-  * O(store gram index) for the probe's slim columnar scan + O(batch)
-  * for everything else. This tool puts a NUMBER on that scan so the
-  * store-size slope is observed, not inferred — run it on the 10× and
-  * 100× wordsalt dirs and compare.
+  * The honest contract (documented on ingestBatch): the probe reads only
+  * the winnow-sampled index buckets the batch's own key set names — with
+  * the bucket count sized to the store, per-batch probe I/O is O(batch
+  * keys × bucket size), not O(store index). This tool puts a NUMBER on
+  * that so the store-size slope is observed, not inferred — run it on
+  * the 10× and 100× wordsalt dirs and compare (scale `buckets` with the
+  * store to model the fixed-bucket-bytes deployment policy).
   *
   * Usage: runMain graft.tools.CorpusStoreBench [sfDir] [batchSize]
+  *   [winnowW] [buckets]
   */
 object CorpusStoreBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchSize = args.lift(1).map(_.toInt).getOrElse(200)
+    val winnowW = args.lift(2).map(_.toInt).getOrElse(8)
+    val buckets = args.lift(3).map(_.toInt).getOrElse(16)
     val loadBefore = graft.Bench.loadavgJson()
     val spark = graft.Bench.benchSession("graft-corpus-store-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +47,7 @@ object CorpusStoreBench {
 
     val tStore = time {
       graft.storage.CorpusStore.writeDeduped(cat, "c", docs,
-        "doc_id", "text", "source")
+        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
     }
     val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
       "text")
@@ -62,7 +67,7 @@ object CorpusStoreBench {
     dup.count()
     val tDup = time {
       graft.storage.CorpusStore.ingestBatch(cat, "c", dup, 0L,
-        "doc_id", "text", "source")
+        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
     }
 
     // batch 2: fresh text (deterministic word salad, no stored grams) —
@@ -77,7 +82,7 @@ object CorpusStoreBench {
     fresh.count()
     val tFresh = time {
       graft.storage.CorpusStore.ingestBatch(cat, "c", fresh, 1L,
-        "doc_id", "text", "source")
+        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
     }
 
     val (_, idxManifest) = cat.snapshot("c__idx")
@@ -85,6 +90,7 @@ object CorpusStoreBench {
       graft.storage.CorpusStore.gramIndexSchema("doc_id", "source")).count()
     println(f"""{"metric":"corpus_store_soak","store_sec":$tStore%.2f,""" +
       f""""n_stored":$nStored,"gram_index_rows":$gramRows,""" +
+      f""""winnow_w":$winnowW,"buckets":$buckets,""" +
       f""""batch":$batchSize,"ingest_dup_sec":$tDup%.2f,""" +
       f""""ingest_fresh_sec":$tFresh%.2f,"sf":"$dir"""" +
       graft.Bench.sentinelJson(spark, loadBefore) + "}")

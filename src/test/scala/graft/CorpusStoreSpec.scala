@@ -97,16 +97,19 @@ class CorpusStoreSpec extends AnyFunSuite {
   test("ingestBatch strips a passage duplicated from an UNTOUCHED source") {
     import spark.implicits._
     val cat = fresh()
-    // store via the full path: 'web' and 'books' partitions + gram index
+    // store via the full path: 'web' and 'books' partitions + gram index.
+    // winnowW = 1 pins the EXACT detection floor (density 1 — every
+    // shared span >= minWords is caught); the winnowed floor has its own
+    // test below
     CorpusStore.writeDeduped(cat, "c", docs, "doc_id", "text", "source",
-      minWords = 5)
+      minWords = 5, winnowW = 1)
     // a batch for a brand-NEW source duplicating doc 1's stored passage:
     // 'web' is untouched (not in the batch), so only the gram-index probe
     // can catch it — the r14 verdict item 1 scenario
     val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv ww"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
-      minWords = 5)
+      minWords = 5, winnowW = 1)
     val rows = cat.readPartitionedOr("c", storedSchema).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toMap
@@ -153,7 +156,7 @@ class CorpusStoreSpec extends AnyFunSuite {
       (2L, "books", "completely unrelated words nothing shared here at all"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
-      minWords = 5)
+      minWords = 5, winnowW = 1)
     // doc 1's text REPLACED (same source) — its old grams are rebuilt out
     // of the index by the commit, but simulate a crashed index commit by
     // rewriting the data table directly and leaving the index stale
@@ -168,7 +171,7 @@ class CorpusStoreSpec extends AnyFunSuite {
     val b1 = Seq((9L, "wiki", s"aa bb $passage cc dd ee ff gg"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
-      minWords = 5)
+      minWords = 5, winnowW = 1)
     val nine = cat.readPartitionedOr("c", storedSchema).collect()
       .find(_.getLong(0) == 9L).get
     assert(nine.getString(2) == s"aa bb $passage cc dd ee ff gg")
@@ -188,14 +191,23 @@ class CorpusStoreSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "text", "n_tokens_before",
         "n_tokens_after", "n_spans_removed")
     cat.overwritePartitions("c", legacy, "source", Seq("web", "books"))
-    // without indexes, a cross-source dup would sail through; rebuild
-    // then ingest — the probe must now catch it
-    CorpusStore.rebuildIndexes(cat, "c", "doc_id", "text", "source",
-      minWords = 5)
     val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv"))
       .toDF("doc_id", "source", "text")
+    // without indexes, a cross-source dup would sail through — ingest
+    // into a committed-but-unindexed store must FAIL FAST pointing at
+    // rebuildIndexes (r15 ADVICE: a silent empty probe would half-index
+    // the store and skip legacy sources forever), and nothing commits
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 1)
+    }
+    assert(e.getMessage.contains("rebuildIndexes"), e.getMessage)
+    assert(cat.version("c") == 1L)
+    // rebuild then ingest — the probe must now catch the dup
+    CorpusStore.rebuildIndexes(cat, "c", "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
     CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
-      minWords = 5)
+      minWords = 5, winnowW = 1)
     val nine = cat.readPartitionedOr("c", storedSchema).collect()
       .find(_.getLong(0) == 9L).get
     assert(nine.getString(2) == "qq rr ss tt uu vv", nine.toString)
@@ -280,5 +292,99 @@ class CorpusStoreSpec extends AnyFunSuite {
       cat.readPartitionedOr("c", storedSchema), "doc_id", "text")
     assert(SubstringDedup.crossDocSpans(toks, "doc_id", minWords = 5)
       .isEmpty)
+  }
+
+  test("winnowed bucketed index: a shared span at the guarantee floor is " +
+      "caught across buckets, and the layout is bucket#source") {
+    import spark.implicits._
+    val cat = fresh()
+    // minWords = 5, winnowW = 3 → any shared span >= 5 + 3 - 1 = 7 words
+    // is guaranteed caught; this one is 8 words and INTERNAL to the
+    // stored doc (prefix + suffix differ), so detection rides the
+    // winnowing theorem, not a window-boundary accident
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val stored = Seq(
+      (1L, "web", s"one two $span8 three four"),
+      (2L, "books", "totally unrelated filler words occupy this doc"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.writeDeduped(cat, "c", stored, "doc_id", "text", "source",
+      minWords = 5, winnowW = 3, buckets = 4)
+    // index partitions carry the bucket#source layout with bucket < b
+    val (_, mf) = cat.snapshot("c__idx")
+    val gramParts = mf.keys.filter(_.startsWith("grams/"))
+      .map(_.stripPrefix("grams/")).toSeq
+    assert(gramParts.nonEmpty)
+    assert(gramParts.forall { p =>
+      val i = p.indexOf('#')
+      i > 0 && p.take(i).forall(_.isDigit) && p.take(i).toLong < 4L &&
+        Set("web", "books").contains(p.drop(i + 1))
+    }, gramParts.toString)
+    // batch from a NEW source duplicating the stored internal span: only
+    // the (winnowed, bucket-pruned) gram probe can catch it
+    val b = Seq((9L, "wiki", s"qq rr $span8 ss tt"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 3, buckets = 4)
+    val nine = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 9L).get
+    assert(nine.getString(2) == "qq rr ss tt", nine.toString)
+    assert((nine.getLong(3), nine.getLong(4), nine.getLong(5)) ==
+      ((12L, 4L, 1L)), nine.toString)
+    // the stored canonical copy stays intact
+    assert(cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 1L).get.getString(2) ==
+      s"one two $span8 three four")
+  }
+
+  test("a commit with a different winnowW or buckets than the pin is " +
+      "refused") {
+    import spark.implicits._
+    val cat = fresh()
+    CorpusStore.writeDeduped(cat, "c", docs, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val b = Seq((9L, "wiki", "some new words arriving later on here"))
+      .toDF("doc_id", "source", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 3, buckets = 4)
+    }
+    assert(e1.getMessage.contains("winnowW"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 1, buckets = 8)
+    }
+    assert(e2.getMessage.contains("buckets"), e2.getMessage)
+    assert(cat.version("c") == 1L)
+  }
+
+  test("a pre-winnowing (r15) index layout is refused and rebuildIndexes " +
+      "migrates it") {
+    import spark.implicits._
+    import graft.storage.GroupBatch
+    val cat = fresh()
+    val legacy = Seq(
+      (1L, "web", s"one two three $passage four five six seven", 13L, 13L,
+        0L))
+      .toDF("doc_id", "source", "text", "n_tokens_before",
+        "n_tokens_after", "n_spans_removed")
+    cat.overwritePartitions("c", legacy, "source", Seq("web"))
+    // an r15-era conf row: (min_words, p) only — no (w, b) pins
+    val oldConf = Seq((5L, "0")).toDF("min_words", "p")
+    cat.overwriteGroupIf("c__idx",
+      Seq(GroupBatch("conf", oldConf, "p", Seq("0"))), -1L)
+    val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 1)
+    }
+    assert(e.getMessage.contains("rebuildIndexes"), e.getMessage)
+    CorpusStore.rebuildIndexes(cat, "c", "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    val nine = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 9L).get
+    assert(nine.getString(2) == "qq rr ss tt uu vv", nine.toString)
   }
 }

@@ -330,4 +330,47 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(perfect.getLong(1) == 1000000L && perfect.getLong(2) == 1000000L &&
       perfect.getLong(3) == 1000000L, perfect.toString)
   }
+
+  test("winnowedGramKeys: w=1 is exact, selections are a subset, and the " +
+      "guarantee holds for spans >= minWords + w - 1") {
+    import spark.implicits._
+    import graft.dedup.SubstringDedup
+    val texts = sample(40).filter(_.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val toks = SubstringDedup.tokenFrame(df, "id", "text")
+    def keySet(w: Int) =
+      SubstringDedup.winnowedGramKeys(toks, "id", 3, w)
+        .select(col("id"), col("gram_h.h1"), col("gram_h.h2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val exact = keySet(1)
+    val full = SubstringDedup.gramKeys(toks, "id", 3)
+      .select(col("id"), col("gram_h.h1"), col("gram_h.h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == full, "w=1 must select every distinct gram key")
+    val sampled = keySet(4)
+    assert(sampled.subsetOf(exact), "winnowed keys must come from gramKeys")
+    assert(sampled.nonEmpty && sampled.size < exact.size)
+    // every doc with at least one gram keeps at least one fingerprint
+    assert(sampled.map(_._1) == exact.map(_._1))
+    // the winnowing guarantee: docs sharing an INTERNAL span of
+    // minWords + w - 1 = 3 + 4 - 1 = 6 words select a common key, for
+    // every alignment of the span within the two docs
+    (0 until 20).foreach { k =>
+      val span = (0 until 6).map(j => s"s${k}w$j").mkString(" ")
+      val pre = (0 until k % 5).map(j => s"a${k}x$j").mkString(" ")
+      val suf = (0 until (k + 2) % 4).map(j => s"z${k}y$j").mkString(" ")
+      val pair = Seq((1L, s"$pre $span $suf".trim),
+        (2L, s"other${k}lead words$k $span tail$k".trim))
+        .toDF("id", "text")
+      val pToks = SubstringDedup.tokenFrame(pair, "id", "text")
+      val sel = SubstringDedup.winnowedGramKeys(pToks, "id", 3, 4)
+        .select(col("id"), col("gram_h.h1"), col("gram_h.h2"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      val common = sel.filter(_._1 == 1L).map(_._2).toSet
+        .intersect(sel.filter(_._1 == 2L).map(_._2).toSet)
+      assert(common.nonEmpty, s"alignment $k: no shared fingerprint")
+    }
+  }
 }

@@ -701,7 +701,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String, String)](spark)
     val q = StreamingIngest.streamIntoCorpusStore(
       input.toDF().toDF("doc_id", "source", "text"), cat, "c",
-      "doc_id", "text", "source", minWords = 5)
+      "doc_id", "text", "source", minWords = 5, winnowW = 1)
     val passage = "alpha beta gamma delta epsilon zeta"
     val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
       "text")

@@ -4,7 +4,6 @@ dumps against DuckDB running oracle_sql.json on the same source tables.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import gc
 import json
 import os
 import sys
@@ -33,7 +32,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 # gets back — after ~160 oracles the in-process DuckDB hit a SYSTEM
 # allocation failure with plenty of box RAM nominally free. The
 # duckdb-side compare is exact and streams; route anything past 1M rows
-# through it and gc-collect per query.
+# through it (the subprocess-per-query isolation in main() handles the
+# arena growth — each child starts at zero RSS).
 BIG_ROWS = 1_000_000
 
 
@@ -195,5 +195,17 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) == 5 and sys.argv[3] == "--one":
-        sys.exit(check_one(sys.argv[1], sys.argv[2], sys.argv[4]))
+        # a child dying on an uncaught exception exits rc=1, which the
+        # parent counts as FAIL without a named '✗' line (only rc not in
+        # {0,1,2} got one) — print the line here so every failure mode
+        # names its query (r15 ADVICE)
+        try:
+            sys.exit(check_one(sys.argv[1], sys.argv[2], sys.argv[4]))
+        except SystemExit:
+            raise
+        except BaseException as e:
+            import traceback
+            traceback.print_exc()
+            print(f"  ✗ {sys.argv[4]}: [exception {type(e).__name__}: {e}]")
+            sys.exit(1)
     sys.exit(main(sys.argv[1], sys.argv[2]))
