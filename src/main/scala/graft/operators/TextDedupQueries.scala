@@ -926,27 +926,29 @@ object TextDedupQueries {
            |FROM allr ORDER BY doc_id""".stripMargin
       }),
 
-    // ---- snapshot DIFF (r15): what did the commit DO — q222's time
-    // travel reads two pinned versions; this classifies every
-    // (id, source) row across them. Phase 1 commits the corpus (v1);
-    // phase 2 ingests one batch that exercises all three mutation
+    // ---- snapshot DIFF (r15; model updated r16): what did the commit
+    // DO — q222's time travel reads two pinned versions; this classifies
+    // every (id, source) row across them. Phase 1 commits the corpus
+    // (v1); phase 2 ingests one batch that exercises all three mutation
     // classes: every src2 doc re-ingested with one extra unique token
     // (→ changed), every third src3 doc moved to a new source (→
     // removed from src3 + added to diff_moved, through the docs-index
     // conflict path), everything else untouched (→ same). The diff is
     // keyed on (id, source), so a moved doc charges BOTH partitions —
     // the per-partition accounting a storage audit wants. Oracle
-    // reconstructs v1 (the writeDeduped CTE chain), applies the same
-    // mutations in SQL, and full-outer-joins the two states — INCLUDING
-    // the working-set re-dedup: a touched source's stored rows re-run
-    // normalize-dedup with the batch, so two POST-STRIP-identical texts
-    // (e.g. fully-stripped empties, one moved + one staying) collapse to
-    // the min id — the r15 ~sf1 red row: the first oracle took the
-    // transformed rows verbatim and missed exactly that collapse. The
-    // gram probe and the keep-one strip both provably no-op here (every
-    // body gram's only occurrence is its own touched-source row, and
-    // suffixed windows are unique), so the one normalized-md5 group-by
-    // below is the COMPLETE v2 model.
+    // reconstructs v1 (the writeDeduped CTE chain), applies the r16
+    // O(batch) ingest contract in SQL, and full-outer-joins the two
+    // states. That contract: surviving stored rows (ids not re-ingested)
+    // are NEVER touched; a batch row whose normalized text equals a
+    // surviving stored row's is DROPPED (stored-wins, the hash-index
+    // probe — this is where two post-strip-identical texts meet, e.g. a
+    // fully-stripped empty that moved against one that stayed, the class
+    // the r15 ~sf1 red row taught); remaining batch rows collapse to the
+    // min id per normalized text WITHIN the batch. The gram probe and
+    // the keep-one strip both provably no-op here (every body gram's
+    // only other occurrence is its own replaced row — excluded — and
+    // suffixed windows are unique), so the two hash CTEs below are the
+    // COMPLETE v2 model.
     Q("q233_snapshot_diff",
       (s, d) => {
         val t = Tables(s, d)
@@ -997,18 +999,22 @@ object TextDedupQueries {
            |  FROM v1 WHERE source = 'src2'),
            |mv AS (SELECT doc_id, 'diff_moved' AS source, text, nt
            |  FROM v1 WHERE source = 'src3' AND doc_id % 3 = 0),
-           |rem AS (SELECT doc_id, source, text, nt FROM v1
-           |  WHERE source = 'src3' AND doc_id % 3 <> 0),
-           |ws AS (SELECT doc_id, source, text, nt FROM md
-           |  UNION ALL SELECT doc_id, source, text, nt FROM mv
-           |  UNION ALL SELECT doc_id, source, text, nt FROM rem),
-           |wkeep AS (SELECT min(doc_id) AS kid FROM ws
+           |sv AS (SELECT doc_id, source, text, nt FROM v1
+           |  WHERE source <> 'src2'
+           |    AND NOT (source = 'src3' AND doc_id % 3 = 0)),
+           |bt AS (SELECT doc_id, source, text, nt FROM md
+           |  UNION ALL SELECT doc_id, source, text, nt FROM mv),
+           |b1 AS (SELECT * FROM bt
+           |  WHERE md5(${graft.dedup.Normalize.normalizeSql("text")})
+           |    NOT IN (SELECT
+           |      md5(${graft.dedup.Normalize.normalizeSql("text")})
+           |    FROM sv)),
+           |bkeep AS (SELECT min(doc_id) AS kid FROM b1
            |  GROUP BY md5(${graft.dedup.Normalize.normalizeSql("text")})),
-           |v2t AS (SELECT * FROM ws
-           |  WHERE doc_id IN (SELECT kid FROM wkeep)),
-           |v2 AS (SELECT doc_id, source, text, nt FROM v1
-           |    WHERE source <> 'src2' AND source <> 'src3'
-           |  UNION ALL SELECT doc_id, source, text, nt FROM v2t),
+           |b2 AS (SELECT * FROM b1
+           |  WHERE doc_id IN (SELECT kid FROM bkeep)),
+           |v2 AS (SELECT doc_id, source, text, nt FROM sv
+           |  UNION ALL SELECT doc_id, source, text, nt FROM b2),
            |j AS (SELECT COALESCE(a.source, c.source) AS source,
            |    a.text AS t1, c.text AS t2, a.nt AS n1, c.nt AS n2
            |  FROM v1 a FULL OUTER JOIN v2 c

@@ -99,20 +99,73 @@ object CorpusStore {
     val out = strippedF
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // verify the index pins BEFORE the data commit (mirrors
-      // ingestBatch's fail-fast, r15 ADVICE): a mismatched pin otherwise
-      // threw only after the data version advanced with the new strip
-      // while the index kept the old pin and entries
+      // verify the index pins and data layout BEFORE the data commit
+      // (mirrors ingestBatch's fail-fast, r15 ADVICE): a mismatched pin
+      // otherwise threw only after the data version advanced with the new
+      // strip while the index kept the old pin and entries
       requireIndexReady(cat, table, minWords, winnowW, buckets)
+      requireDataLayout(cat, table)
       // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
       // touched-partition convention — never a corpus-sized collect
       val touched = out.select(col(sourceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
-      val v = cat.overwritePartitions(table, out, sourceCol, touched)
+      val v = commitData(cat, table, out, idCol, sourceCol, buckets,
+        touched)
       commitIndexes(cat, table, out, idCol, textCol, sourceCol, minWords,
         winnowW, buckets, touched)
       v
     } finally { out.unpersist(); cleanup(); () }
+  }
+
+  /** Commit `out` as the full new content of the `touched` SOURCES of the
+    * bucketed data table: rows land in `pmod(id, b)#source` partitions
+    * (one file per bucket, sorted by id), and every existing bucket of a
+    * touched source is in the overwrite set so emptied buckets drop.
+    * Bucketing the DATA like the indexes is what bounds an incremental
+    * commit's write amplification: a small batch into a huge source
+    * rewrites only the id-buckets it lands in, never the whole source
+    * (the r15 hot-source finding).
+    */
+  private def commitData(cat: Catalog, table: String, out: DataFrame,
+      idCol: String, sourceCol: String, buckets: Int,
+      touched: Seq[String]): Long = {
+    val tset = touched.toSet
+    val old = cat.partitionManifest(table).keysIterator
+      .filter(p => tset.contains(partSource(p))).toSeq
+    val fresh = out.select(idxPart(pmod(col(idCol), lit(buckets.toLong)),
+        col(sourceCol)).as("_graft_part"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    commitDataParts(cat, table, out, idCol, sourceCol, buckets,
+      (old ++ fresh).distinct)
+  }
+
+  /** commit `out` as the full new content of exactly the `touched` data
+    * partitions (part values, not sources) — the incremental-commit core:
+    * one file per bucket dir, sorted by id
+    */
+  private def commitDataParts(cat: Catalog, table: String, out: DataFrame,
+      idCol: String, sourceCol: String, buckets: Int,
+      touched: Seq[String]): Long = {
+    val df = out.withColumn("_graft_part",
+        idxPart(pmod(col(idCol), lit(buckets.toLong)), col(sourceCol)))
+      .repartition(col("_graft_part"))
+      .sortWithinPartitions(col("_graft_part"), col(idCol))
+    cat.overwritePartitions(table, df, "_graft_part", touched)
+  }
+
+  /** the data-layout fail-fast twin of [[requireIndexReady]]: a store
+    * whose data partitions are source-named (committed before data
+    * bucketing, r16) must be migrated by [[rebuildIndexes]] before any
+    * incremental commit — part names are how dirty buckets resolve, so a
+    * legacy part would silently hide its stored rows from the merge
+    */
+  private def requireDataLayout(cat: Catalog, table: String): Unit = {
+    val legacy = cat.partitionManifest(table).keysIterator
+      .filter(!_.contains('#')).toSeq
+    require(legacy.isEmpty,
+      s"corpus table '$table' has source-partitioned (pre-bucketing) data " +
+        s"partitions ${legacy.take(3).mkString("[", ", ", "]")}…; run " +
+        "rebuildIndexes to migrate the store to the bucketed layout")
   }
 
   /** the stored-corpus schema ([[strippedCorpus]]'s output) */
@@ -128,12 +181,12 @@ object CorpusStore {
 
   // ---------------- store-wide dedup indexes ----------------
   // ONE slim group table (`<table>__idx`) rides alongside every corpus
-  // table, holding two sub-tables committed ATOMICALLY (one manifest, one
-  // `_LATEST` flip — the Catalog group-commit machinery), each partitioned
-  // by (bucket, source) — the source dimension keeps rewrites
-  // commit-granular (a commit that rewrites source S's data rewrites S's
-  // index partitions and no others), the bucket dimension makes the
-  // per-batch PROBE prunable (see below):
+  // table, holding three sub-tables committed ATOMICALLY (one manifest,
+  // one `_LATEST` flip — the Catalog group-commit machinery), each
+  // partitioned by (bucket, source) like the data table itself — the
+  // source dimension keeps full-source rewrites commit-granular, the
+  // bucket dimension makes both the per-batch PROBE and the per-batch
+  // WRITE prunable (see below):
   //   docs   (id, source)          — one row per stored doc,
   //       bucketed by pmod(id, b)
   //   grams  (h1, h2, id, source)  — one row per WINNOW-SELECTED
@@ -141,24 +194,30 @@ object CorpusStore {
   //       same 16-byte key definition queries and probes share —
   //       bucketed by pmod(h1, b), sorted by h1 within each bucket's
   //       files (row groups cover narrow h1 ranges)
+  //   hashes (th, id, source)      — one row per stored doc, th =
+  //       xxhash64(normalized text), bucketed by pmod(th, b)
   // They are what lets ingestBatch enforce store-WIDE semantics while
   // touching only the batch's partitions: the docs index finds a doc_id
-  // re-ingested under a different source (its old partition must drop the
-  // old copy — same-id upsert across partitions), and the gram index finds
-  // a batch passage duplicating an UNTOUCHED source's text (the reference's
-  // indexed cluster_values probe, Storage.java:370-400).
+  // re-ingested under a different source (its old bucket must drop the
+  // old copy — same-id upsert across partitions), the gram index finds a
+  // batch passage duplicating any stored doc's text (the reference's
+  // indexed cluster_values probe, Storage.java:370-400), and the hash
+  // index finds whole-document exact duplicates with no length floor.
   //
-  // Probe cost at scale (the r15 "one thing between ingestBatch and
-  // 100 TB"): winnowing cuts index rows AND probe keys to ~2/(w+1) of
-  // gram positions, and the probe reads ONLY the index buckets named by
-  // the batch's own key set — with the bucket count `b` sized to the
-  // store (fixed target bucket bytes; rebuildIndexes re-buckets as the
-  // store grows, like a B-tree splitting), per-batch probe I/O is
-  // O(batch keys × bucket size), the B-tree-leaf bound, instead of
-  // O(store index). Detection floor: shared spans ≥ minWords + w − 1
-  // words are ALWAYS caught (the winnowing guarantee, documented at
-  // winnowedGramKeys); shorter shared spans heal at the next full
-  // writeDeduped. (minWords, w, b) are pinned per table in the conf sub.
+  // Probe and write cost at scale (the r15 "one thing between
+  // ingestBatch and 100 TB", items 1+2): winnowing cuts gram-index rows
+  // AND probe keys to ~2/(w+1) of gram positions; each probe reads ONLY
+  // the index buckets named by the batch's own key set; the data commit
+  // rewrites ONLY the id-buckets the batch lands in. With the bucket
+  // count `b` sized to the store (fixed target bucket bytes;
+  // rebuildIndexes re-buckets as the store grows, like a B-tree
+  // splitting), per-batch I/O is O(batch keys × bucket size), the
+  // B-tree-leaf bound, instead of O(store index) or O(hottest source).
+  // Detection floor: shared spans ≥ minWords + w − 1 words are ALWAYS
+  // caught (the winnowing guarantee, documented at winnowedGramKeys);
+  // exact whole-doc dups always (hash index); shorter shared spans heal
+  // at the next full writeDeduped. (minWords, w, b) are pinned per table
+  // in the conf sub.
   //
   // Staleness discipline: the index group commits AFTER the data table and
   // BEFORE the stream-state high-water mark. A crash between data and index
@@ -209,6 +268,26 @@ object CorpusStore {
     StructType(Seq(StructField("h1", LongType), StructField("h2", LongType),
       StructField(idCol, LongType), StructField(sourceCol, StringType)))
   }
+
+  /** the hash-index schema: one (th, id, source) row per stored doc with
+    * th = xxhash64 of the doc's NORMALIZED committed text — the
+    * whole-document exact-dup probe key (no gram-length floor: a 3-token
+    * exact dup is as findable as a 3000-token one). 64-bit collisions and
+    * stale entries are both neutralized by the probe's confirmation
+    * re-read of the hit docs' current text. Bucketed by pmod(th, b).
+    */
+  def hashIndexSchema(idCol: String, sourceCol: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("th", LongType),
+      StructField(idCol, LongType), StructField(sourceCol, StringType)))
+  }
+
+  /** the exact-dup probe key: xxhash64 over the normalized text (the SAME
+    * normalization [[strippedCorpus]]'s exact-dedup groups by)
+    */
+  private def thCol(textCol: String): Column =
+    xxhash64(Normalize.normalizeText(col(textCol)))
 
   private def confSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -291,8 +370,9 @@ object CorpusStore {
       .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
     cat.overwriteGroupIf(indexTable(table),
       indexBatches(cat, table, gramRows,
-        out.select(col(idCol), col(sourceCol)), idCol, sourceCol, minWords,
-        winnowW, buckets, touched), -1L)
+        out.select(col(idCol), col(sourceCol)),
+        out.select(thCol(textCol).as("th"), col(idCol), col(sourceCol)),
+        idCol, sourceCol, minWords, winnowW, buckets, touched), -1L)
     ()
   }
 
@@ -325,15 +405,18 @@ object CorpusStore {
     * [[requireIndexReady]])
     */
   private def indexBatches(cat: Catalog, table: String, gramRows: DataFrame,
-      docRows: DataFrame, idCol: String, sourceCol: String, minWords: Int,
-      winnowW: Int, buckets: Int, touched: Seq[String]): Seq[GroupBatch] = {
+      docRows: DataFrame, hashRows: DataFrame, idCol: String,
+      sourceCol: String, minWords: Int, winnowW: Int, buckets: Int,
+      touched: Seq[String]): Seq[GroupBatch] = {
     val manifest = cat.snapshot(indexTable(table))._2
     val b = buckets.toLong
     val base = Seq(
       idxBatch("grams", gramRows, pmod(col("h1"), lit(b)), "h1",
         sourceCol, subParts(manifest, "grams"), touched),
       idxBatch("docs", docRows, pmod(col(idCol), lit(b)), idCol,
-        sourceCol, subParts(manifest, "docs"), touched))
+        sourceCol, subParts(manifest, "docs"), touched),
+      idxBatch("hashes", hashRows, pmod(col("th"), lit(b)), "th",
+        sourceCol, subParts(manifest, "hashes"), touched))
     if (manifest.contains("conf/0")) base
     else base :+ confBatch(docRows.sparkSession, minWords, winnowW, buckets)
   }
@@ -362,11 +445,35 @@ object CorpusStore {
   def rebuildIndexes(cat: Catalog, table: String, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
       winnowW: Int = 8, buckets: Int = 16): Long = {
-    val stored = cat.readPartitionedOr(table,
+    val full = cat.readPartitionedOr(table,
         storedSchema(idCol, sourceCol, textCol))
-      .select(col(idCol), col(sourceCol), col(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      full.count() // materialize BEFORE any data rewrite below
+      // migrate the DATA layout when needed: source-partitioned legacy
+      // parts, or a bucket-count pin change (part names are how dirty
+      // buckets resolve, so data bucketing must track the conf pin).
+      // Every existing part is in the overwrite set so old names drop.
+      val dataMf = cat.partitionManifest(table)
+      val confMf = cat.snapshot(indexTable(table))._2
+      val oldB: Option[Long] =
+        if (!confMf.contains("conf/0")) None
+        else {
+          val row = cat.readGroupOr(indexTable(table), confMf, "conf",
+            confSchema).head()
+          if (row.isNullAt(2)) None else Some(row.getLong(2))
+        }
+      val needRewrite = dataMf.nonEmpty &&
+        (dataMf.keysIterator.exists(!_.contains('#')) ||
+          !oldB.contains(buckets.toLong))
+      if (needRewrite) {
+        val fresh = full.select(idxPart(pmod(col(idCol),
+            lit(buckets.toLong)), col(sourceCol)).as("_graft_part"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        commitDataParts(cat, table, full, idCol, sourceCol, buckets,
+          (dataMf.keys.toSeq ++ fresh).distinct)
+      }
+      val stored = full.select(col(idCol), col(sourceCol), col(textCol))
       val manifest = cat.snapshot(indexTable(table))._2
       val toks = SubstringDedup.tokenFrame(
         stored.select(col(idCol), col(textCol)), idCol, textCol)
@@ -377,6 +484,8 @@ object CorpusStore {
         .join(stored.select(col(idCol), col(sourceCol)), Seq(idCol))
         .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
       val docRows = stored.select(col(idCol), col(sourceCol))
+      val hashRows = stored.select(thCol(textCol).as("th"), col(idCol),
+        col(sourceCol))
       // touched = EVERY existing index partition (whatever its layout —
       // the pre-bucketing source-only names included, so legacy and
       // vanished-source entries drop) ∪ the rebuilt rows' own parts; a
@@ -395,8 +504,10 @@ object CorpusStore {
           sourceCol, subParts(manifest, "grams"), allSources("grams")),
         idxBatch("docs", docRows, pmod(col(idCol), lit(b)), idCol,
           sourceCol, subParts(manifest, "docs"), allSources("docs")),
+        idxBatch("hashes", hashRows, pmod(col("th"), lit(b)), "th",
+          sourceCol, subParts(manifest, "hashes"), allSources("hashes")),
         confBatch(stored.sparkSession, minWords, winnowW, buckets)), -1L)
-    } finally { stored.unpersist(); () }
+    } finally { full.unpersist(); () }
   }
 
   /** the whole stored corpus at a PINNED snapshot version (the manifest a
@@ -457,55 +568,59 @@ object CorpusStore {
     *    high-water mark): an at-least-once foreachBatch replay after
     *    restart commits each batch id at most once, so snapshot versions
     *    stay monotone with NO duplicate content commits;
-    *  2. a doc id re-ingested under a DIFFERENT source is found in the
-    *    docs index and its old partition joins the touched set, so the
-    *    old copy is dropped — same-id upsert holds across partitions,
-    *    never just within one;
-    *  3. stored rows of the touched sources merge with the batch
-    *    (batch rows override same-id stored rows — latest-version-wins,
-    *    the T6 upsert semantics), untouched source partitions keep their
-    *    files;
-    *  4. the batch PROBES the store-wide gram index: a batch passage
-    *    duplicating an UNTOUCHED source's text is confirmed against that
-    *    doc's current stored text and stripped from the batch doc before
-    *    the merge (the stored copy is canonical unconditionally — it
-    *    committed first), so store-wide keep-one holds at ingest, not
-    *    just at the next full [[writeDeduped]];
-    *  5. the merged working set re-runs the SAME normalize-dedup +
-    *    keep-one strip the batch path uses (within-batch and
-    *    touched-source dups, min-id canonical);
-    *  6. both index tables' touched partitions rebuild from the committed
-    *    rows, then the high-water mark advances.
+    *  2. same-id upsert, store-wide: a re-ingested doc id replaces its
+    *    stored copy wherever it lives — same bucket partition when the
+    *    source matches, and across sources via the docs-index conflict
+    *    probe (the old copy's bucket joins the dirty set and drops it);
+    *  3. the batch probes the store-wide HASH index first: a batch doc
+    *    whose normalized text exactly equals an unreplaced stored doc's
+    *    is dropped entirely — whole-document exact dedup with NO length
+    *    floor, confirmed against current stored text;
+    *  4. the surviving docs probe the store-wide GRAM index: a batch
+    *    passage duplicating ANY unreplaced stored doc's text is
+    *    confirmed against that doc's current stored text and stripped
+    *    from the batch doc (the stored copy is canonical
+    *    unconditionally — it committed first), so store-wide keep-one
+    *    holds at ingest, not just at the next full [[writeDeduped]];
+    *  5. the batch alone then runs the normalize-dedup + keep-one strip
+    *    (min-id canonical WITHIN the batch); stored rows are never
+    *    re-deduped, re-stripped, or rewritten at ingest — per-batch
+    *    compute and I/O are O(batch + hits + dirty buckets), never
+    *    O(source) (the r15 hot-source finding);
+    *  6. the index group's touched bucket partitions merge incrementally
+    *    ([[mergeIndexes]]), then the high-water mark advances.
     *
     * Returns the committed version, or the current version when the batch
     * was a replay / empty. Contracts: `minWords`/`minDocs`/`winnowW`/
     * `buckets` must be the same values every commit of `table` uses (the
-    * index shape is pinned; [[rebuildIndexes]] migrates); cross-source
-    * duplication against UNTOUCHED sources is caught with the winnowing
-    * guarantee — shared spans ≥ `minWords + winnowW − 1` words always,
-    * shorter ones best-effort (and whole-doc exact dups only when the doc
-    * carries ≥ `minWords` tokens — the strip's granularity floor); the
-    * next full [[writeDeduped]] still collapses everything ≥ `minWords`.
-    * Stored text is already stripped, so the audit counters
-    * (`n_tokens_before` &c.) describe this commit's increment, not the
-    * document's original form. Commit order is data → index group →
-    * state mark: the state write lands last, so a crash anywhere re-runs
-    * the whole batch on replay (idempotent content, one extra version)
-    * and missing index entries heal; stale gram entries can never
-    * over-strip (hits confirm against current stored text before any
-    * removal).
+    * index shape is pinned; [[rebuildIndexes]] migrates); duplication
+    * against stored docs is caught with the winnowing guarantee — shared
+    * spans ≥ `minWords + winnowW − 1` words always, shorter ones
+    * best-effort, whole-document exact dups always (the hash index);
+    * stored-canonical at ingest means a batch doc never displaces an
+    * unreplaced stored doc, whatever their ids — the next full
+    * [[writeDeduped]] restores global min-id canonicality and collapses
+    * anything ≥ `minWords` the winnowed probe sampled past. Stored text
+    * is already stripped, so the audit counters (`n_tokens_before` &c.)
+    * describe this commit's increment, not the document's original form.
+    * Commit order is data → index group → state mark: the state write
+    * lands last, so a crash anywhere re-runs the whole batch on replay
+    * (idempotent content, one extra version) and missing index entries
+    * heal; stale index entries can never over-strip or over-drop (every
+    * hit confirms against current stored text before any action — see
+    * [[mergeIndexes]] for the one bounded stale-row window).
     *
-    * Scale shape: both probes read ONLY the index bucket partitions named
-    * by the batch's own key sets (winnowed gram keys / doc ids — the
-    * pruning is lossless: a matching index row's bucket is by definition
-    * in the batch's bucket set), hash-joined against the broadcast batch
-    * keys. With `buckets` sized to the store (fixed target bucket bytes;
-    * [[rebuildIndexes]] re-buckets as the store grows), per-batch probe
-    * I/O is O(batch keys × bucket size) — the B-tree-leaf bound of the
-    * reference's indexed cluster_values probe (Storage.java:370-400) —
-    * not O(store index). The confirmation re-read is bounded by hit
-    * docs; everything else touches only batch-sized or touched-partition
-    * frames.
+    * Scale shape: all three probes read ONLY the index bucket partitions
+    * named by the batch's own key sets (winnowed gram keys / doc ids /
+    * text hashes — the pruning is lossless: a matching index row's
+    * bucket is by definition in the batch's bucket set), hash-joined
+    * against the broadcast batch keys. With `buckets` sized to the store
+    * (fixed target bucket bytes; [[rebuildIndexes]] re-buckets as the
+    * store grows), per-batch probe I/O is O(batch keys × bucket size) —
+    * the B-tree-leaf bound of the reference's indexed cluster_values
+    * probe (Storage.java:370-400) — not O(store index). The data write
+    * rewrites only dirty bucket partitions; confirmation re-reads are
+    * bounded by hit docs.
     */
   def ingestBatch(cat: Catalog, table: String, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String, sourceCol: String,
@@ -540,123 +655,236 @@ object CorpusStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     try {
-      // the touched set = batch sources ∪ same-id-different-source
-      // CONFLICT sources (docs-index probe: a doc_id re-ingested under a
-      // new source leaves an old copy whose partition must rewrite
-      // without it). One union, ONE collect — bounded by source count
-      // (config-scale, the Reservoir.ingest convention); the batch id
-      // set broadcasts (micro-batch-bounded), the index side reads only
-      // the id-buckets the batch names.
-      // ONE pinned index snapshot serves the whole batch; the index-shape
-      // pins and the half-indexed-store guard run BEFORE any probe and
-      // before the data commit (fail fast — a mismatched pin or a legacy
-      // store would silently find nothing)
+      // fail fast BEFORE any probe or commit: index-shape pins, the
+      // half-indexed-store guard, and the data-layout guard
       requireIndexReady(cat, table, minWords, winnowW, buckets)
+      requireDataLayout(cat, table)
+      // ONE pinned snapshot of each table serves the whole batch
       val (_, idxManifest) = cat.snapshot(indexTable(table))
+      val (_, dataManifest) = cat.snapshot(table)
       val b = buckets.toLong
-      def prunedParts(sub: String, batchBuckets: Set[Long],
-          excludeSources: Set[String]): Seq[String] =
-        subParts(idxManifest, sub).filter(p =>
-          batchBuckets.contains(partBucket(p)) &&
-            !excludeSources.contains(partSource(p)))
-      val idBuckets = incoming
-        .select(pmod(col(idCol), lit(b)).as("_graft_b")).distinct()
-        .collect().map(_.getLong(0)).toSet // bounded: <= buckets values
+      def prunedParts(sub: String, batchBuckets: Set[Long]): Seq[String] =
+        subParts(idxManifest, sub)
+          .filter(p => batchBuckets.contains(partBucket(p)))
+      def partVals(df: DataFrame, bucket: Column): Seq[String] =
+        df.select(idxPart(bucket, col(sourceCol)).as("_graft_part"))
+          .distinct().collect().map(_.getString(0)).toSeq
+      def bucketsOf(df: DataFrame, c: Column): Set[Long] =
+        df.select(pmod(c, lit(b)).as("_graft_b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      val batchIds = incoming.select(col(idCol))
+      // DIRTY data partitions = the buckets the batch's ids land in, plus
+      // the buckets holding a conflicting old copy (same id re-ingested
+      // under a DIFFERENT source — found in the docs index, pruned to the
+      // batch's id-buckets; bucket is a function of id alone, so the old
+      // copy shares the batch doc's bucket number under its old source).
+      // Every collect here is bounded by batch size × bucket count.
+      val idBuckets = bucketsOf(incoming, col(idCol))
       val docsIdx = cat.readManifestParts(indexTable(table), idxManifest,
-        docsIndexSchema(idCol, sourceCol),
-        prunedParts("docs", idBuckets, Set.empty), "docs")
-      val conflictSources = docsIdx
-        .join(broadcast(incoming.select(col(idCol),
-          col(sourceCol).as("_graft_new_src"))), Seq(idCol))
-        .filter(col(sourceCol) =!= col("_graft_new_src"))
-        .select(col(sourceCol))
-      val touched = incoming.select(col(sourceCol))
-        .unionByName(conflictSources).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val stored = cat.readPartitionsOr(table,
-          storedSchema(idCol, sourceCol, textCol), touched)
-        .select(col(idCol), col(sourceCol), col(textCol))
-        .join(incoming.select(col(idCol)), Seq(idCol), "left_anti")
-      // gram-probe the UNTOUCHED rest of the store (touched sources'
-      // stored rows are in the working set — keep-one handles them with
-      // min-id canonicality, and a replaced doc's stale grams must not
-      // strip its own new version). Both probe sides winnow with the SAME
-      // pinned window, so the detection guarantee above holds; only the
-      // index buckets named by the batch's own key set are read.
+        docsIndexSchema(idCol, sourceCol), prunedParts("docs", idBuckets),
+        "docs")
+      val conflictParts = partVals(
+        docsIdx.join(broadcast(incoming.select(col(idCol),
+            col(sourceCol).as("_graft_new_src"))), Seq(idCol))
+          .filter(col(sourceCol) =!= col("_graft_new_src")),
+        pmod(col(idCol), lit(b)))
+      val dirtyParts =
+        (partVals(incoming, pmod(col(idCol), lit(b))) ++ conflictParts)
+          .distinct
+      // dirty-part stored rows split into REPLACED (ids this batch
+      // re-ingests — the old copies leave the store, and their index
+      // entries merge out below) and PASS-THROUGH bucket neighbours,
+      // committed again verbatim: stored rows are never re-deduped or
+      // re-stripped at ingest
+      val dirty = cat.readManifestParts(table, dataManifest,
+          storedSchema(idCol, sourceCol, textCol), dirtyParts)
+        .persist(lvl) // replaced + passThrough both read it
+      val replaced = dirty.join(broadcast(batchIds), Seq(idCol))
+        .persist(lvl) // old-key recompute ×2 in the index merge
+      val passThrough = dirty.join(broadcast(batchIds), Seq(idCol),
+        "left_anti")
+      // whole-document exact-dup probe FIRST (hash index): a batch doc
+      // whose NORMALIZED text exactly equals an unreplaced stored doc's
+      // is DROPPED entirely (stored-wins, like the batch path's
+      // normalize-dedup drop) — confirmed against the stored docs'
+      // current text, so stale entries and 64-bit collisions can never
+      // wrongly drop. No gram-length floor: this closes the old "short
+      // exact dups slip through until the next writeDeduped" caveat for
+      // whole documents. Runs BEFORE the gram pre-strip, so an exact dup
+      // is dropped, never stripped-to-empty-and-kept.
+      val inTh = incoming.select(col(idCol).as("_graft_bid"),
+        thCol(textCol).as("th"))
+      val thBuckets = bucketsOf(inTh, col("th"))
+      val hashesIdx = cat.readManifestParts(indexTable(table),
+        idxManifest, hashIndexSchema(idCol, sourceCol),
+        prunedParts("hashes", thBuckets), "hashes")
+      val cand = hashesIdx.join(broadcast(inTh), Seq("th"))
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .persist(lvl) // part collect + the confirm join
+      val candParts = partVals(cand, pmod(col(idCol), lit(b)))
+      val candStored = cat.readManifestParts(table, dataManifest,
+          storedSchema(idCol, sourceCol, textCol), candParts)
+        .select(col(idCol),
+          Normalize.normalizeText(col(textCol)).as("_graft_sn"))
+      val dropIds = cand.select(col(idCol), col("_graft_bid"))
+        .join(candStored, Seq(idCol))
+        .join(incoming.select(col(idCol).as("_graft_bid"),
+          Normalize.normalizeText(col(textCol)).as("_graft_bn")),
+          Seq("_graft_bid"))
+        .filter(col("_graft_sn") === col("_graft_bn"))
+        .select(col("_graft_bid").as(idCol)).distinct()
+      val kept = incoming.join(dropIds, Seq(idCol), "left_anti")
+      // gram-probe the store with the surviving docs: stored docs are
+      // canonical at ingest (they committed first) — a batch passage
+      // duplicating ANY unreplaced stored doc's text is confirmed
+      // against that doc's CURRENT text (a stale index entry yields no
+      // confirmed gram) and stripped from the batch. Only the ids this
+      // batch replaces are excluded (their stale grams must not strip
+      // their own new versions). Both probe sides winnow with the SAME
+      // pinned window; only the index buckets named by the batch's own
+      // key set are read.
       val batchToks = SubstringDedup.tokenFrame(
-          incoming.select(col(idCol), col(textCol)), idCol, textCol)
+          kept.select(col(idCol), col(textCol)), idCol, textCol)
         .persist(lvl) // feeds the probe grams AND the pre-strip
       val batchKeys = SubstringDedup
         .winnowedGramKeys(batchToks, idCol, minWords, winnowW)
         .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
         .distinct()
         .persist(lvl) // consumed by the bucket collect AND the probe join
-      val keyBuckets = batchKeys
-        .select(pmod(col("h1"), lit(b)).as("_graft_b")).distinct()
-        .collect().map(_.getLong(0)).toSet // bounded: <= buckets values
+      val keyBuckets = bucketsOf(batchKeys, col("h1"))
       val gramsIdx = cat.readManifestParts(indexTable(table), idxManifest,
         gramIndexSchema(idCol, sourceCol),
-        prunedParts("grams", keyBuckets, touched.toSet), "grams")
+        prunedParts("grams", keyBuckets), "grams")
       val hits = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))
         .select(col(idCol), col(sourceCol)).distinct()
-        .persist(lvl) // consumed by the source collect AND the id semi-join
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .persist(lvl) // consumed by the part collect AND the id semi-join
       try {
-        // bounded: one row per hit SOURCE (config-scale)
-        val hitSources = hits.select(col(sourceCol)).distinct()
-          .collect().map(_.getString(0)).toSeq
-        // confirmation + pre-strip: hit docs re-gram from their CURRENT
-        // stored text (a stale index entry yields no confirmed gram), and
-        // every batch span covered by a confirmed gram is removed — the
-        // stored copy stays canonical and its partition stays untouched
-        val context = cat.readPartitionsOr(table,
-            storedSchema(idCol, sourceCol, textCol), hitSources)
+        val hitParts = partVals(hits, pmod(col(idCol), lit(b)))
+        val context = cat.readManifestParts(table, dataManifest,
+            storedSchema(idCol, sourceCol, textCol), hitParts)
           .join(hits.select(col(idCol)), Seq(idCol))
           .select(col(idCol), col(textCol))
         val ctxToks = SubstringDedup.tokenFrame(context, idCol, textCol)
         val preSpans = SubstringDedup.containedSpans(batchToks, ctxToks,
           idCol, minWords)
+        // EAGER localCheckpoint, not persist: `pre` is referenced (via
+        // bdocs / the audit merge) repeatedly, and a persist keeps the
+        // whole probe chain in every consumer's LOGICAL plan — the
+        // composed plan string grew multiplicatively and OOM'd the
+        // driver at AQE's explain formatting. Checkpointing truncates
+        // lineage to a flat scan of the (batch-sized) materialized rows;
+        // a lost-executor recompute is impossible, but a failed ingest
+        // job just fails the commit and the at-least-once replay redoes
+        // the batch (the state-mark protocol).
         val pre = SubstringDedup.keepOneStripped(batchToks,
             SubstringDedup.removeAllVerdicts(preSpans, idCol), idCol)
-          .persist(lvl) // feeds the working set AND the audit merge
+          .localCheckpoint(true)
+        // the batch-only working set: normalize-dedup (min id) +
+        // keep-one strip WITHIN the batch — stored rows never join it,
+        // so per-batch compute is O(batch), never O(source)
+        val bdocs = pre
+          .join(kept.select(col(idCol), col(sourceCol)), Seq(idCol))
+          .select(col(idCol), col(sourceCol),
+            col("text").as(textCol)) // keepOneStripped's literal name
+        val (strippedF, cleanup) = strippedCorpusWithCleanup(bdocs,
+          idCol, textCol, sourceCol, minWords, minDocs)
         try {
-          val preDocs = pre
-            .join(incoming.select(col(idCol), col(sourceCol)), Seq(idCol))
-            .select(col(idCol), col(sourceCol),
-              col("text").as(textCol)) // keepOneStripped's literal name
-          val (strippedF, cleanup) = strippedCorpusWithCleanup(
-            stored.unionByName(preDocs), idCol, textCol, sourceCol,
-            minWords, minDocs)
-          try {
-            // merge the pre-strip audit into the working-set audit: batch
-            // docs report their ORIGINAL token count and total removed
-            // spans; stored pass-through rows (null pre columns) keep the
-            // working-set values
-            val preAudit = pre.select(col(idCol),
-              col("n_tokens_before").as("_graft_pre_b"),
-              col("n_spans_removed").as("_graft_pre_r"))
-            val out = strippedF.join(preAudit, Seq(idCol), "left")
-              .select(col(idCol), col(sourceCol), col(textCol),
-                coalesce(col("_graft_pre_b"), col("n_tokens_before"))
-                  .as("n_tokens_before"),
-                col("n_tokens_after"),
-                (col("n_spans_removed") +
-                  coalesce(col("_graft_pre_r"), lit(0L)))
-                  .as("n_spans_removed"))
-              .persist(lvl) // data write + two index rebuilds
-            try {
-              val v = cat.overwritePartitions(table, out, sourceCol,
-                touched)
-              commitIndexes(cat, table, out, idCol, textCol, sourceCol,
-                minWords, winnowW, buckets, touched)
-              import spark.implicits._
-              cat.write(stateTable, Seq(batchId).toDF("batch_id"))
-              v
-            } finally { out.unpersist(); () }
-          } finally { cleanup() }
-        } finally { pre.unpersist(); () }
+          // merge the pre-strip audit into the batch audit: batch docs
+          // report their ORIGINAL token count and the total removed
+          // spans across both strip passes
+          val preAudit = pre.select(col(idCol),
+            col("n_tokens_before").as("_graft_pre_b"),
+            col("n_spans_removed").as("_graft_pre_r"))
+          val batchOut = strippedF.join(preAudit, Seq(idCol), "left")
+            .select(col(idCol), col(sourceCol), col(textCol),
+              coalesce(col("_graft_pre_b"), col("n_tokens_before"))
+                .as("n_tokens_before"),
+              col("n_tokens_after"),
+              (col("n_spans_removed") +
+                coalesce(col("_graft_pre_r"), lit(0L)))
+                .as("n_spans_removed"))
+            // lineage cut (see `pre`): the data write + three index
+            // merges all start from a flat scan of the batch rows
+            .localCheckpoint(true)
+          val v = commitDataParts(cat, table,
+            passThrough.unionByName(batchOut), idCol, sourceCol,
+            buckets, dirtyParts)
+          mergeIndexes(cat, table, batchOut, replaced, batchIds,
+            idCol, textCol, sourceCol, minWords, winnowW, buckets)
+          import spark.implicits._
+          cat.write(stateTable, Seq(batchId).toDF("batch_id"))
+          v
+        } finally { cleanup() }
       } finally {
-        hits.unpersist(); batchKeys.unpersist(); batchToks.unpersist(); ()
+        hits.unpersist(); batchKeys.unpersist(); batchToks.unpersist()
+        cand.unpersist(); replaced.unpersist(); dirty.unpersist(); ()
       }
     } finally { incoming.unpersist(); () }
+  }
+
+  /** Incremental index maintenance for one ingest commit: for each
+    * sub-table, the touched partitions are exactly those holding the NEW
+    * rows (keys of the batch's committed docs) or the REPLACED docs' OLD
+    * rows — old keys recomputed from the old stored text read off the
+    * dirty data partitions with the same deterministic functions and
+    * pins, so the removal set's buckets are exact. Each touched
+    * partition's next content = its current rows minus ALL batch ids,
+    * plus the new rows; untouched partitions keep their files. One
+    * atomic group commit. O(batch + replaced), never O(source).
+    *
+    * Crash window: a replay after a crash between the data commit and
+    * this merge can no longer read a replaced doc's OLD text (the data
+    * commit dropped it), so that doc's stale index rows in buckets the
+    * replay doesn't otherwise touch can linger — harmless (every probe
+    * confirms hits against current stored text before acting) and reaped
+    * by the next [[rebuildIndexes]].
+    */
+  private def mergeIndexes(cat: Catalog, table: String, batchOut: DataFrame,
+      replaced: DataFrame, batchIds: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minWords: Int, winnowW: Int,
+      buckets: Int): Unit = {
+    val b = buckets.toLong
+    val manifest = cat.snapshot(indexTable(table))._2
+    def gramsOf(df: DataFrame) =
+      SubstringDedup.winnowedGramKeys(
+          SubstringDedup.tokenFrame(df.select(col(idCol), col(textCol)),
+            idCol, textCol), idCol, minWords, winnowW)
+        .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"),
+          col(idCol))
+        .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+        .select(col("h1"), col("h2"), col(idCol), col(sourceCol))
+    def hashesOf(df: DataFrame) =
+      df.select(thCol(textCol).as("th"), col(idCol), col(sourceCol))
+    def merged(sub: String, newRows: DataFrame, oldRows: DataFrame,
+        bucket: Column, sortKey: String,
+        schema: org.apache.spark.sql.types.StructType): GroupBatch = {
+      def partOf(df: DataFrame): Seq[String] =
+        df.select(idxPart(bucket, col(sourceCol)).as("_graft_part"))
+          .distinct().collect().map(_.getString(0)).toSeq
+      val parts = (partOf(newRows) ++ partOf(oldRows)).distinct
+      val content = cat.readManifestParts(indexTable(table), manifest,
+          schema, parts, sub)
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .unionByName(newRows)
+        .withColumn("_graft_part", idxPart(bucket, col(sourceCol)))
+        .repartition(col("_graft_part"))
+        .sortWithinPartitions(col("_graft_part"), col(sortKey))
+      GroupBatch(sub, content, "_graft_part", parts)
+    }
+    val base = Seq(
+      merged("grams", gramsOf(batchOut), gramsOf(replaced),
+        pmod(col("h1"), lit(b)), "h1", gramIndexSchema(idCol, sourceCol)),
+      merged("docs", batchOut.select(col(idCol), col(sourceCol)),
+        replaced.select(col(idCol), col(sourceCol)),
+        pmod(col(idCol), lit(b)), idCol,
+        docsIndexSchema(idCol, sourceCol)),
+      merged("hashes", hashesOf(batchOut), hashesOf(replaced),
+        pmod(col("th"), lit(b)), "th", hashIndexSchema(idCol, sourceCol)))
+    val batches = if (manifest.contains("conf/0")) base
+      else base :+ confBatch(batchOut.sparkSession, minWords, winnowW,
+        buckets)
+    cat.overwriteGroupIf(indexTable(table), batches, -1L)
+    ()
   }
 }

@@ -71,7 +71,7 @@ object CorpusStoreBench {
     }
 
     // batch 2: fresh text (deterministic word salad, no stored grams) —
-    // the probe scans the whole index and finds nothing
+    // the probe reads its pruned index buckets and finds nothing
     val fresh = spark.range(batchSize).select(
         (col("id") + 20000000L).as("doc_id"),
         lit("soak_fresh").as("source"),
@@ -85,6 +85,25 @@ object CorpusStoreBench {
         "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
     }
 
+    // batch 3: the HOT-SOURCE case (r15 verdict item 2) — re-ingest a
+    // small batch of src1's own docs with replaced text: same-id upsert
+    // into the store's biggest source. Pre-bucketing this rewrote (and
+    // re-deduped) the WHOLE source per batch; now it must touch only the
+    // batch's dirty id-buckets, so the wall is bounded by batch + bucket,
+    // not source size.
+    val hot = cat.readPartitionedOr("c", schema)
+      .filter(col("source") === "src1")
+      .orderBy(col("doc_id")).limit(batchSize)
+      .select(col("doc_id"), lit("src1").as("source"),
+        concat(lit("hotswap"), col("doc_id").cast("string"), lit(" "),
+          col("text")).as("text"))
+      .persist()
+    hot.count()
+    val tHot = time {
+      graft.storage.CorpusStore.ingestBatch(cat, "c", hot, 2L,
+        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+    }
+
     val (_, idxManifest) = cat.snapshot("c__idx")
     val gramRows = cat.readGroupOr("c__idx", idxManifest, "grams",
       graft.storage.CorpusStore.gramIndexSchema("doc_id", "source")).count()
@@ -92,7 +111,8 @@ object CorpusStoreBench {
       f""""n_stored":$nStored,"gram_index_rows":$gramRows,""" +
       f""""winnow_w":$winnowW,"buckets":$buckets,""" +
       f""""batch":$batchSize,"ingest_dup_sec":$tDup%.2f,""" +
-      f""""ingest_fresh_sec":$tFresh%.2f,"sf":"$dir"""" +
+      f""""ingest_fresh_sec":$tFresh%.2f,"ingest_hot_sec":$tHot%.2f,""" +
+      f""""sf":"$dir"""" +
       graft.Bench.sentinelJson(spark, loadBefore) + "}")
     spark.stop()
   }

@@ -159,12 +159,16 @@ class CorpusStoreSpec extends AnyFunSuite {
       minWords = 5, winnowW = 1)
     // doc 1's text REPLACED (same source) — its old grams are rebuilt out
     // of the index by the commit, but simulate a crashed index commit by
-    // rewriting the data table directly and leaving the index stale
+    // rewriting the data table directly (in its bucketed part — doc 1 at
+    // the default 16 buckets lands in 00001#web) and leaving the index
+    // stale
     val newText = "fresh content with no trace of that old passage text"
     val replaced = Seq((1L, "web", newText, 10L, 10L, 0L))
       .toDF("doc_id", "source", "text", "n_tokens_before",
         "n_tokens_after", "n_spans_removed")
-    cat.overwritePartitions("c", replaced, "source", Seq("web"))
+      .withColumn("_graft_part", lit("00001#web"))
+    cat.overwritePartitions("c", replaced, "_graft_part",
+      Seq("00001#web"))
     // a 'wiki' batch duplicating the OLD (gone) passage: the stale gram
     // index still lists it under doc 1, but confirmation re-grams doc 1's
     // CURRENT text and finds nothing — the batch doc must pass through
@@ -271,16 +275,17 @@ class CorpusStoreSpec extends AnyFunSuite {
       (2L, "web", s"$passage aardvark badger wallaby dingo echidna ferret"))
       .toDF("doc_id", "source", "text")
     assert(CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text",
-      "source", minWords = 5) == 1L)
-    // a later batch re-duplicating the stored passage: stripped against
-    // the stored canonical copy (doc 1 keeps it, doc 3 loses it)
+      "source", minWords = 5, winnowW = 1) == 1L)
+    // a later batch re-duplicating the stored passage (same source — at
+    // ingest stored docs are canonical store-wide, so the probe strips
+    // it; winnowW = 1 pins the exact floor for this 6-word span)
     val b1 = Seq((3L, "web", s"zz yy $passage xx ww vv uu tt"))
       .toDF("doc_id", "source", "text")
     assert(CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text",
-      "source", minWords = 5) == 2L)
+      "source", minWords = 5, winnowW = 1) == 2L)
     // at-least-once replay of the SAME batch id: skipped, version holds
     assert(CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text",
-      "source", minWords = 5) == 2L)
+      "source", minWords = 5, winnowW = 1) == 2L)
     assert(cat.version("c") == 2L)
     val rows = cat.readPartitionedOr("c", storedSchema).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -355,6 +360,96 @@ class CorpusStoreSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("buckets"), e2.getMessage)
     assert(cat.version("c") == 1L)
+  }
+
+  test("ingest is stored-canonical: a batch doc with a SMALLER id still " +
+      "loses its duplicated span to the stored copy") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq((5L, "web", s"one two three $passage four five six"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    // id 1 < stored id 5 — writeDeduped's min-id rule would keep the
+    // batch copy; at ingest the stored doc committed first and is
+    // canonical unconditionally
+    val b1 = Seq((1L, "web", s"qq rr $passage ss tt uu"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(5L) == s"one two three $passage four five six")
+    assert(rows(1L) == "qq rr ss tt uu", rows.toString)
+  }
+
+  test("hash index: whole-document exact dups drop at ingest, even below " +
+      "the gram floor; stale entries never wrongly drop") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = Seq(
+      (1L, "web", "tiny doc"), // 2 tokens — BELOW minWords, no grams
+      (2L, "web", s"one two three $passage four five six seven"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    // a new-source batch: doc 9 exactly duplicates the SHORT stored doc
+    // (normalized: case-insensitive), doc 10 exactly duplicates the long
+    // one, doc 11 is fresh — the dups DROP (stored-wins), the fresh row
+    // lands
+    val b1 = Seq(
+      (9L, "wiki", "TINY  doc"),
+      (10L, "wiki", s"one two three $passage four five six seven"),
+      (11L, "wiki", "completely fresh words never seen before"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    val ids = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L), ids.toString)
+    // stale-entry guard: replace doc 1's text directly (stale hash entry
+    // keeps naming the OLD text); a batch doc equal to the OLD text must
+    // NOT be dropped — confirmation re-reads the current stored text
+    val replacedRow = Seq((1L, "web", "now something else", 3L, 3L, 0L))
+      .toDF("doc_id", "source", "text", "n_tokens_before",
+        "n_tokens_after", "n_spans_removed")
+      .withColumn("_graft_part", lit("00001#web"))
+    cat.overwritePartitions("c", replacedRow, "_graft_part",
+      Seq("00001#web"))
+    val b2 = Seq((12L, "wiki", "tiny doc"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b2, 2L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    assert(cat.readPartitionedOr("c", storedSchema).collect()
+      .exists(r => r.getLong(0) == 12L && r.getString(2) == "tiny doc"))
+  }
+
+  test("ingest rewrites only dirty buckets: untouched bucket partitions " +
+      "keep their data versions") {
+    import spark.implicits._
+    val cat = fresh()
+    // ids 1..8 at 4 buckets → every bucket of 'web' populated
+    val b0 = (1L to 8L).map(i => (i, "web",
+        s"document number $i has its own distinct words w${i}a w${i}b"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val before = cat.partitionManifest("c")
+    // a one-doc batch into the same source: only bucket 1 (id 5 % 4) of
+    // 'web' may move
+    val b1 = Seq((5L, "web", "replacement text for doc five right here"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val after = cat.partitionManifest("c")
+    assert(after("00001#web") == before("00001#web") + 1)
+    (before.keySet - "00001#web").foreach { p =>
+      assert(after(p) == before(p), s"clean bucket $p was rewritten")
+    }
+    // and the replaced doc really was replaced
+    val five = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 5L).get
+    assert(five.getString(2) == "replacement text for doc five right here")
   }
 
   test("a pre-winnowing (r15) index layout is refused and rebuildIndexes " +

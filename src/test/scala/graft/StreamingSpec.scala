@@ -663,7 +663,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String, String)](spark)
     val q = StreamingIngest.streamIntoCorpusStore(
       input.toDF().toDF("doc_id", "source", "text"), cat, "c",
-      "doc_id", "text", "source", minWords = 5)
+      "doc_id", "text", "source", minWords = 5, winnowW = 1)
     val passage = "alpha beta gamma delta epsilon zeta"
     val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
       "text")
@@ -687,7 +687,7 @@ class StreamingSpec extends AnyFunSuite {
     val replay = Seq((2L, "web", s"aa bb $passage cc dd ee ff gg"))
       .toDF("doc_id", "source", "text").withColumn("_x", lit(1)).drop("_x")
     graft.storage.CorpusStore.ingestBatch(cat, "c", replay, 1L, "doc_id",
-      "text", "source", minWords = 5)
+      "text", "source", minWords = 5, winnowW = 1)
     assert(cat.version("c") == 2L, "replayed batch id must not re-commit")
   }
 
