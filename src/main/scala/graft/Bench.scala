@@ -181,12 +181,14 @@ object Bench {
     // "contended": true.
     val calCeiling =
       sys.env.getOrElse("SPARK_GRAFT_CAL_CEILING", "0.17").toDouble
-    var calSettled = calibrationSec(spark) <= calCeiling
+    var calGate = calibrationSec(spark)
+    var calSettled = calGate <= calCeiling
     if (!calSettled) {
       System.err.println(f"[bench] warmup calibration exceeded the " +
         f"$calCeiling%.2f s idle ceiling; sleeping 60s and retrying once")
       Thread.sleep(60000L)
-      calSettled = calibrationSec(spark) <= calCeiling
+      calGate = calibrationSec(spark)
+      calSettled = calGate <= calCeiling
     }
     val results = timeHeadline(spark, sfDir)
     // the heavy-path regression canary (r13 verdict item 3): the 8-query
@@ -199,10 +201,21 @@ object Bench {
     val heavyJson = heavy.map { case (k, c, w) =>
       "\"" + k + f"""\":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
+    // r16 verdict item 4: the gate decided on `calGate` but the JSON's
+    // calibration_sec was a LATER sentinel probe — an artifact could read
+    // over-ceiling while claiming settled. Report BOTH probes, and flag
+    // `contended` whenever the post-set probe itself exceeds the ceiling,
+    // so no over-ceiling reading ever ships unflagged.
+    val calAfter = calibrationSec(spark)
+    val sentinel = f""","loadavg_before":$loadBefore""" +
+      f""","loadavg":${loadavgJson()}""" +
+      f""","calibration_sec":$calAfter%.3f""" +
+      f""","calibration_gate_sec":$calGate%.3f"""
     val contended =
-      if (settled && calSettled) "" else ""","contended":true"""
+      if (settled && calSettled && calAfter <= calCeiling) ""
+      else ""","contended":true"""
     println(jsonLine(results, sfDir,
-      s""","heavy":$heavyJson${sentinelJson(spark, loadBefore)}$contended"""))
+      s""","heavy":$heavyJson$sentinel$contended"""))
     spark.stop()
   }
 }

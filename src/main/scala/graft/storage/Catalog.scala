@@ -69,6 +69,13 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
 
   private def tableDir(name: String) = new Path(s"$root/$tenant/$name")
 
+  /** a table's stable on-disk location — driver-side cache keys (the conf
+    * pin cache) need an identity that distinguishes same-named tables in
+    * different catalogs
+    */
+  private[storage] def locate(name: String): String =
+    tableDir(name).toString
+
   private def latestFile(name: String) = new Path(tableDir(name), "_LATEST")
 
   private def confLong(key: String, default: Long): Long =
@@ -412,6 +419,22 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Current on-disk bytes of each named partition's data dir (driver-side
+    * filesystem metadata only — no Spark job; absent partitions omitted).
+    * The bucket-split trigger's measurement.
+    */
+  def partitionBytes(name: String, manifest: Map[String, Long],
+      parts: Seq[String], sub: String = ""): Map[String, Long] = {
+    val key = (p: String) => if (sub.isEmpty) p else s"$sub/$p"
+    parts.distinct.flatMap { p =>
+      manifest.get(key(p)).map { v =>
+        val d = partDataDir(name, key(p), v)
+        p -> (try fs.getContentSummary(d).getLength
+        catch { case _: java.io.IOException => 0L })
+      }
+    }.toMap
   }
 
   /** read the given partitions of a partitioned table (missing parts skipped) */

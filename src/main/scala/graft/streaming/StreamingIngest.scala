@@ -997,18 +997,24 @@ object StreamingIngest {
     * a checkpoint restarts ids at 0, which the high-water mark would
     * treat as replays of an old run; use a fresh table (or checkpoint)
     * per logical stream. Expects (idCol, sourceCol, textCol) rows.
+    * `targetBucketBytes` > 0 turns on in-place bucket splitting after
+    * each commit ([[graft.storage.CorpusStore.maintainBuckets]]), so a
+    * long-lived stream's store grows its geometry one leaf at a time
+    * instead of ever needing a full re-bucket rewrite.
     */
   def streamIntoCorpusStore(records: DataFrame,
       cat: graft.storage.Catalog, table: String, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
       minDocs: Int = 2, winnowW: Int = 8, buckets: Int = 16,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      targetBucketBytes: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = records.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.CorpusStore.ingestBatch(cat, table, batch, batchId,
-          idCol, textCol, sourceCol, minWords, minDocs, winnowW, buckets)
+          idCol, textCol, sourceCol, minWords, minDocs, winnowW, buckets,
+          targetBucketBytes)
         ()
       }
     checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()

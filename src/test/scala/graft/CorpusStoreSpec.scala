@@ -482,4 +482,203 @@ class CorpusStoreSpec extends AnyFunSuite {
       .find(_.getLong(0) == 9L).get
     assert(nine.getString(2) == "qq rr ss tt uu vv", nine.toString)
   }
+
+  test("splitBucket: one bucket splits in place across all spaces, content " +
+      "identical, probes and upserts keep working across the split") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = (1L to 8L).map(i => (i, "web",
+        if (i == 1L) s"one two $passage three four"
+        else s"document number $i has its own distinct words w${i}a w${i}b"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val before = cat.readPartitionedOr("c", storedSchema)
+      .collect().map(_.toSeq).toSet
+    // split data bucket (4, 1) — ids 1 and 5 — and one bucket of every
+    // index space (the probes below must route across the splits)
+    CorpusStore.splitBucket(cat, "c", "data", 4L, 1L, "doc_id", "text",
+      "source")
+    (0L to 3L).foreach { i =>
+      CorpusStore.splitBucket(cat, "c", "grams", 4L, i, "doc_id", "text",
+        "source")
+      CorpusStore.splitBucket(cat, "c", "hashes", 4L, i, "doc_id", "text",
+        "source")
+    }
+    CorpusStore.splitBucket(cat, "c", "docs", 4L, 1L, "doc_id", "text",
+      "source")
+    // layout: the split data bucket's parent is gone, children carry the
+    // <m>.<i> shape; the registry keys are manifest part keys
+    val dataParts = cat.partitionManifest("c").keySet
+    assert(!dataParts.contains("00001#web"), dataParts.toString)
+    assert(dataParts.contains("8.1#web") || dataParts.contains("8.5#web"),
+      dataParts.toString)
+    val (_, imf) = cat.snapshot("c__idx")
+    assert(imf.contains("splits/data.4.1"), imf.keySet.toString)
+    assert(imf.contains("splits/grams.4.0"), imf.keySet.toString)
+    // content byte-identical after every split
+    assert(cat.readPartitionedOr("c", storedSchema)
+      .collect().map(_.toSeq).toSet == before)
+    // gram probe across the split: a new-source dup of doc 1's passage
+    // (its grams now live in split leaves) must still be caught
+    val b1 = Seq(
+      (19L, "wiki", s"qq rr $passage ss tt"),
+      // and a whole-doc exact dup (hash index, split leaves) must drop
+      (20L, "wiki", s"one two $passage three four"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(19L)._2 == "qq rr ss tt", rows.toString)
+    assert(!rows.contains(20L), rows.keySet.toString)
+    // same-id upsert INTO a split data bucket (id 5 → leaf 8.5) + the
+    // docs-index conflict path across its split (id 1 moves source)
+    val b2 = Seq(
+      (5L, "web", "replacement text for doc five right here"),
+      (1L, "wiki", "doc one moved to wiki with brand new words"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b2, 2L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val after = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(after.count(_._1 == 1L) == 1, after.toString)
+    assert(after.find(_._1 == 1L).get._2 == "wiki")
+    assert(after.find(_._1 == 5L).get._3 ==
+      "replacement text for doc five right here")
+  }
+
+  test("maintainBuckets: oversized buckets split automatically during " +
+      "ingest, untouched buckets keep their files") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.store.maxBucketFactor", "4")
+    try {
+      val cat = fresh()
+      val b0 = (1L to 16L).map(i => (i, "web",
+          s"document number $i has its own distinct words w${i}a w${i}b"))
+        .toDF("doc_id", "source", "text")
+      // targetBytes=1: every non-empty bucket is oversized; the factor-4
+      // cap stops the trie at modulus 16
+      CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 1, buckets = 4, targetBucketBytes = 1L)
+      val (_, imf) = cat.snapshot("c__idx")
+      val splitKeys = imf.keySet.filter(_.startsWith("splits/"))
+      assert(splitKeys.exists(_.startsWith("splits/data.4.")),
+        splitKeys.toString)
+      assert(splitKeys.exists(_.startsWith("splits/data.8.")),
+        "expected a second-level split under the factor-4 cap: " +
+          splitKeys.toString)
+      assert(!splitKeys.exists(_.startsWith("splits/data.16.")),
+        "the max-depth cap must hold: " + splitKeys.toString)
+      // content survives the whole cascade
+      val rows = cat.readPartitionedOr("c", storedSchema).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows.keySet == (1L to 16L).toSet, rows.keySet.toString)
+      // steady state: a later one-doc batch touches only its own chain —
+      // leaf parts of other ids keep their data versions
+      val before = cat.partitionManifest("c")
+      val b1 = Seq((5L, "web", "replacement text for doc five right here"))
+        .toDF("doc_id", "source", "text")
+      CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+        minWords = 5, winnowW = 1, buckets = 4, targetBucketBytes = 1L)
+      val after = cat.partitionManifest("c")
+      // id 5's chain: (4,1) → (8,5) → (16,5); every OTHER residue-class
+      // leaf is untouched
+      val chain5 = Set("00001#web", "8.5#web", "16.5#web")
+      (before.keySet -- chain5).foreach { p =>
+        assert(after.get(p) == before.get(p),
+          s"clean bucket $p was rewritten")
+      }
+      assert(cat.readPartitionedOr("c", storedSchema).collect()
+        .find(_.getLong(0) == 5L).get.getString(2) ==
+        "replacement text for doc five right here")
+    } finally spark.conf.unset("spark.graft.store.maxBucketFactor")
+  }
+
+  test("a half-split data bucket (registry committed, rewrite crashed) " +
+      "heals on the next touching ingest") {
+    import spark.implicits._
+    import graft.storage.GroupBatch
+    val cat = fresh()
+    val b0 = (1L to 8L).map(i => (i, "web",
+        s"document number $i has its own distinct words w${i}a w${i}b"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    // simulate the data-split crash window: the registry key lands in the
+    // index group but the bucket rewrite never ran — parent 00001#web
+    // still physically holds ids 1 and 5
+    val reg = Seq(("data", 4L, 1L, "data.4.1"))
+      .toDF("space", "m", "i", "_graft_part")
+    cat.overwriteGroupIf("c__idx",
+      Seq(GroupBatch("splits", reg, "_graft_part", Seq("data.4.1"))), -1L)
+    // a batch replacing id 5 routes to leaf 8.5 — but id 1's surviving
+    // row sits in the ancestor, which the chain match must pull into the
+    // dirty set, re-route, and empty out
+    val b1 = Seq((5L, "web", "replacement text for doc five right here"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 4)
+    val parts = cat.partitionManifest("c").keySet
+    assert(!parts.contains("00001#web"),
+      s"ancestor must empty into the leaves: $parts")
+    assert(parts.contains("8.1#web") && parts.contains("8.5#web"),
+      parts.toString)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.keySet == (1L to 8L).toSet, rows.keySet.toString)
+    assert(rows(5L) == "replacement text for doc five right here")
+    assert(rows(1L).startsWith("document number 1"), rows(1L))
+  }
+
+  test("high-water mark: manifest-encoded, replays skipped, and a legacy " +
+      "__stream_state table is honored until the first new-style commit") {
+    import spark.implicits._
+    val cat = fresh()
+    // legacy mark: batch ids <= 7 already committed by a pre-r17 build
+    cat.write("c__stream_state", Seq(7L).toDF("batch_id"))
+    val b = Seq((1L, "web", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", b, 7L, "doc_id", "text",
+      "source", minWords = 5) == 0L, "legacy mark must skip batch 7")
+    // batch 8 commits; the mark moves INTO the index-group manifest
+    assert(CorpusStore.ingestBatch(cat, "c", b, 8L, "doc_id", "text",
+      "source", minWords = 5) == 1L)
+    val (_, imf) = cat.snapshot("c__idx")
+    assert(imf.contains("state/8"), imf.keySet.toString)
+    // replay of 8 skips without touching the legacy table
+    assert(CorpusStore.ingestBatch(cat, "c", b, 8L, "doc_id", "text",
+      "source", minWords = 5) == 1L)
+    // the next batch REPLACES the mark key (monotone single key)
+    val b2 = Seq((2L, "web", "a wholly different second document here"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", b2, 9L, "doc_id", "text",
+      "source", minWords = 5) == 2L)
+    val keys = cat.snapshot("c__idx")._2.keySet
+    assert(keys.contains("state/9") && !keys.contains("state/8"),
+      keys.toString)
+  }
+
+  test("ingestBatch drops null-id/source rows instead of wedging the " +
+      "replay loop") {
+    import spark.implicits._
+    val cat = fresh()
+    val b = Seq(
+      (java.lang.Long.valueOf(1L), "web",
+        "the quick brown fox jumps over the lazy dog"),
+      (null.asInstanceOf[java.lang.Long], "web", "null id row"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String],
+        "null source row"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text",
+      "source", minWords = 5) == 1L)
+    val rows = cat.readPartitionedOr("c", storedSchema).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows == Set(1L), rows.toString)
+    // an all-malformed batch is a visible no-op, not a crash
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "web", "x"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStore.ingestBatch(cat, "c", bad, 1L, "doc_id", "text",
+      "source", minWords = 5) == 1L)
+  }
 }

@@ -723,6 +723,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus store: RESTART from checkpoint mid-store — replay " +
+      "skipped by the high-water mark, next batch probes the post-crash " +
+      "index (r16 ADVICE item 6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = new graft.storage.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-restart")
+        .toString, "t")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-restart-ckpt").toString
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val schema = graft.storage.CorpusStore.storedSchema("doc_id", "source",
+      "text")
+    val input = MemoryStream[(Long, String, String)](spark)
+    def start() = StreamingIngest.streamIntoCorpusStore(
+      input.toDF().toDF("doc_id", "source", "text"), cat, "c",
+      "doc_id", "text", "source", minWords = 5, winnowW = 1,
+      checkpointDir = Some(ckpt))
+    // run 1: commit batch 0, then stop (the "crash")
+    val q1 = start()
+    try {
+      input.addData((1L, "web", s"one two $passage three four five six"))
+      q1.processAllAvailable()
+      assert(cat.version("c") == 1L)
+    } finally q1.stop()
+    // the at-least-once window: foreachBatch re-delivers the LAST batch id
+    // after a restart whose commit log didn't record completion — simulate
+    // it straight through the layer foreachBatch calls; the manifest-
+    // encoded high-water mark must skip it with no content commit
+    import org.apache.spark.sql.functions.lit
+    val replay = Seq((1L, "web", s"one two $passage three four five six"))
+      .toDF("doc_id", "source", "text").withColumn("_x", lit(1)).drop("_x")
+    graft.storage.CorpusStore.ingestBatch(cat, "c", replay, 0L, "doc_id",
+      "text", "source", minWords = 5, winnowW = 1)
+    assert(cat.version("c") == 1L, "replayed batch must not re-commit")
+    // run 2: the SAME query restarts from its checkpoint — batch ids
+    // continue past the committed high-water mark, and the new batch's
+    // cross-source duplication is caught against the post-restart index
+    val q2 = start()
+    try {
+      input.addData((2L, "wiki", s"aa bb $passage cc dd ee ff gg"))
+      q2.processAllAvailable()
+      assert(cat.version("c") == 2L, s"got ${cat.version("c")}")
+      val rows = cat.readPartitionedOr("c", schema).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+          r.getLong(5))).toMap
+      assert(rows(1L)._2 == s"one two $passage three four five six")
+      assert(rows(2L) == (("wiki", "aa bb cc dd ee ff gg", 1L)),
+        rows.toString)
+      // the restarted query's high-water mark advanced in the manifest
+      val keys = cat.snapshot("c__idx")._2.keySet
+      assert(keys.exists(_.startsWith("state/")), keys.toString)
+    } finally q2.stop()
+  }
+
   test("streaming CUSUM: watermark-driven day closes, zero-day gap alarms, " +
       "late events for finalized days dropped") {
     import spark.implicits._

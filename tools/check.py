@@ -199,11 +199,12 @@ if __name__ == "__main__":
         # parent counts as FAIL without a named '✗' line (only rc not in
         # {0,1,2} got one) — print the line here so every failure mode
         # names its query (r15 ADVICE)
+        # Exception, not BaseException: a Ctrl-C (KeyboardInterrupt) or
+        # sys.exit must propagate as an aborted run, not masquerade as a
+        # per-query FAIL row (r16 ADVICE)
         try:
             sys.exit(check_one(sys.argv[1], sys.argv[2], sys.argv[4]))
-        except SystemExit:
-            raise
-        except BaseException as e:
+        except Exception as e:
             import traceback
             traceback.print_exc()
             print(f"  ✗ {sys.argv[4]}: [exception {type(e).__name__}: {e}]")
