@@ -98,6 +98,17 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
   private def autoVacuumEvery: Long =
     confLong("spark.graft.catalog.autoVacuumEvery", 64L)
 
+  /** How many committed versions (manifests + their data dirs) each GC
+    * pass retains — the time-travel horizon of [[snapshotAt]] and
+    * `CorpusStore.diffVersions` (r16 verdict item 8: commit forensics
+    * past the default current+previous window needs a knob, not a code
+    * change). Floor 2: in-flight readers of the previous snapshot are
+    * always safe. Raising it widens every retention decision consistently
+    * (whole-table versions, per-partition data versions, vacuum).
+    */
+  private def retainVersions: Long =
+    math.max(2L, confLong("spark.graft.catalog.retainVersions", 2L))
+
   def latestVersion(name: String): Option[Long] = {
     val f = latestFile(name)
     if (!fs.exists(f)) None
@@ -261,16 +272,18 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     }
   }
 
-  /** retain the two latest versions (data, manifests, claim markers) for
-    * in-flight readers; GC everything older, plus aged-out orphan staging
-    * dirs (writer crashed before claiming) and takeover tombstones. Live
-    * staging dirs and fresh claims are never touched.
+  /** retain the `retainVersions` latest versions (data, manifests, claim
+    * markers) for in-flight readers and time travel; GC everything older,
+    * plus aged-out orphan staging dirs (writer crashed before claiming)
+    * and takeover tombstones. Live staging dirs and fresh claims are
+    * never touched.
     */
   private def gcVersions(name: String, v: Long): Unit = {
+    val keepFloor = v - (retainVersions - 1)
     def olderThan(n: String, prefix: String): Boolean =
       n.startsWith(prefix) && {
         val suffix = n.stripPrefix(prefix)
-        suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toLong < v - 1
+        suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toLong < keepFloor
       }
     val now = System.currentTimeMillis()
     fs.listStatus(tableDir(name)).foreach { st =>
@@ -551,8 +564,10 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       if (!fs.rename(tmp, manifestFile(name, v)))
         sys.error(s"failed to write manifest v=$v for $name")
 
-      // GC per committed partition: keep current + previous data version
+      // GC per committed partition: keep the `retainVersions` newest data
+      // versions (current + previous by default)
       ensureOwned(name, v, uuid)
+      val keepBack = retainVersions - 1
       staged.foreach { case (b, _) =>
         val key = (p: String) => if (b.sub.isEmpty) p else s"${b.sub}/$p"
         b.touched.distinct.foreach { p =>
@@ -560,7 +575,8 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
             val pd = partDataDir(name, key(p), nv).getParent
             if (fs.exists(pd)) fs.listStatus(pd).foreach { st =>
               val n = st.getPath.getName
-              if (n.startsWith("v=") && n.stripPrefix("v=").toLong < nv - 1)
+              if (n.startsWith("v=") &&
+                  n.stripPrefix("v=").toLong < nv - keepBack)
                 fs.delete(st.getPath, true)
             }
           }
@@ -572,7 +588,8 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       // successor's freshly renamed data)
       if (autoVacuumEvery > 0 && v % autoVacuumEvery == 0) {
         ensureOwned(name, v, uuid)
-        vacuumAgainst(name, next, mf, dropUnreferenced = true)
+        vacuumAgainst(name, next, retainedUnion(name, v - 1),
+          dropUnreferenced = true)
       }
       ensureOwned(name, v, uuid)
       flipLatest(name, v)
@@ -594,16 +611,28 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     vacuumPartitions(name, retainPrevious = false)
 
   /** Vacuum variant that also retains every data dir referenced by the
-    * previous manifest (the commit retention window), for in-flight readers
-    * of the previous snapshot.
+    * previous manifests inside the retention window
+    * (`spark.graft.catalog.retainVersions`), for in-flight readers of
+    * those snapshots.
     */
   def vacuumPartitions(name: String, retainPrevious: Boolean): Int = {
     val v = version(name)
     val current = manifestAt(name, v)
     val previous =
-      if (retainPrevious && v > 1) manifestAt(name, v - 1)
-      else Map.empty[String, Long]
+      if (retainPrevious && v > 1) retainedUnion(name, v - 1)
+      else Seq.empty[(String, Long)]
     vacuumAgainst(name, current, previous, dropUnreferenced = true)
+  }
+
+  /** every (partition, data-version) pair referenced by the manifests
+    * from `from` down through the retention window's floor — the full
+    * pair list, NOT a map: one partition may be referenced at different
+    * data versions by different retained manifests, and vacuum must keep
+    * them all
+    */
+  private def retainedUnion(name: String, from: Long): Seq[(String, Long)] = {
+    val floor = math.max(1L, from - (retainVersions - 2))
+    (floor to from).flatMap(mv => manifestAt(name, mv).toSeq)
   }
 
   /** Delete data dirs not referenced by either retained manifest. Never
@@ -614,8 +643,8 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     * commit claim, or with no writers active).
     */
   private def vacuumAgainst(name: String, current: Map[String, Long],
-      previous: Map[String, Long], dropUnreferenced: Boolean): Int = {
-    val keep: Map[String, Set[Long]] = (current.toSeq ++ previous.toSeq)
+      previous: Seq[(String, Long)], dropUnreferenced: Boolean): Int = {
+    val keep: Map[String, Set[Long]] = (current.toSeq ++ previous)
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
     val partsRoot = new Path(tableDir(name), "parts")
     if (!fs.exists(partsRoot)) return 0

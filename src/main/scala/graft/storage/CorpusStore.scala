@@ -701,8 +701,9 @@ object CorpusStore {
     * md5(text), n_tokens_after), one (id, source)-keyed full-outer join
     * — a diff is inherently one co-shuffle of both versions — then a
     * partial-agg'd census bounded by source count. Works within the
-    * catalog's two-version retention window (older manifests may be
-    * vacuumed).
+    * catalog's retention window — current + previous by default; raise
+    * `spark.graft.catalog.retainVersions` for commit forensics across a
+    * longer horizon (older manifests may be vacuumed).
     */
   def diffVersions(cat: Catalog, table: String, v1: Long, v2: Long,
       idCol: String, sourceCol: String, textCol: String): DataFrame = {
