@@ -59,6 +59,18 @@ object CorpusStoreBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Spark-JOB counter: the commit protocol's driver-side orchestration
+    // cost (bounded collects + staged writes + commit reads) as a
+    // DETERMINISTIC structural metric — wall clock on a contended box
+    // can't resolve a few hundred ms of per-job overhead, job count can.
+    // Public API: tag the section as a job group, count via statusTracker.
+    def countJobs[T](tag: String)(f: => T): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try f finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(500) // status store is async behind the listener bus
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+
     val tStore = time {
       graft.storage.CorpusStore.writeDeduped(cat, "c", docs,
         "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
@@ -79,9 +91,12 @@ object CorpusStoreBench {
           col("doc_id").cast("string"), lit("b "), col("text")).as("text"))
       .persist()
     dup.count()
+    var dupJobs = 0
     val tDup = time {
-      graft.storage.CorpusStore.ingestBatch(cat, "c", dup, 0L,
-        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      dupJobs = countJobs("soak_dup") {
+        graft.storage.CorpusStore.ingestBatch(cat, "c", dup, 0L,
+          "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      }
     }
 
     // batch 2: fresh text (deterministic word salad, no stored grams) —
@@ -94,9 +109,12 @@ object CorpusStoreBench {
             .cast("string"))): _*).as("text"))
       .persist()
     fresh.count()
+    var freshJobs = 0
     val tFresh = time {
-      graft.storage.CorpusStore.ingestBatch(cat, "c", fresh, 1L,
-        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      freshJobs = countJobs("soak_fresh") {
+        graft.storage.CorpusStore.ingestBatch(cat, "c", fresh, 1L,
+          "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      }
     }
 
     // batch 3: the HOT-SOURCE case (r15 verdict item 2) — re-ingest a
@@ -113,9 +131,12 @@ object CorpusStoreBench {
           col("text")).as("text"))
       .persist()
     hot.count()
+    var hotJobs = 0
     val tHot = time {
-      graft.storage.CorpusStore.ingestBatch(cat, "c", hot, 2L,
-        "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      hotJobs = countJobs("soak_hot") {
+        graft.storage.CorpusStore.ingestBatch(cat, "c", hot, 2L,
+          "doc_id", "text", "source", winnowW = winnowW, buckets = buckets)
+      }
     }
 
     val (_, idxManifest) = cat.snapshot("c__idx")
@@ -170,6 +191,8 @@ object CorpusStoreBench {
       f""""winnow_w":$winnowW,"buckets":$buckets,""" +
       f""""batch":$batchSize,"ingest_dup_sec":$tDup%.2f,""" +
       f""""ingest_fresh_sec":$tFresh%.2f,"ingest_hot_sec":$tHot%.2f,""" +
+      f""""ingest_dup_jobs":$dupJobs,"ingest_fresh_jobs":$freshJobs,""" +
+      f""""ingest_hot_jobs":$hotJobs,""" +
       f""""sf":"$dir"""" + geomJson +
       graft.Bench.sentinelJson(spark, loadBefore) + "}")
     spark.stop()

@@ -659,6 +659,45 @@ class CorpusStoreSpec extends AnyFunSuite {
       keys.toString)
   }
 
+  test("probeFootprint: route-chain pruning names a strict subset of the " +
+      "index partitions for a small batch, before and after splits") {
+    import spark.implicits._
+    val cat = fresh()
+    val b0 = (1L to 16L).map(i => (i, "web",
+        s"document number $i has its own distinct words w${i}a w${i}b"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1, buckets = 8)
+    val one = Seq((99L, "wiki", "a tiny probe document with nine words"))
+      .toDF("doc_id", "source", "text")
+    def check(): Unit = {
+      val fp = CorpusStore.probeFootprint(cat, "c", one, "doc_id", "text",
+        "source", 5, 1, 8)
+      val (dn, db, dt, dbt) = fp("docs")
+      assert(dn == 1L && dt == 8L, fp.toString) // 1 id → 1 of 8 buckets
+      assert(db > 0L && db < dbt, fp.toString)
+      val (hn, _, ht, _) = fp("hashes")
+      assert(hn == 1L && ht == 8L, fp.toString) // 1 text hash
+      val (gn, _, gt, _) = fp("grams")
+      // a 9-token doc has ≤5 5-gram positions → at most 5 of 8 buckets
+      assert(gn <= 5L && gn < gt, fp.toString)
+    }
+    check()
+    // after splitting every docs/hashes bucket the totals double but the
+    // batch still names one leaf per key — the named fraction HALVES
+    (0L to 7L).foreach { i =>
+      CorpusStore.splitBucket(cat, "c", "docs", 8L, i, "doc_id", "text",
+        "source")
+      CorpusStore.splitBucket(cat, "c", "hashes", 8L, i, "doc_id", "text",
+        "source")
+    }
+    val fp2 = CorpusStore.probeFootprint(cat, "c", one, "doc_id", "text",
+      "source", 5, 1, 8)
+    val (dn2, _, dt2, _) = fp2("docs")
+    assert(dt2 == 16L, fp2.toString)
+    assert(dn2 <= 2L, fp2.toString) // leaf + (empty) ancestor at most
+  }
+
   test("ingestBatch drops null-id/source rows instead of wedging the " +
       "replay loop") {
     import spark.implicits._
