@@ -66,14 +66,28 @@ object Clusterize {
     * that actually collide). Ids left with no shared key are their own
     * component and rejoin at the end (one broadcast-sized left join).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(edges.columns.toSeq == Seq("id", "key"),
       s"expected (id, key) edges, got ${edges.columns.mkString(",")}")
-    val e0 = cut(edges.distinct())
+    // r17 optimization round: (a) `edgesDistinct = true` lets a caller
+    // whose edges are distinct BY CONSTRUCTION (the LSH band frames: one
+    // band-index-prefixed key per (doc, band)) skip a full exchange of the
+    // edge frame — guide §2.4's "distinct on data that is already unique"
+    // (duplicates would not change the RESULT, only the frame sizes, so
+    // the flag is a pure plan choice); (b) e0 is a lazy persist rather
+    // than an eager localCheckpoint — its materialization fuses into the
+    // first consuming job (one driver job fewer), lineage stays intact for
+    // fault recovery, and the later readers (allIds, the degree join)
+    // still hit the cache; (c) the degree-cut frame `e` is lineage-cut
+    // only on the ITERATIVE path, where the loop needs it — the local
+    // path collects it once, so a checkpoint there is a pure extra pass.
+    val e0 = (if (edgesDistinct) edges else edges.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allIds = e0.select(col("id")).distinct()
     val sharedKeys = e0.groupBy("key").agg(count(lit(1)).as("_deg"))
       .filter(col("_deg") >= 2).select(col("key"))
-    val e = cut(e0.join(sharedKeys, "key").select(col("id"), col("key")))
+    val e = e0.join(sharedKeys, "key").select(col("id"), col("key"))
 
     // Size-gated hybrid: after the degree-1 cut the active subgraph of a
     // mostly-unique corpus is a small fraction of the input; when its edge
@@ -87,10 +101,25 @@ object Clusterize {
     val localMax = e.sparkSession.conf
       .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
       .getOrElse(100000L)
-    val activeEdges = e.count()
+    // The gate and the local path's collect are ONE bounded job:
+    // limit(localMax+1) can never pull more than the gate's own ceiling to
+    // the driver, and when the result fits (the common, mostly-unique-
+    // corpus case) it IS the edge list — the r16 shape paid a checkpoint
+    // materialization of `e` plus a count job plus the collect, three
+    // passes where one suffices. Over the ceiling, the truncated collect
+    // is discarded (bounded waste) and the iterative path recomputes from
+    // the cached e0. A localMax near Int.MaxValue falls back to the
+    // count-based gate (limit takes an Int; truncation there would
+    // silently drop edges).
     val comps =
-      if (activeEdges <= localMax) localComponents(e)
-      else iterativeComponents(e)
+      if (localMax >= Int.MaxValue - 1) {
+        if (e.count() <= localMax) localComponents(e.collect(), e)
+        else iterativeComponents(cut(e))
+      } else {
+        val bounded = e.limit(localMax.toInt + 1).collect()
+        if (bounded.length <= localMax) localComponents(bounded, e)
+        else iterativeComponents(cut(e))
+      }
     // ids whose every key was unshared never entered the loop: solo components
     allIds.join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
@@ -110,11 +139,12 @@ object Clusterize {
   }
 
   /** driver-side union-find over a collected (id, key) edge list; min id per
-    * component by the id column's own ordering (matches the distributed path)
+    * component by the id column's own ordering (matches the distributed
+    * path). `e` supplies only the session and the id field's schema.
     */
-  private def localComponents(e: DataFrame): DataFrame = {
+  private def localComponents(rows: Array[org.apache.spark.sql.Row],
+      e: DataFrame): DataFrame = {
     import scala.collection.mutable
-    val rows = e.collect()
     val idIdx = mutable.HashMap.empty[Any, Int]
     val ids = mutable.ArrayBuffer.empty[Any]
     val parent = mutable.ArrayBuffer.empty[Int]

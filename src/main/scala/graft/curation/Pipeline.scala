@@ -43,14 +43,23 @@ object Pipeline {
     * explode, benchmark grams) plus two id-only pruned scans for the
     * benchmark anti-joins; at petabyte scale materialize the (stable)
     * benchmark slice upstream and pass it to [[Decontaminate]] directly to
-    * drop the text reads to two.
+    * drop the text reads to two. (r17 A/B note: see the dedup comment
+    * below — the decide-small/attach-by-id variant was measured and kept
+    * on file for the corpus scale where the dedup exchange dominates.)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
     val scored = docs.withColumn("quality",
       TextFunctions.qualityScore(col(textCol)))
     val qual = scored.filter(col("quality") >= cfg.minQuality)
-    // exact dedup: the min-id row per content hash survives, one aggregate
+    // exact dedup: the min-id row per content hash survives, one aggregate.
+    // r17 A/B (interleaved, 3 rounds, sf0.1): the narrow min-id agg +
+    // id join-back variant — which column-prunes text off every exchange —
+    // measured 1.35-1.54 s vs 0.76-1.18 s for this min_by shape (the two
+    // extra stages cost more than the SortAggregate at bench scale), so
+    // min_by stays; at a scale where the dedup exchange dominates, the
+    // decide-small/attach-by-id variant (plans/r17/ab_round1_queries.txt)
+    // is the one to revisit.
     val deduped = qual
       .groupBy(md5(col(textCol)).as("_h"))
       .agg(min_by(struct(qual.columns.map(col).toSeq: _*), col(idCol)).as("_r"))

@@ -43,6 +43,12 @@ object DedupExpressions {
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowExpr(GraftSqlBridge.expression(text), k, w))
+
+  /** tokens → 16-bit SimHash (single-pass native form of the per-bit HOF
+    * aggregate chain [[graft.dedup.Dedup.simhash16Hof]])
+    */
+  def simhash16(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
 }
 
 case class ShinglesExpr(child: Expression, n: Int)
@@ -191,7 +197,7 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     if (nChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
 
     val h = nChars - k + 1
-    val md = WinnowExpr.md5.get()
+    val md = WinnowExpr.sharedMd5.get()
     val out16 = new Array[Byte](16)
     val hashes = new Array[Long](h)
     var i = 0
@@ -245,6 +251,79 @@ object WinnowExpr {
   /** MessageDigest is stateful and tasks can share a deserialized
     * expression tree in local mode — one digest per thread
     */
-  private val md5: ThreadLocal[java.security.MessageDigest] =
+  private[expressions] val sharedMd5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** Single-pass 16-bit SimHash kernel (r17 optimization round): the HOF
+  * formulation ([[graft.dedup.Dedup.simhash16Hof]], kept as the executable
+  * spec) runs SIXTEEN `aggregate` traversals of the token array — one per
+  * output bit — and each lambda evaluates a full `md5(w)` just to read one
+  * hex nibble, so every token is digested 16 times (measured: q26 6.5 s at
+  * sf0.1, ~10× the query median). This kernel digests each token ONCE,
+  * reads bits 0..15 off the first two digest bytes, and accumulates all 16
+  * ±1 votes in one pass. Bit semantics are identical to the HOF chain: bit
+  * b reads hex char b/4+1 (nibble = digest byte b/8, high half first) at
+  * weight {8,4,2,1}(b%4) — i.e. bit b of the big-endian 16-bit value of
+  * digest bytes 0..1 at position 15−b. A null token votes −1 on every bit
+  * (the HOF's `when(bitOf(w) === 1, 1).otherwise(-1)` on a null md5), and
+  * a NULL token ARRAY yields 0, matching the HOF's `when(votes > 0, …)
+  * .otherwise(0)` on null votes — so the expression is non-nullable.
+  * DedupKernelSpec property-pins HOF↔kernel equality; the q26/q37 oracle
+  * hashes pin it end-to-end vs DuckDB.
+  */
+case class SimHash16Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"simhash16 expects array<string> tokens, got ${dt.catalogString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return 0
+    val toks = arr.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](16)
+    val md = WinnowExpr.sharedMd5.get()
+    val out16 = new Array[Byte](16)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        var b = 0
+        while (b < 16) { votes(b) -= 1; b += 1 }
+      } else {
+        val bytes = toks.getUTF8String(i).getBytes
+        md.reset()
+        md.update(bytes, 0, bytes.length)
+        md.digest(out16, 0, 16)
+        val v = ((out16(0) & 0xff) << 8) | (out16(1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          votes(b) += (((v >>> (15 - b)) & 1) << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) sh |= 1 << b
+      b += 1
+    }
+    sh
+  }
+
+  override def prettyName: String = "simhash16"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -27,7 +27,7 @@ object ClusterQueries {
           .filter(size(col("sh")) > 0)
         val banded = docs.select(col("doc_id").as("id"),
           explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
-        Clusterize.connectedComponents(banded)
+        Clusterize.connectedComponents(banded, edgesDistinct = true)
           .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
           .orderBy(col("doc_id"))
       },
@@ -65,7 +65,7 @@ object ClusterQueries {
         val banded = docs.select(col("doc_id").as("id"),
           explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
         graft.sampling.Sampling.groupSplit(
-            Clusterize.connectedComponents(banded)
+            Clusterize.connectedComponents(banded, edgesDistinct = true)
               .select(col("id").as("doc_id"), col("component").as("group")),
             "group", testFraction = 0.2, salt = "split")
           .orderBy(col("doc_id"))
@@ -108,7 +108,7 @@ object ClusterQueries {
         val banded = docs.select(col("doc_id").as("id"),
           explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
         Clusterize.componentSizeHistogram(
-            Clusterize.connectedComponents(banded), "component")
+            Clusterize.connectedComponents(banded, edgesDistinct = true), "component")
           .orderBy(col("cluster_size"))
       },
       Some(s"""WITH RECURSIVE
@@ -153,7 +153,7 @@ object ClusterQueries {
         val quality = docs.select(col("doc_id"),
           expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div size(w)")
             .as("q_ppm"))
-        Clusterize.connectedComponents(banded)
+        Clusterize.connectedComponents(banded, edgesDistinct = true)
           .join(quality, col("id") === col("doc_id"))
           .groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"),
@@ -379,7 +379,7 @@ object ClusterQueries {
           .filter(size(col("sh")) > 0)
         val banded = docs.select(col("doc_id").as("id"),
           explode(Dedup.minhashBands(col("sh"), 16, 4)).as("key"))
-        val cc = Clusterize.connectedComponents(banded)
+        val cc = Clusterize.connectedComponents(banded, edgesDistinct = true)
           .select(col("id").as("doc_id"), col("component").as("cluster_rep"))
         val nTok = t.documents.select(col("doc_id"),
           size(filter(TextFunctions.tokens(col("text")),

@@ -389,16 +389,20 @@ object LabelQualityQueries {
         // slim frames persisted (r14 composition finding): canon agg +
         // probe otherwise EACH re-normalize the corpus, and madKeep
         // references its input twice more
-        val base = t.documents.select(col("doc_id"), col("lang"),
-          col("source"), col("n_chars"),
-          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
-            "UTF-8")).as("grp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = base.groupBy(col("grp"))
-          .agg(min(col("doc_id")).as("_graft_canon"))
-        val kept = base.join(canon, "grp")
-          .filter(col("doc_id") === col("_graft_canon"))
-          .drop("_graft_canon")
+        // r17: canonical row per grp = ONE narrow min(struct) aggregate
+        // (ids unique; struct order is field order) — no corpus-frame
+        // persist, no join-back (the q212 rewrite)
+        val kept = t.documents.select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars"),
+            md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+              "UTF-8")).as("grp"))
+          .groupBy(col("grp"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))).as("_graft_c"))
+          .select(col("_graft_c.doc_id").as("doc_id"),
+            col("_graft_c.lang").as("lang"),
+            col("_graft_c.source").as("source"),
+            col("_graft_c.n_chars").as("n_chars"), col("grp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val screened = graft.curation.RobustStats.madKeep(
           kept, "source", "n_chars", kTenths = 35)
@@ -750,19 +754,19 @@ object LabelQualityQueries {
             size(filter(toksL, x => x.isin(stops.map(v => v: Any): _*)))
               .cast("long") * 1000000L,
             greatest(size(toksL).cast("long"), lit(1L))).as("score"))
-        // persist the slim scored-hash frame TOO (r14 composition
-        // finding): the canon agg and the probe side otherwise each
-        // re-run normalize+md5+tokenize over the corpus — one pass total
-        val baseP = base
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = baseP.groupBy(col("grp"))
-          .agg(min(col("doc_id")).as("_graft_canon"))
-        // persist: calibratedKeep reads its input twice (threshold
-        // derivation + the final filter) — without the cache the
-        // normalize-dedup join would run twice over the corpus
-        val kept = baseP.join(canon, "grp")
-          .filter(col("doc_id") === col("_graft_canon"))
-          .drop("_graft_canon")
+        // r17: canonical row per grp = ONE narrow min(struct) aggregate
+        // (the q212 rewrite — normalize+md5+tokenize run exactly once per
+        // row inside this aggregate, so the separate base persist goes).
+        // kept stays persisted: calibratedKeep reads its input twice
+        // (threshold derivation + the final filter).
+        val kept = base
+          .groupBy(col("grp"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"),
+            col("score"))).as("_graft_c"))
+          .select(col("_graft_c.doc_id").as("doc_id"),
+            col("_graft_c.lang").as("lang"),
+            col("_graft_c.n_chars").as("n_chars"), col("grp"),
+            col("_graft_c.score").as("score"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val screened = Conformal.calibratedKeep(kept, "doc_id",
           col("score"), col("lang") === "en", calFraction = 0.3,

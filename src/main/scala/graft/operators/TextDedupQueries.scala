@@ -700,22 +700,27 @@ object TextDedupQueries {
         val t = Tables(s, d)
         // Caching discipline (the r14 composition finding, StageProbe):
         // Spark never dedupes common subplans, so every reference to the
-        // dedup frame re-runs md5(normalize(text)) over BOTH join sides,
-        // and every reference to the strip output re-runs the whole span
-        // chain. Persist the slim (id, source, grp) hash frame — ONE
-        // normalization pass total, the canon agg and the probe both read
-        // the cache — plus the kept-id projection and the per-doc strip
-        // audit, and rebuild the kept TEXT via an id semi-join (no
-        // re-normalization). Cold 10× dropped ~54 s → ~stage sum.
-        val base = t.documents.select(col("doc_id"), col("source"),
-          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
-            "UTF-8")).as("grp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = base.groupBy(col("grp"))
-          .agg(min(col("doc_id")).as("_graft_canon"))
-        val keptIds = base.join(canon, "grp")
-          .filter(col("doc_id") === col("_graft_canon"))
-          .select(col("doc_id"), col("source"))
+        // strip output would re-run the whole span chain. Persist the
+        // kept-id projection and the per-doc strip audit, and rebuild the
+        // kept TEXT via an id semi-join (no re-normalization). Cold 10×
+        // dropped ~54 s → ~stage sum.
+        //
+        // r17 optimization round: the canonical row per normalized hash
+        // comes from ONE narrow aggregate — min(struct(id, source)) picks
+        // the min-id row (ids unique; struct order is field order) — where
+        // the r14 shape materialized a persisted (id, source, grp) frame,
+        // aggregated it, joined it back on grp, and filtered id = canon.
+        // That drops a corpus-sized persist, a join, and an exchange from
+        // the pipeline's critical path: normalize+md5 now evaluates
+        // exactly once per document WITHOUT needing the cache, and the one
+        // exchange that remains carries (grp, id, source) — never text.
+        val keptIds = t.documents.select(col("doc_id"), col("source"),
+            md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+              "UTF-8")).as("grp"))
+          .groupBy(col("grp"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("_graft_c"))
+          .select(col("_graft_c.doc_id").as("doc_id"),
+            col("_graft_c.source").as("source"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = t.documents.select(col("doc_id"), col("text"))
           .join(keptIds.select(col("doc_id")), "doc_id")
@@ -1252,18 +1257,18 @@ object TextDedupQueries {
           size(col("_graft_toks")).cast("long").as("n_tok"))
         val s0 = nTok.join(srcOf, "doc_id").groupBy(col("source").as("g"))
           .agg(sum(col("n_tok")).as("tokens_raw"))
-        // slim hash + id + strip-audit frames persisted: every reference
-        // otherwise re-runs normalize/the span chain (the r14 composition
-        // finding); the base persist makes normalization a single pass
-        val base = t.documents.select(col("doc_id"), col("source"),
-          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
-            "UTF-8")).as("grp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = base.groupBy(col("grp"))
-          .agg(min(col("doc_id")).as("_graft_canon"))
-        val keptIds = base.join(canon, "grp")
-          .filter(col("doc_id") === col("_graft_canon"))
-          .select(col("doc_id"), col("source"))
+        // kept-id + strip-audit frames persisted: every reference
+        // otherwise re-runs the span chain (the r14 composition finding).
+        // Canonical row per normalized hash = ONE narrow min(struct)
+        // aggregate (the r17 q212 rewrite: no corpus-frame persist, no
+        // join-back, one exchange carrying (grp, id, source) — never text)
+        val keptIds = t.documents.select(col("doc_id"), col("source"),
+            md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+              "UTF-8")).as("grp"))
+          .groupBy(col("grp"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("_graft_c"))
+          .select(col("_graft_c.doc_id").as("doc_id"),
+            col("_graft_c.source").as("source"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val s1 = nTok.join(keptIds, "doc_id")
           .groupBy(col("source").as("g"))
@@ -1423,15 +1428,18 @@ object TextDedupQueries {
     Q("q229_curation_lineage",
       (s, d) => {
         val t = Tables(s, d)
-        val base = t.documents.select(col("doc_id"), col("source"),
-          md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
-            "UTF-8")).as("grp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val canon = base.groupBy(col("grp"))
-          .agg(min(col("doc_id")).as("_graft_canon"))
-        val keptIds = base.join(canon, "grp")
-          .filter(col("doc_id") === col("_graft_canon"))
-          .select(col("doc_id"), col("source"))
+        // canonical row per normalized hash = ONE narrow min(struct)
+        // aggregate (the r17 q212 rewrite); the lineage join below reads
+        // (doc_id, source) straight off the pruned parquet scan — the old
+        // persisted `base` frame existed only to amortize normalize, which
+        // now runs exactly once inside this aggregate
+        val keptIds = t.documents.select(col("doc_id"), col("source"),
+            md5(encode(graft.dedup.Normalize.normalizeText(col("text")),
+              "UTF-8")).as("grp"))
+          .groupBy(col("grp"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("_graft_c"))
+          .select(col("_graft_c.doc_id").as("doc_id"),
+            col("_graft_c.source").as("source"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = t.documents.select(col("doc_id"), col("text"))
           .join(keptIds.select(col("doc_id")), "doc_id")
@@ -1451,7 +1459,8 @@ object TextDedupQueries {
         val rawTok = t.documents.select(col("doc_id"),
           size(filter(TextFunctions.tokens(col("text")),
             x => x =!= lit(""))).cast("long").as("tokens_raw"))
-        rawTok.join(base.select(col("doc_id"), col("source")), "doc_id")
+        rawTok.join(t.documents.select(col("doc_id"), col("source")),
+            "doc_id")
           .join(stripped.select(col("doc_id"),
             col("n_tokens_after"), col("n_spans_removed")),
             Seq("doc_id"), "left")
@@ -1524,7 +1533,13 @@ object TextDedupQueries {
         val t = Tables(s, d)
         val toks = TextFunctions.tokens(col("text"))
         // one normalize+tokenize pass: the slim frame feeds the group-size
-        // agg AND the probe join (the r14 composition finding)
+        // agg AND the probe join (the r14 composition finding). r17 A/B
+        // (interleaved, 3 rounds, sf0.1): a window count(*) over grp —
+        // one exchange, no persist — measured 0.47-0.50 s vs 0.24-0.25 s
+        // for this shape (the window's full sort costs more at bench scale
+        // than the hash agg + AQE-broadcast join-back), so this stays;
+        // the window variant is on file in plans/r17/ab_round1_queries.txt
+        // for the scale where gsz outgrows the broadcast threshold.
         val base = t.documents.select(col("doc_id"), col("source"),
           size(filter(toks, x => x =!= lit(""))).cast("long").as("n_tok"),
           md5(encode(graft.dedup.Normalize.normalizeText(col("text")),

@@ -351,18 +351,29 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 24, dim: Int = 64,
       bitsPerTable: Int = 8): DataFrame = {
+    // r17 optimization round: candidates deduplicate as bare (query_id,
+    // neighbor_id) pairs — the r16 shape ran distinct() over rows carrying
+    // BOTH 64-dim double vectors (~1 KB/row through the exchange, §2.3) —
+    // and the vectors attach after: the corpus vector via one id equi-join
+    // (the only place corpus payload moves), the bounded query side via a
+    // broadcast. Same candidate set, same cosine, strictly narrower
+    // exchanges at any scale.
     def withBuckets(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(s"v_$id"),
-          lshBuckets(asDouble(col(vecCol)), nPlanes, dim, bitsPerTable).as(s"b_$id"))
-        .select(col(id), col(s"v_$id"), explode(col(s"b_$id")).as(s"bk_$id"))
+      df.select(col(idCol).as(id),
+          explode(lshBuckets(asDouble(col(vecCol)), nPlanes, dim,
+            bitsPerTable)).as(s"bk_$id"))
     val q = withBuckets(queries, "query_id")
     val c = withBuckets(corpus, "neighbor_id")
-    val cand = broadcast(q).join(c,
+    val candIds = broadcast(q).join(c,
         col("bk_query_id") === col("bk_neighbor_id")
           && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("v_query_id").as("qv"),
-        col("neighbor_id"), col("v_neighbor_id").as("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val cand = candIds
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))), Seq("query_id"))
     rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 

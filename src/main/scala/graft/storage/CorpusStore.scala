@@ -56,22 +56,25 @@ object CorpusStore {
   def strippedCorpusWithCleanup(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
       minDocs: Int = 2): (DataFrame, () => Unit) = {
-    // caching discipline (the r14 composition finding): Spark re-runs
-    // md5(normalize(text)) over BOTH join sides on EVERY reference to the
-    // dedup frame — persist the slim (id, source, grp) hash frame so
-    // normalization runs EXACTLY once (canon agg + probe both read the
-    // cache), persist the kept-id projection, and rebuild the kept text
-    // via an id semi-join, however many consumers the strip chain fans
-    // into
-    val base = docs.select(col(idCol), col(sourceCol),
-      md5(encode(Normalize.normalizeText(col(textCol)), "UTF-8"))
-        .as("_graft_grp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = base.groupBy(col("_graft_grp"))
-      .agg(min(col(idCol)).as("_graft_canon"))
-    val keptIds = base.join(canon, "_graft_grp")
-      .filter(col(idCol) === col("_graft_canon"))
-      .select(col(idCol), col(sourceCol))
+    // caching discipline (the r14 composition finding): Spark re-runs the
+    // strip chain on EVERY reference — persist the kept-id projection and
+    // the token frame, and rebuild the kept text via an id semi-join,
+    // however many consumers the strip chain fans into.
+    //
+    // r17 optimization round: the canonical row per normalized hash comes
+    // from ONE narrow min(struct(id, source)) aggregate (ids unique;
+    // struct order is field order) where the r14 shape persisted a
+    // corpus-sized (id, source, grp) frame, aggregated it, joined it back
+    // on grp, and filtered id = canon — one pass, no corpus-frame persist,
+    // no join, one exchange fewer, and the exchange carries (grp, id,
+    // source), never text. Same rewrite as q212 (TextDedupQueries).
+    val keptIds = docs.select(col(idCol), col(sourceCol),
+        md5(encode(Normalize.normalizeText(col(textCol)), "UTF-8"))
+          .as("_graft_grp"))
+      .groupBy(col("_graft_grp"))
+      .agg(min(struct(col(idCol), col(sourceCol))).as("_graft_c"))
+      .select(col(s"_graft_c.$idCol").as(idCol),
+        col(s"_graft_c.$sourceCol").as(sourceCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = docs.select(col(idCol), col(textCol))
       .join(keptIds.select(col(idCol)), Seq(idCol))
@@ -84,7 +87,7 @@ object CorpusStore {
       .select(col(idCol), col(sourceCol), col("text").as(textCol),
         col("n_tokens_before"), col("n_tokens_after"),
         col("n_spans_removed"))
-    (out, () => { base.unpersist(); keptIds.unpersist(); toks.unpersist(); () })
+    (out, () => { keptIds.unpersist(); toks.unpersist(); () })
   }
 
   /** Dedup `docs` with [[strippedCorpus]] and commit the result as the next

@@ -183,6 +183,38 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(tiny.count() == 0)
   }
 
+  test("native simhash16 kernel equals the per-bit HOF chain (property)") {
+    import spark.implicits._
+    // the 16-aggregate HOF chain is the executable spec (and the shape the
+    // q26/q37 DuckDB oracles mirror); the single-digest kernel must match
+    // it value-for-value, including multibyte tokens, the empty string
+    // token (tokens("") = [""]), the empty token array, and a NULL array
+    // (HOF: when(null > 0,…).otherwise(0) → 0)
+    val texts = sample(80) ++ Seq("", " ", "汉字 ünïcode 汉字")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+        Dedup.simhash16(TextFunctions.tokens(col("text"))).as("k"),
+        Dedup.simhash16Hof(TextFunctions.tokens(col("text"))).as("h"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"id=${r.getLong(0)} kernel=${r.getInt(1)} hof=${r.getInt(2)}"))
+    // null token array and null tokens inside the array
+    val nullDf = Seq((1L, null.asInstanceOf[String]), (2L, "a b"))
+      .toDF("id", "text")
+    val nulls = nullDf.select(col("id"),
+        Dedup.simhash16(TextFunctions.tokens(col("text"))).as("k"),
+        Dedup.simhash16Hof(TextFunctions.tokens(col("text"))).as("h"))
+      .collect()
+    nulls.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"id=${r.getLong(0)} kernel=${r.getInt(1)} hof=${r.getInt(2)}"))
+    val nullElems = spark.range(1).select(
+      Dedup.simhash16(array(lit("a"), lit(null.asInstanceOf[String]), lit("b"))).as("k"),
+      Dedup.simhash16Hof(array(lit("a"), lit(null.asInstanceOf[String]), lit("b"))).as("h"))
+      .collect().head
+    assert(nullElems.getInt(0) == nullElems.getInt(1))
+  }
+
   test("native winnowing kernel equals the HOF pipeline (property)") {
     import spark.implicits._
     // the HOF formulation is the executable spec (and the shape the q66
