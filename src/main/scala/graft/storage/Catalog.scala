@@ -28,9 +28,18 @@ final case class ClaimLost(table: String, version: Long)
 /** One sub-table's batch inside an atomic multi-table group commit
   * ([[Catalog.overwriteGroupIf]]): overwrite the `touched` partitions of
   * sub-table `sub` with `df`'s rows (partitioned by `partCol`).
+  *
+  * `unionStagedParts` (r17 optimization round) unions the staged frame's
+  * OWN partition values into `touched` — read off the staging directory's
+  * child names after the write (filesystem metadata only), replacing the
+  * separate `distinct().collect()` Spark job per batch the callers used
+  * to run (and re-running the batch subplan with it) to learn the same
+  * set. Declared-but-unstaged partitions still drop (emptied-partition
+  * semantics unchanged); staged-but-undeclared partitions can no longer
+  * be silently lost.
   */
 final case class GroupBatch(sub: String, df: DataFrame, partCol: String,
-    touched: Seq[String])
+    touched: Seq[String], unionStagedParts: Boolean = false)
 
 /** Tenant-namespaced table layout on parquet with a snapshot-commit protocol
   * (SURVEY.md §7.1 step 3): each table lives at
@@ -514,6 +523,18 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(enc(part)))
 
+  /** the staged batch's own partition values, read off the staging dir's
+    * child names (the exact inverse of [[stagedDir]]'s encoding) — a
+    * filesystem-metadata listing, replacing the per-batch
+    * `distinct().collect()` Spark job callers ran for the same set
+    */
+  private def listStagedParts(staging: Path): Seq[String] =
+    fs.listStatus(staging).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_p="))
+      .map(n => java.net.URLDecoder.decode(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix("_p=")), "UTF-8"))
+
   /** Atomic multi-sub-table commit: stage every batch, claim one version,
     * move every staged partition dir into place, write ONE manifest naming
     * them all, flip `_LATEST` once. Either every batch commits or none does,
@@ -523,8 +544,32 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     */
   def overwriteGroupIf(name: String, batches: Seq[GroupBatch],
       expected: Long): Long = {
+    // r17 optimization round (guide §2.6 "overlap independent jobs"):
+    // staging writes go to independent directories and nothing is visible
+    // until the rename phase below, so a multi-batch group stages from a
+    // small thread pool — the next batch's tasks back-fill executors freed
+    // by the current batch's tail instead of idling through it. Job
+    // descriptions are thread-local, failures cancel the group, and every
+    // successfully staged dir is cleaned up on any failure. The
+    // claim/rename/manifest sequence stays strictly single-threaded — the
+    // crash-window analysis is untouched.
     val staged: Seq[(GroupBatch, Path)] =
-      batches.map(b => b -> stageBatch(name, b))
+      if (batches.size <= 1) batches.map(b => b -> stageBatch(name, b))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = Catalog.stagingEc
+        val futs = batches.map(b =>
+          Future(scala.util.Try(b -> stageBatch(name, b))))
+        val results = Await.result(Future.sequence(futs), Duration.Inf)
+        if (results.exists(_.isFailure)) {
+          results.collect { case scala.util.Success((_, p)) =>
+            fs.delete(p, true) }
+          throw results.collectFirst {
+            case scala.util.Failure(e) => e }.get
+        }
+        results.map(_.get)
+      }
     def cleanup(): Unit = staged.foreach(s => fs.delete(s._2, true))
 
     val (v, uuid) =
@@ -538,7 +583,10 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
       ensureOwned(name, v, uuid)
       staged.foreach { case (b, staging) =>
         val key = (p: String) => if (b.sub.isEmpty) p else s"${b.sub}/$p"
-        b.touched.distinct.foreach { p =>
+        val touched =
+          if (b.unionStagedParts) b.touched ++ listStagedParts(staging)
+          else b.touched
+        touched.distinct.foreach { p =>
           val src = stagedDir(staging, p)
           if (fs.exists(src)) {
             val nv = mf.getOrElse(key(p), 0L) + 1
@@ -676,6 +724,20 @@ object Catalog {
     */
   private[storage] def encodePart(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Driver-side pool for overlapping a group commit's independent staging
+    * writes (guide §2.6). Small on purpose: 2-3 concurrent jobs fill the
+    * tail of the scheduler FIFO without fighting for executor slots; the
+    * group sizes here are 2-5 batches. Daemon threads so the pool never
+    * blocks JVM exit.
+    */
+  private[storage] val stagingEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-commit-staging")
+        t.setDaemon(true)
+        t
+      }))
 
   /** A temp catalog root registered for recursive deletion at JVM exit —
     * gate queries that end in a committed store (q216/q222) run once per

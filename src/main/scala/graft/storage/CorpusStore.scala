@@ -152,9 +152,10 @@ object CorpusStore {
   }
 
   /** commit `out` as the full new content of exactly the `declared` data
-    * partitions (∪ the staged frame's own part values when needed — see
-    * [[touchedWithStaged]]) — the incremental-commit core: one file per
-    * bucket dir, sorted by id
+    * partitions (∪ the staged frame's own part values, read off the
+    * staging directory by the commit — r17: no more per-commit
+    * `distinct().collect()` job) — the incremental-commit core: one file
+    * per bucket dir, sorted by id
     */
   private def commitDataParts(cat: Catalog, table: String, out: DataFrame,
       idCol: String, sourceCol: String, buckets: Int,
@@ -165,9 +166,8 @@ object CorpusStore {
         concat(route(col(idCol)), lit("#"), col(sourceCol)))
       .repartition(col("_graft_part"))
       .sortWithinPartitions(col("_graft_part"), col(idCol))
-    val touched = touchedWithStaged(df, declared,
-      forceStagedCollect || dataSplits.nonEmpty)
-    cat.overwritePartitions(table, df, "_graft_part", touched)
+    cat.overwriteGroupIf(table, Seq(GroupBatch("", df, "_graft_part",
+      declared.distinct, unionStagedParts = true)), -1L)
   }
 
   /** the data-layout fail-fast twin of [[requireIndexReady]]: a store
@@ -355,17 +355,14 @@ object CorpusStore {
     udf((k: java.lang.Long) =>
       if (k == null) null else chainLabels(splits, b, k.longValue()))
 
-  /** With splits in play, rows read off a half-split ancestor re-route to
-    * leaves no batch key names — a staged dir absent from `touched` would
-    * be silently dropped by the commit, LOSING rows. Union the declared
-    * set with the staged frame's own part values whenever the space has
-    * splits (one bounded collect; skipped on the common flat layout).
-    */
-  private def touchedWithStaged(df: DataFrame, declared: Seq[String],
-      collectStaged: Boolean): Seq[String] =
-    if (!collectStaged) declared.distinct
-    else (declared ++ df.select(col("_graft_part")).distinct()
-      .collect().map(_.getString(0))).distinct
+  // With splits in play, rows read off a half-split ancestor re-route to
+  // leaves no batch key names — a staged dir absent from `touched` would
+  // be silently dropped by the commit, LOSING rows. Every CorpusStore
+  // GroupBatch therefore sets `unionStagedParts = true`: the commit unions
+  // the staged frame's own partition values into `touched`, read off the
+  // staging directory's child names (r17 — this replaced a per-batch
+  // `distinct().collect()` Spark job, which also re-ran the batch subplan,
+  // with a filesystem metadata listing).
 
   /** one sub-table's partition values in a pinned group manifest */
   private def subParts(manifest: Map[String, Long],
@@ -558,8 +555,8 @@ object CorpusStore {
       .sortWithinPartitions(col("_graft_part"), col(sortKey))
     val tset = touched.toSet
     val old = existing.filter(p => tset.contains(partSource(p)))
-    GroupBatch(sub, df, "_graft_part",
-      touchedWithStaged(df, old, collectStaged = true))
+    GroupBatch(sub, df, "_graft_part", old.distinct,
+      unionStagedParts = true)
   }
 
   private def confBatch(spark: org.apache.spark.sql.SparkSession,
@@ -1135,8 +1132,8 @@ object CorpusStore {
           concat(route(col(keyCol)), lit("#"), col(sourceCol)))
         .repartition(col("_graft_part"))
         .sortWithinPartitions(col("_graft_part"), col(sortKey))
-      GroupBatch(sub, content, "_graft_part",
-        touchedWithStaged(content, parts, splitsAll(sub).nonEmpty))
+      GroupBatch(sub, content, "_graft_part", parts.distinct,
+        unionStagedParts = true)
     }
     // the high-water mark: one tiny partition whose KEY is the batch id;
     // prior marks drop in the same commit (monotone single key)
@@ -1293,10 +1290,9 @@ object CorpusStore {
           concat(route(col(keyCol)), lit("#"), col(sourceCol)))
         .repartition(col("_graft_part"))
         .sortWithinPartitions(col("_graft_part"), col(sortKey))
-      val touched = touchedWithStaged(content, parents,
-        collectStaged = true)
       cat.overwriteGroupIf(indexTable(table),
-        Seq(GroupBatch(space, content, "_graft_part", touched),
+        Seq(GroupBatch(space, content, "_graft_part", parents.distinct,
+            unionStagedParts = true),
           registryBatch(spark, space, m, i)), -1L)
       ()
     }
