@@ -505,6 +505,11 @@ final class Catalog(val spark: SparkSession, root: String, tenant: String) {
     * staging root
     */
   private def stageBatch(name: String, b: GroupBatch): Path = {
+    // job label (thread-local, so each staging-pool thread labels its own
+    // write): the staging writes are where a group commit's Spark time
+    // goes — make them attributable in the UI / JobProbe rollup
+    spark.sparkContext.setJobDescription(
+      s"stage $name/${if (b.sub.isEmpty) "data" else b.sub}")
     val staging = new Path(tableDir(name),
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     // duplicate the partition column: partitionBy consumes `_p`, keeping

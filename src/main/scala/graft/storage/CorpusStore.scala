@@ -98,10 +98,36 @@ object CorpusStore {
     * below), so subsequent [[ingestBatch]] commits can probe the store.
     * Returns the committed version.
     */
+  /** Base-modulus derivation for `buckets = 0` (AUTO): the smallest power
+    * of two with `bytes / b <= targetBytes` — each base bucket starts near
+    * the target, and [[maintainBuckets]]' doubling splits grow the
+    * geometry from there. Power-of-two bases make every later split nest
+    * cleanly in the trie. A CONSTANT base (the pre-r17 16) was the guide's
+    * "partitioning tuned for one scale" anti-pattern in both directions:
+    * at gate scale a 1.5 MB corpus paid 320 partition dirs of commit
+    * orchestration per table; at warehouse scale 16 buckets would start
+    * orders of magnitude past the target bytes and lean entirely on
+    * splits. Deterministic in the input bytes (no sampling), capped so a
+    * pathological byte count cannot explode the dir fan-out.
+    */
+  private[graft] def deriveBase(bytes: Long, targetBytes: Long): Int = {
+    var b = 1L
+    while (b * targetBytes < bytes && b < (1L << 20)) b *= 2
+    b.toInt
+  }
+
+  /** the AUTO target bucket bytes — parameterised (`spark.graft.store.
+    * baseBucketBytes`), defaulting to 64 MiB: parquet-row-group-scale
+    * buckets at the warehouse, a single bucket for toy corpora
+    */
+  private def baseBucketBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.store.baseBucketBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
   def writeDeduped(cat: Catalog, table: String, docs: DataFrame,
       idCol: String, textCol: String, sourceCol: String,
       minWords: Int = 50, minDocs: Int = 2, winnowW: Int = 8,
-      buckets: Int = 16): Long = {
+      buckets: Int = 0): Long = {
     // the stripped frame is consumed THREE times (touched-source collect,
     // staging write, and nothing else reads it) — persist so the strip
     // chain runs once, not once per consumer (the r14 composition finding)
@@ -113,19 +139,43 @@ object CorpusStore {
       // verify the index pins and data layout BEFORE the data commit
       // (mirrors ingestBatch's fail-fast, r15 ADVICE): a mismatched pin
       // otherwise threw only after the data version advanced with the new
-      // strip while the index kept the old pin and entries
+      // strip while the index kept the old pin and entries.
+      // buckets = 0 (AUTO, the default): adopt the store's pinned base
+      // modulus, or — on a fresh store — derive it from the corpus bytes
+      // below (geometry is a STORE property; only an explicit caller
+      // value is pin-checked)
       val (_, idxManifest) = cat.snapshot(indexTable(table))
-      requireIndexReady(cat, table, idxManifest, minWords, winnowW, buckets)
+      val pinnedB = confPins(cat, table, idxManifest).flatMap(_._3)
+      val bResolved = if (buckets > 0) buckets
+        else pinnedB.map(_.toInt).getOrElse(0)
+      if (bResolved > 0)
+        requireIndexReady(cat, table, idxManifest, minWords, winnowW,
+          bResolved)
+      else // fresh-store AUTO: no pin to check, but keep the
+        // half-indexed-store guard (data committed ≠> index present)
+        requireIndexReady(cat, table, idxManifest, minWords, winnowW,
+          buckets)
       requireDataLayout(cat, table)
       val splitsAll = splitsOf(idxManifest)
       // bounded: one row per SOURCE (config-scale), the Reservoir.ingest
-      // touched-partition convention — never a corpus-sized collect
-      val touched = out.select(col(sourceCol)).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val v = commitData(cat, table, out, idCol, sourceCol, buckets,
+      // touched-partition convention — never a corpus-sized collect. This
+      // is the job that materializes the persisted strip chain; it also
+      // returns the per-source text bytes the AUTO base modulus derives
+      // from (chars ≈ bytes for layout purposes).
+      out.sparkSession.sparkContext.setJobDescription(
+        "writeDeduped: strip chain + touched sources")
+      val srcStats = out.groupBy(col(sourceCol))
+        .agg(sum(length(col(textCol))).as("_graft_bytes")).collect()
+      out.sparkSession.sparkContext.setJobDescription(null)
+      val touched = srcStats.map(_.getString(0)).toSeq
+      val bEff = if (bResolved > 0) bResolved
+        else deriveBase(
+          srcStats.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum,
+          baseBucketBytes(out.sparkSession))
+      val v = commitData(cat, table, out, idCol, sourceCol, bEff,
         splitsAll(SpData), touched)
       commitIndexes(cat, table, idxManifest, splitsAll, out, idCol,
-        textCol, sourceCol, minWords, winnowW, buckets, touched)
+        textCol, sourceCol, minWords, winnowW, bEff, touched)
       v
     } finally { out.unpersist(); cleanup(); () }
   }
@@ -606,12 +656,19 @@ object CorpusStore {
     */
   def rebuildIndexes(cat: Catalog, table: String, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
-      winnowW: Int = 8, buckets: Int = 16): Long = {
+      winnowW: Int = 8, buckets: Int = 0): Long = {
     val full = cat.readPartitionedOr(table,
         storedSchema(idCol, sourceCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      full.count() // materialize BEFORE any data rewrite below
+      // materialize BEFORE any data rewrite below; the same job returns
+      // the stored bytes the AUTO base modulus (buckets = 0) derives from
+      val bytesRow = full.agg(
+        sum(length(col(textCol)))).head()
+      val storedBytes =
+        if (bytesRow.isNullAt(0)) 0L else bytesRow.getLong(0)
+      val bucketsEff = if (buckets > 0) buckets
+        else deriveBase(storedBytes, baseBucketBytes(full.sparkSession))
       // migrate the DATA layout when needed: legacy source-partitioned
       // parts, split leaves (flattened back to the base), or a
       // bucket-count pin change (part names are how dirty buckets
@@ -623,9 +680,9 @@ object CorpusStore {
       val flatShape = "\\d{5}#.*"
       val needRewrite = dataMf.nonEmpty &&
         (dataMf.keysIterator.exists(!_.matches(flatShape)) ||
-          !oldB.contains(buckets.toLong))
+          !oldB.contains(bucketsEff.toLong))
       if (needRewrite)
-        commitDataParts(cat, table, full, idCol, sourceCol, buckets,
+        commitDataParts(cat, table, full, idCol, sourceCol, bucketsEff,
           Set.empty, dataMf.keys.toSeq, forceStagedCollect = true)
       val stored = full.select(col(idCol), col(sourceCol), col(textCol))
       val manifest = cat.snapshot(indexTable(table))._2
@@ -648,7 +705,7 @@ object CorpusStore {
       // not verified — and CLEARS the split registry (flat rebase).
       // idxBatch's existing-parts filter keys on touched SOURCES, so hand
       // it every stored source plus every source an existing part names.
-      val b = buckets.toLong
+      val b = bucketsEff.toLong
       val storedSources = stored.select(col(sourceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
       def allSources(sub: String) =
@@ -661,7 +718,7 @@ object CorpusStore {
           subParts(manifest, SpDocs), allSources(SpDocs)),
         idxBatch(SpHashes, hashRows, col("th"), "th", sourceCol, flat, b,
           subParts(manifest, SpHashes), allSources(SpHashes)),
-        confBatch(stored.sparkSession, minWords, winnowW, buckets))
+        confBatch(stored.sparkSession, minWords, winnowW, bucketsEff))
       val splitKeys = subParts(manifest, "splits")
       if (splitKeys.nonEmpty) {
         // an all-touched batch with no staged rows drops every registry key
@@ -803,7 +860,7 @@ object CorpusStore {
   def ingestBatch(cat: Catalog, table: String, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String, sourceCol: String,
       minWords: Int = 50, minDocs: Int = 2, winnowW: Int = 8,
-      buckets: Int = 16, targetBucketBytes: Long = 0L): Long = {
+      buckets: Int = 0, targetBucketBytes: Long = 0L): Long = {
     val spark = batch.sparkSession
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     // fail fast BEFORE any job, probe, or commit: index-shape pins, the
@@ -812,8 +869,27 @@ object CorpusStore {
     // pinned index snapshot below serves the whole batch: conf pins
     // (cached — no job), split registry and high-water mark (manifest
     // keys — no job).
+    // buckets = 0 (AUTO, the default): adopt the store's pinned base
+    // modulus — geometry is a store property, so ingest callers never
+    // need to know it; an explicit value keeps the refuse-on-mismatch
+    // contract. On a store with no pin yet (first batch into a fresh
+    // table) AUTO derives the base from THIS batch's bytes — one extra
+    // bounded agg job, paid once in the table's lifetime.
     val (_, idxManifest) = cat.snapshot(indexTable(table))
-    requireIndexReady(cat, table, idxManifest, minWords, winnowW, buckets)
+    val pinnedB = confPins(cat, table, idxManifest).flatMap(_._3)
+    val bucketsEff: Int =
+      if (buckets > 0) buckets
+      else pinnedB.map(_.toInt).getOrElse {
+        if (cat.version(table) != 0L) 0 // half-indexed: refused just below
+        else {
+          val bytes = batch.agg(
+            sum(length(col(textCol).cast("string")))).head()
+          deriveBase(if (bytes.isNullAt(0)) 0L else bytes.getLong(0),
+            baseBucketBytes(spark))
+        }
+      }
+    requireIndexReady(cat, table, idxManifest, minWords, winnowW,
+      bucketsEff)
     requireDataLayout(cat, table)
     val stateIds = idxManifest.keysIterator.filter(_.startsWith("state/"))
       .map(_.stripPrefix("state/").toLong).toSeq
@@ -850,7 +926,7 @@ object CorpusStore {
       .persist(lvl)
     try {
       val (_, dataManifest) = cat.snapshot(table)
-      val b = buckets.toLong
+      val b = bucketsEff.toLong
       val splitsAll = splitsOf(idxManifest)
       val chData = chainUdf(splitsAll(SpData), b)
       val chDocs = chainUdf(splitsAll(SpDocs), b)
@@ -861,6 +937,10 @@ object CorpusStore {
       // th-buckets): row count + malformed count + the route CHAINS of
       // every batch key under the data/docs/hashes tries (each bounded
       // by batch keys × trie depth)
+      def label(s: String): Unit =
+        spark.sparkContext.setJobDescription(
+          if (s == null) null else s"ingestBatch: $s")
+      label("batch stats + route chains")
       val stats = incomingAll.agg(
         count(lit(1)).as("n"),
         sum(when(ok, 0L).otherwise(1L)).as("bad"),
@@ -913,6 +993,7 @@ object CorpusStore {
       val docsIdx = cat.readManifestParts(indexTable(table), idxManifest,
         docsIndexSchema(idCol, sourceCol), labelMatched(SpDocs, docsLabels),
         SpDocs)
+      label("docs-index conflict probe")
       val conflictParts = chainParts(
         docsIdx.join(broadcast(incoming.select(col(idCol),
             col(sourceCol).as("_graft_new_src"))), Seq(idCol))
@@ -948,6 +1029,7 @@ object CorpusStore {
       val cand = hashesIdx.join(broadcast(inTh), Seq("th"))
         .join(broadcast(batchIds), Seq(idCol), "left_anti")
         .persist(lvl) // part collect + the confirm join
+      label("hash-dup candidate parts")
       val candParts = chainParts(cand, chData, col(idCol), col(sourceCol))
       val candStored = cat.readManifestParts(table, dataManifest,
           storedSchema(idCol, sourceCol, textCol), candParts)
@@ -979,6 +1061,7 @@ object CorpusStore {
         .distinct()
         .persist(lvl) // consumed by the chain collect AND the probe join
       val chGrams = chainUdf(splitsAll(SpGrams), b)
+      label("gram chain labels")
       val gramLabels = batchKeys
         .agg(collect_set(chGrams(col("h1")))).head()
         .getSeq[Seq[String]](0).flatten.toSet
@@ -990,6 +1073,7 @@ object CorpusStore {
         .join(broadcast(batchIds), Seq(idCol), "left_anti")
         .persist(lvl) // consumed by the part collect AND the id semi-join
       try {
+        label("gram-hit parts")
         val hitParts = chainParts(hits, chData, col(idCol), col(sourceCol))
         val context = cat.readManifestParts(table, dataManifest,
             storedSchema(idCol, sourceCol, textCol), hitParts)
@@ -1007,6 +1091,7 @@ object CorpusStore {
         // a lost-executor recompute is impossible, but a failed ingest
         // job just fails the commit and the at-least-once replay redoes
         // the batch (the state-mark protocol).
+        label("pre-strip checkpoint")
         val pre = SubstringDedup.keepOneStripped(batchToks,
             SubstringDedup.removeAllVerdicts(preSpans, idCol), idCol)
           .localCheckpoint(true)
@@ -1026,6 +1111,7 @@ object CorpusStore {
           val preAudit = pre.select(col(idCol),
             col("n_tokens_before").as("_graft_pre_b"),
             col("n_spans_removed").as("_graft_pre_r"))
+          label("batch strip checkpoint")
           val batchOut = strippedF.join(preAudit, Seq(idCol), "left")
             .select(col(idCol), col(sourceCol), col(textCol),
               coalesce(col("_graft_pre_b"), col("n_tokens_before"))
@@ -1037,12 +1123,13 @@ object CorpusStore {
             // lineage cut (see `pre`): the data write + three index
             // merges all start from a flat scan of the batch rows
             .localCheckpoint(true)
+          label(null)
           val v = commitDataParts(cat, table,
             passThrough.unionByName(batchOut), idCol, sourceCol,
-            buckets, splitsAll(SpData), dirtyParts)
+            bucketsEff, splitsAll(SpData), dirtyParts)
           val idxTouched = mergeIndexes(cat, table, idxManifest, splitsAll,
             batchOut, replaced, batchIds, batchId, idCol, textCol,
-            sourceCol, minWords, winnowW, buckets)
+            sourceCol, minWords, winnowW, bucketsEff)
           if (targetBucketBytes > 0L)
             maintainBuckets(cat, table, idCol, textCol, sourceCol,
               targetBucketBytes,
@@ -1109,10 +1196,12 @@ object CorpusStore {
       nw.unionByName(old).select(lit(sub).as("_graft_sub"),
         ch(col(key)).as("_graft_chain"), col(sourceCol).as("_graft_src"))
     }.reduce(_.unionByName(_))
+    spark.sparkContext.setJobDescription("mergeIndexes: candidate parts")
     val candRows = tagged
       .agg(collect_set(struct(col("_graft_sub"), col("_graft_chain"),
         col("_graft_src")))).head()
       .getSeq[org.apache.spark.sql.Row](0)
+    spark.sparkContext.setJobDescription(null)
     val candidates: Map[String, Seq[String]] = candRows
       .groupBy(_.getString(0))
       .map { case (sub, rows) =>

@@ -1005,7 +1005,7 @@ object StreamingIngest {
   def streamIntoCorpusStore(records: DataFrame,
       cat: graft.storage.Catalog, table: String, idCol: String,
       textCol: String, sourceCol: String, minWords: Int = 50,
-      minDocs: Int = 2, winnowW: Int = 8, buckets: Int = 16,
+      minDocs: Int = 2, winnowW: Int = 8, buckets: Int = 0,
       checkpointDir: Option[String] = None,
       targetBucketBytes: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -94,6 +94,42 @@ class CorpusStoreSpec extends AnyFunSuite {
     assert(second == first)
   }
 
+  test("AUTO geometry (buckets = 0): a fresh store derives its base " +
+      "modulus from corpus bytes, pins it, and AUTO commits adopt the pin") {
+    import spark.implicits._
+    val cat = fresh()
+    // toy corpus → AUTO derives b = 1 (everything under the 64 MiB
+    // target): one bucket part per source, not 16
+    CorpusStore.writeDeduped(cat, "c", docs, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    val parts = cat.partitionManifest("c").keySet
+    assert(parts == Set("00000#web", "00000#books"), parts.toString)
+    // AUTO ingest adopts the pinned b = 1 (no caller geometry knowledge);
+    // an explicit mismatching value is still refused
+    val b = Seq((9L, "wiki", s"qq rr $passage ss tt uu vv"))
+      .toDF("doc_id", "source", "text")
+    CorpusStore.ingestBatch(cat, "c", b, 0L, "doc_id", "text", "source",
+      minWords = 5, winnowW = 1)
+    val nine = cat.readPartitionedOr("c", storedSchema).collect()
+      .find(_.getLong(0) == 9L).get
+    assert(nine.getString(2) == "qq rr ss tt uu vv", nine.toString)
+    assert(cat.partitionManifest("c").keySet.contains("00000#wiki"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.ingestBatch(cat, "c",
+        Seq((10L, "wiki", "more words arriving"))
+          .toDF("doc_id", "source", "text"),
+        1L, "doc_id", "text", "source", minWords = 5, winnowW = 1,
+        buckets = 16)
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+    // deriveBase: power-of-two, bytes/target-scaled, capped
+    assert(CorpusStore.deriveBase(0L, 64L << 20) == 1)
+    assert(CorpusStore.deriveBase(64L << 20, 64L << 20) == 1)
+    assert(CorpusStore.deriveBase((64L << 20) + 1, 64L << 20) == 2)
+    assert(CorpusStore.deriveBase(1L << 40, 64L << 20) == 16384)
+    assert(CorpusStore.deriveBase(Long.MaxValue, 1L) == (1 << 20))
+  }
+
   test("ingestBatch strips a passage duplicated from an UNTOUCHED source") {
     import spark.implicits._
     val cat = fresh()
@@ -155,13 +191,15 @@ class CorpusStoreSpec extends AnyFunSuite {
       (1L, "web", s"one two three $passage four five six seven"),
       (2L, "books", "completely unrelated words nothing shared here at all"))
       .toDF("doc_id", "source", "text")
+    // explicit buckets = 16: the raw-rewrite below names doc 1's bucket
+    // part directly, so this test pins the geometry instead of the r17
+    // AUTO derivation (which would pick b = 1 for a toy corpus)
     CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
-      minWords = 5, winnowW = 1)
+      minWords = 5, winnowW = 1, buckets = 16)
     // doc 1's text REPLACED (same source) — its old grams are rebuilt out
     // of the index by the commit, but simulate a crashed index commit by
     // rewriting the data table directly (in its bucketed part — doc 1 at
-    // the default 16 buckets lands in 00001#web) and leaving the index
-    // stale
+    // 16 buckets lands in 00001#web) and leaving the index stale
     val newText = "fresh content with no trace of that old passage text"
     val replaced = Seq((1L, "web", newText, 10L, 10L, 0L))
       .toDF("doc_id", "source", "text", "n_tokens_before",
@@ -175,7 +213,7 @@ class CorpusStoreSpec extends AnyFunSuite {
     val b1 = Seq((9L, "wiki", s"aa bb $passage cc dd ee ff gg"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
-      minWords = 5, winnowW = 1)
+      minWords = 5, winnowW = 1, buckets = 16)
     val nine = cat.readPartitionedOr("c", storedSchema).collect()
       .find(_.getLong(0) == 9L).get
     assert(nine.getString(2) == s"aa bb $passage cc dd ee ff gg")
@@ -391,8 +429,10 @@ class CorpusStoreSpec extends AnyFunSuite {
       (1L, "web", "tiny doc"), // 2 tokens — BELOW minWords, no grams
       (2L, "web", s"one two three $passage four five six seven"))
       .toDF("doc_id", "source", "text")
+    // explicit buckets = 16: the stale-entry rewrite below names
+    // 00001#web directly (see the confirmation test's geometry note)
     CorpusStore.ingestBatch(cat, "c", b0, 0L, "doc_id", "text", "source",
-      minWords = 5, winnowW = 1)
+      minWords = 5, winnowW = 1, buckets = 16)
     // a new-source batch: doc 9 exactly duplicates the SHORT stored doc
     // (normalized: case-insensitive), doc 10 exactly duplicates the long
     // one, doc 11 is fresh — the dups DROP (stored-wins), the fresh row
@@ -403,7 +443,7 @@ class CorpusStoreSpec extends AnyFunSuite {
       (11L, "wiki", "completely fresh words never seen before"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b1, 1L, "doc_id", "text", "source",
-      minWords = 5, winnowW = 1)
+      minWords = 5, winnowW = 1, buckets = 16)
     val ids = cat.readPartitionedOr("c", storedSchema).collect()
       .map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 11L), ids.toString)
@@ -419,7 +459,7 @@ class CorpusStoreSpec extends AnyFunSuite {
     val b2 = Seq((12L, "wiki", "tiny doc"))
       .toDF("doc_id", "source", "text")
     CorpusStore.ingestBatch(cat, "c", b2, 2L, "doc_id", "text", "source",
-      minWords = 5, winnowW = 1)
+      minWords = 5, winnowW = 1, buckets = 16)
     assert(cat.readPartitionedOr("c", storedSchema).collect()
       .exists(r => r.getLong(0) == 12L && r.getString(2) == "tiny doc"))
   }
