@@ -55,36 +55,43 @@ object OverlapEval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ALL n in one generator: tag each n's gram array with its n, flatten,
-    // explode once — one pair-text join + one shuffle per side instead of
-    // one per (side, n). `_graft_w` is a bound attribute, so the per-n
+    // explode once. `_graft_w` is a bound attribute, so the per-n
     // ngrams() calls under array() stay cheap column refs (the HOF-
     // re-evaluation gotcha does not bite: the lambda bodies only touch
     // their own gram element and a literal).
-    // the gram side rides a NARROW pair frame (cid, rid only — no group
-    // column): `g` would otherwise be carried through the explode, both
-    // gram-level exchanges, and the clip join, paying its bytes on every
-    // gram row; it rejoins from the slim persisted pair frame AFTER the
-    // per-pair reduction, where rows are pairs×n, not grams. The distinct
-    // keeps per-pair counts single under duplicate pair rows — the final
-    // p join re-multiplies them exactly as the wide form did.
+    //
+    // r17 optimization (guide §1.2 "don't compute things twice"): gram
+    // counts are computed once per DOCUMENT — not once per (pair, side).
+    // The r15 shape exploded each pair's text twice (cand pass + ref
+    // pass, each keyed (cid, rid, n, gram)); per-doc counts halve the
+    // explode + hash-aggregate work, narrow the aggregate key to
+    // (did, n, gram), and attach to pairs afterwards by an id equi-join.
+    // A doc in k pairs now costs ONE explosion instead of k. Counts are
+    // identical by construction (a side's gram counts never depended on
+    // the pair, only on the doc's own text).
     val pSlim = p.select(col("_graft_cid"), col("_graft_rid")).distinct()
-    def gramCounts(side: String, joinId: String): DataFrame =
-      pSlim.join(toks, col(joinId) === col("_graft_did"))
-        .select(col("_graft_cid"), col("_graft_rid"),
-          explode(flatten(array((1 to maxN).map(n =>
-            transform(TextFunctions.ngrams(col("_graft_w"), n),
-              gr => struct(lit(n).as("n"), gr.as("gram")))): _*)))
-            .as("_graft_ng"))
-        .select(col("_graft_cid"), col("_graft_rid"),
-          col("_graft_ng.n").as("n"), col("_graft_ng.gram").as("gram"))
-        .groupBy(col("_graft_cid"), col("_graft_rid"),
-          col("n"), col("gram"))
-        .agg(count(lit(1)).as(s"c_$side"))
+    val pairDocs = pSlim.select(col("_graft_cid").as("_graft_did"))
+      .union(pSlim.select(col("_graft_rid"))).distinct()
+    val docGrams = toks.join(pairDocs, Seq("_graft_did"))
+      .select(col("_graft_did"),
+        explode(flatten(array((1 to maxN).map(n =>
+          transform(TextFunctions.ngrams(col("_graft_w"), n),
+            gr => struct(lit(n).as("n"), gr.as("gram")))): _*)))
+          .as("_graft_ng"))
+      .select(col("_graft_did"), col("_graft_ng.n").as("n"),
+        col("_graft_ng.gram").as("gram"))
+      .groupBy(col("_graft_did"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("_graft_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cand = gramCounts("cand", "_graft_cid")
-    val ref = gramCounts("ref", "_graft_rid")
+    val cand = pSlim.join(docGrams,
+        col("_graft_cid") === col("_graft_did"))
+      .select(col("_graft_cid"), col("_graft_rid"), col("n"),
+        col("gram"), col("_graft_c").as("c_cand"))
+    val ref = docGrams.select(col("_graft_did").as("_graft_rid"),
+      col("n"), col("gram"), col("_graft_c").as("c_ref"))
     val clipped = cand.join(ref,
-        Seq("_graft_cid", "_graft_rid", "n", "gram"), "left")
+        Seq("_graft_rid", "n", "gram"), "left")
       .groupBy(col("_graft_cid"), col("_graft_rid"), col("n"))
       .agg(sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
           .as("_graft_cl"),

@@ -578,20 +578,32 @@ object Dedup {
       .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17 optimization (guide §2.3 "shuffle keys, not payloads"): the
+    // vocabulary aggregate and the candidate equi-join key on an 8-byte
+    // xxhash64 of the gram instead of the gram STRING — the two largest
+    // exchanges narrow to fixed-width keys. Losslessness is preserved
+    // exactly: the prefix order (df, h, w) keeps the raw gram as the
+    // final tiebreak, so it stays a TOTAL order on grams even under a
+    // 64-bit collision (two docs can never rank tied grams differently),
+    // and a collision in the join key can only ADD candidate pairs,
+    // which exact verification on the full shingle arrays removes.
     val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("w"))
-    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        explode(col("sh")).as("w"))
+      .withColumn("_graft_h", xxhash64(col("w")))
+    val dfreq = words.groupBy(col("_graft_h")).agg(count(lit(1)).as("df"))
     // p = n - ceil(t*n) + 1; the 1e-9 slack keeps a ceil() landing on an
     // exact integer from under-sizing the prefix (larger prefix = more
     // candidates, never a miss)
-    val prefix = words.join(dfreq, "w")
+    val prefix = words.join(dfreq, "_graft_h")
       .withColumn("_graft_rank", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("_graft_h"), col("w"))))
       .filter(col("_graft_rank") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
-      .select(col("doc_id"), col("n"), col("w"))
+      .select(col("doc_id"), col("n"), col("_graft_h"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id")
+        col("a._graft_h") === col("b._graft_h")
+          && col("a.doc_id") < col("b.doc_id")
           // length filter: J(a,b) >= t needs t*|b| <= |a| and t*|a| <= |b|
           && col("a.n") * lit(1000000L) >= lit(tPpm) * col("b.n")
           && col("b.n") * lit(1000000L) >= lit(tPpm) * col("a.n"))
@@ -654,18 +666,27 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
+    // hash-keyed like prefixFilterJaccard (r17, §2.3): the container side
+    // indexes its FULL gram set, so narrowing that join key from the gram
+    // string to 8 bytes is the larger win here; (df, h, w) keeps the
+    // prefix order total, and collision-added candidates die in the exact
+    // verify below
     val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("w"))
-    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val prefix0 = words.join(dfreq, "w")
+        explode(col("sh")).as("w"))
+      .withColumn("_graft_h", xxhash64(col("w")))
+    val dfreq = words.groupBy(col("_graft_h")).agg(count(lit(1)).as("df"))
+    val prefix0 = words.join(dfreq, "_graft_h")
       .withColumn("_graft_rank", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("_graft_h"), col("w"))))
       .filter(col("_graft_rank") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
     val prefix = maxDf.fold(prefix0)(cap => prefix0.filter(col("df") <= cap))
-      .select(col("doc_id"), col("n"), col("w"))
-    val cands = prefix.as("a").join(words.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id")
+      .select(col("doc_id"), col("n"), col("_graft_h"))
+    val cands = prefix.as("a").join(
+        words.select(col("doc_id"), col("n"), col("_graft_h")).as("b"),
+        col("a._graft_h") === col("b._graft_h")
+          && col("a.doc_id") =!= col("b.doc_id")
           // C(a→b) >= t needs t*|a| <= inter <= |b|
           && col("b.n") * lit(1000000L) >= lit(tPpm) * col("a.n"))
       .select(col("a.doc_id").as("contained_id"),
