@@ -30,17 +30,19 @@ object DriftStats {
     val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val values = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
-      // bounded-grid global CDF (see scaladoc); tiny frame, single window
+      // bounded-grid global CDF (see scaladoc); tiny frame, single window.
+      // n_all rides the same frame as a whole-frame window sum (r17: one
+      // broadcast subplan + its job fewer than the separate scalar agg)
       .withColumn("cum_all", sum(col("cv")).over(Window.orderBy(col("v"))))
-      .select(col("v"), col("cum_all"))
+      .withColumn("n_all", sum(col("cv")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("v"), col("cum_all"), col("n_all"))
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
-    val nAll = counts.agg(sum(col("c")).as("n_all"))
     val grid = totals.crossJoin(broadcast(values))
       .join(counts, Seq("src", "v"), "left")
       .na.fill(0L, Seq("c"))
       .withColumn("cum_src", sum(col("c")).over(
         Window.partitionBy(col("src")).orderBy(col("v"))))
-      .crossJoin(broadcast(nAll))
     grid
       .select(col("src"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
         abs(expr("CAST(cum_src AS DECIMAL(38,0)) * (n_all - n_src) " +
@@ -77,15 +79,16 @@ object DriftStats {
       .withColumn("cum_all", sum(col("cv")).over(Window.orderBy(col("v"))))
       .withColumn("gap",
         lead(col("v"), 1).over(Window.orderBy(col("v"))) - col("v"))
-      .select(col("v"), col("cum_all"), col("gap"))
+      // n_all on the same tiny frame (see ksDriftBySource)
+      .withColumn("n_all", sum(col("cv")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("v"), col("cum_all"), col("gap"), col("n_all"))
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
-    val nAll = counts.agg(sum(col("c")).as("n_all"))
     totals.crossJoin(broadcast(values))
       .join(counts, Seq("src", "v"), "left")
       .na.fill(0L, Seq("c"))
       .withColumn("cum_src", sum(col("c")).over(
         Window.partitionBy(col("src")).orderBy(col("v"))))
-      .crossJoin(broadcast(nAll))
       .filter(col("gap").isNotNull) // last grid point spans no interval
       .select(col("src"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
         (abs(expr("CAST(cum_src AS DECIMAL(38,0)) * (n_all - n_src) " +
@@ -118,17 +121,27 @@ object DriftStats {
     val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
     val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    // r17: ONE binned dimension carries (bin, n_all) — n_all as a
+    // whole-frame window sum instead of a separate scalar-agg broadcast —
+    // and the per-bin global mass + per-src totals come from window sums
+    // over the bounded (src × bin) frame instead of two more
+    // broadcast-join subplans (each was its own Spark job at ~60-300 ms
+    // of pure orchestration; the frame is ≤ sources × 10 rows by the
+    // bounded-grid contract)
     val binned = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
       .withColumn("_cum", sum(col("cv")).over(Window.orderBy(col("v"))))
-      .crossJoin(broadcast(nAll))
-      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"))
+      .withColumn("n_all", sum(col("cv")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"),
+        col("n_all"))
     val withBin = counts.join(broadcast(binned), "v")
-    val bySrc = withBin.groupBy(col("src"), col("bin")).agg(sum(col("c")).as("c"))
-    val global = withBin.groupBy(col("bin")).agg(sum(col("c")).as("g"))
-    val totals = bySrc.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
-    bySrc.join(broadcast(global), "bin").join(broadcast(totals), "src")
-      .crossJoin(broadcast(nAll))
+    val bySrc = withBin.groupBy(col("src"), col("bin"))
+      .agg(sum(col("c")).as("c"), max(col("n_all")).as("n_all"))
+    bySrc
+      .withColumn("g", sum(col("c")).over(
+        Window.partitionBy(col("bin"))))
+      .withColumn("n_src", sum(col("c")).over(
+        Window.partitionBy(col("src"))))
       .select(col("src"), col("n_src"),
         expr("""((c * 1000000 div n_src) - (g * 1000000 div n_all)) *
                |  CAST(round(ln((CAST(c AS DOUBLE) * CAST(n_all AS DOUBLE)) /
@@ -156,19 +169,24 @@ object DriftStats {
     val base = df.select(col(sourceCol).as("src"), valueCol.cast("long").as("v"))
     val counts = base.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    // binned carries n_all (window sum — see psiBySource); the dense
+    // src × bin grid still needs the cross join (zero-mass bins are the
+    // point of smoothing), but global rides it with n_all attached, so
+    // the separate scalar broadcast goes away
     val binned = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
       .withColumn("_cum", sum(col("cv")).over(Window.orderBy(col("v"))))
-      .crossJoin(broadcast(nAll))
-      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"))
+      .withColumn("n_all", sum(col("cv")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("v"), expr("((_cum - 1) * 10) div n_all").as("bin"),
+        col("n_all"))
     val withBin = counts.join(broadcast(binned), "v")
     val bySrc = withBin.groupBy(col("src"), col("bin")).agg(sum(col("c")).as("c"))
-    val global = withBin.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+    val global = withBin.groupBy(col("bin"))
+      .agg(sum(col("c")).as("g"), max(col("n_all")).as("n_all"))
     val totals = bySrc.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
     val dense = totals.crossJoin(broadcast(global))
       .join(bySrc, Seq("src", "bin"), "left")
       .na.fill(0L, Seq("c"))
-      .crossJoin(broadcast(nAll))
     dense
       .select(col("src"), col("n_src"),
         greatest(expr("c * 1000000 div n_src"), lit(epsPpm)).as("_p"),
