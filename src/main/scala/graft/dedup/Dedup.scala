@@ -774,9 +774,23 @@ object Dedup {
     val sketches = sigs.groupBy(col("src")).agg(minCols.head, minCols.tail: _*)
     val grams = base.select(col("src"), explode(col("sh")).as("w")).distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+    // r17 optimization (§2.3/§2.4): the exact-audit half used a gram-keyed
+    // SELF-JOIN (both sides exchanged by the gram string, then a join
+    // build over every distinct (src, gram) row). Equivalent with HALF the
+    // exchange volume and no join: group each gram's source set once,
+    // explode its ordered source pairs, count per pair. The per-gram
+    // source set is bounded by the number of sources (config-scale), so
+    // the pair explode is tiny; semantics identical (same src_a < src_b
+    // pairs, once per shared gram).
+    val inter = grams.groupBy(col("w"))
+      .agg(sort_array(collect_set(col("src"))).as("_graft_ss"))
+      .select(explode(flatten(transform(col("_graft_ss"), (x, i) =>
+        transform(
+          slice(col("_graft_ss"), i + lit(2),
+            greatest(size(col("_graft_ss")) - i - 1, lit(0))),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("_graft_p"))
+      .groupBy(col("_graft_p.src_a").as("src_a"),
+        col("_graft_p.src_b").as("src_b"))
       .agg(count(lit(1)).as("_graft_i"))
     val matches = (0 until k).map(i =>
       when(col(s"x._m$i") === col(s"y._m$i"), 1L).otherwise(0L))
