@@ -480,6 +480,18 @@ object CorpusStore {
     new java.util.concurrent.ConcurrentHashMap[String,
       (Long, Option[Long], Option[Long])]
 
+  /** the ingest probes' 3-thread pool (one per index space): daemon
+    * threads, shared across batches — probe jobs are short bounded
+    * collects, so a fixed pool never queues meaningfully
+    */
+  private lazy val probeEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-store-probe")
+        t.setDaemon(true)
+        t
+      }))
+
   private def confPins(cat: Catalog, table: String,
       manifest: Map[String, Long])
       : Option[(Long, Option[Long], Option[Long])] =
@@ -983,22 +995,95 @@ object CorpusStore {
           .flatMap(r =>
             r.getSeq[String](0).map(l => l + "#" + r.getString(1)))
           .distinct
+      // The three index probes — docs-conflict, whole-doc hash dup, gram
+      // — hit DISJOINT index sub-tables, and (r17, guide §2.6 "overlap
+      // independent jobs") their bounded collects now run CONCURRENTLY
+      // from a small pool instead of serially paying each probe's job
+      // round-trips. What made the gram probe independent: the batch
+      // token/gram-key frames are built from the FULL incoming batch
+      // rather than the post-hash-drop survivors. That superset is
+      // lossless — every strip step is per-batch-doc (containedSpans /
+      // removeAllVerdicts / keepOneStripped key rows by doc id), so a
+      // hash-dropped doc's probe rows are filtered out at the bdocs join
+      // below, and its extra gram hits only widen the context read.
+      //
       // DIRTY data partitions = every partition on the batch ids' route
       // chains under the batch's OWN sources (leaf = where new rows land;
       // ancestors = where a pre-split stored copy may sit), plus the
       // partitions holding a conflicting old copy (same id re-ingested
       // under a DIFFERENT source — found in the docs index; conflict docs
       // are stored rows, so their chains under their OLD source name the
-      // partitions exactly)
+      // partitions exactly).
       val docsIdx = cat.readManifestParts(indexTable(table), idxManifest,
         docsIndexSchema(idCol, sourceCol), labelMatched(SpDocs, docsLabels),
         SpDocs)
-      label("docs-index conflict probe")
-      val conflictParts = chainParts(
-        docsIdx.join(broadcast(incoming.select(col(idCol),
-            col(sourceCol).as("_graft_new_src"))), Seq(idCol))
-          .filter(col(sourceCol) =!= col("_graft_new_src")),
-        chData, col(idCol), col(sourceCol))
+      val conflictFrame = docsIdx
+        .join(broadcast(incoming.select(col(idCol),
+          col(sourceCol).as("_graft_new_src"))), Seq(idCol))
+        .filter(col(sourceCol) =!= col("_graft_new_src"))
+      // whole-document exact-dup probe (hash index): a batch doc whose
+      // NORMALIZED text exactly equals an unreplaced stored doc's is
+      // DROPPED entirely (stored-wins, like the batch path's
+      // normalize-dedup drop) — confirmed against the stored docs'
+      // current text, so stale entries and 64-bit collisions can never
+      // wrongly drop. No gram-length floor: this closes the old "short
+      // exact dups slip through until the next writeDeduped" caveat for
+      // whole documents. Applied BEFORE the gram pre-strip verdicts land
+      // in the committed rows, so an exact dup is dropped, never
+      // stripped-to-empty-and-kept.
+      val inTh = incoming.select(col(idCol).as("_graft_bid"),
+        thCol(textCol).as("th"))
+      val hashesIdx = cat.readManifestParts(indexTable(table),
+        idxManifest, hashIndexSchema(idCol, sourceCol),
+        labelMatched(SpHashes, hashLabels), SpHashes)
+      val cand = hashesIdx.join(broadcast(inTh), Seq("th"))
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .persist(lvl) // part collect + the confirm join
+      // gram-probe the store: stored docs are canonical at ingest (they
+      // committed first) — a batch passage duplicating ANY unreplaced
+      // stored doc's text is confirmed against that doc's CURRENT text
+      // (a stale index entry yields no confirmed gram) and stripped from
+      // the batch. Only the ids this batch replaces are excluded (their
+      // stale grams must not strip their own new versions). Both probe
+      // sides winnow with the SAME pinned window; only the index buckets
+      // on the batch's own route chains are read.
+      val batchToks = SubstringDedup.tokenFrame(
+          incoming.select(col(idCol), col(textCol)), idCol, textCol)
+        .persist(lvl) // feeds the probe grams AND the pre-strip
+      val batchKeys = SubstringDedup
+        .winnowedGramKeys(batchToks, idCol, minWords, winnowW)
+        .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
+        .distinct()
+        .persist(lvl) // consumed by the chain collect AND the probe join
+      val chGrams = chainUdf(splitsAll(SpGrams), b)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val probeExecutor = probeEc
+      val fConflict = Future {
+        label("docs-index conflict probe")
+        chainParts(conflictFrame, chData, col(idCol), col(sourceCol))
+      }
+      val fCand = Future {
+        label("hash-dup candidate parts")
+        chainParts(cand, chData, col(idCol), col(sourceCol))
+      }
+      val fGram = Future {
+        label("gram probe")
+        val gramLabels = batchKeys
+          .agg(collect_set(chGrams(col("h1")))).head()
+          .getSeq[Seq[String]](0).flatten.toSet
+        val gramsIdx = cat.readManifestParts(indexTable(table),
+          idxManifest, gramIndexSchema(idCol, sourceCol),
+          labelMatched(SpGrams, gramLabels), SpGrams)
+        val hs = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))
+          .select(col(idCol), col(sourceCol)).distinct()
+          .join(broadcast(batchIds), Seq(idCol), "left_anti")
+          .persist(lvl) // consumed by the part collect AND the id semi-join
+        (hs, chainParts(hs, chData, col(idCol), col(sourceCol)))
+      }
+      val conflictParts = Await.result(fConflict, Duration.Inf)
+      val candParts = Await.result(fCand, Duration.Inf)
+      val (hits, hitParts) = Await.result(fGram, Duration.Inf)
       val dirtyParts = (dataChainParts ++ conflictParts).distinct
       // dirty-part stored rows split into REPLACED (ids this batch
       // re-ingests — the old copies leave the store, and their index
@@ -1012,25 +1097,6 @@ object CorpusStore {
         .persist(lvl) // old-key recompute ×2 in the index merge
       val passThrough = dirty.join(broadcast(batchIds), Seq(idCol),
         "left_anti")
-      // whole-document exact-dup probe FIRST (hash index): a batch doc
-      // whose NORMALIZED text exactly equals an unreplaced stored doc's
-      // is DROPPED entirely (stored-wins, like the batch path's
-      // normalize-dedup drop) — confirmed against the stored docs'
-      // current text, so stale entries and 64-bit collisions can never
-      // wrongly drop. No gram-length floor: this closes the old "short
-      // exact dups slip through until the next writeDeduped" caveat for
-      // whole documents. Runs BEFORE the gram pre-strip, so an exact dup
-      // is dropped, never stripped-to-empty-and-kept.
-      val inTh = incoming.select(col(idCol).as("_graft_bid"),
-        thCol(textCol).as("th"))
-      val hashesIdx = cat.readManifestParts(indexTable(table),
-        idxManifest, hashIndexSchema(idCol, sourceCol),
-        labelMatched(SpHashes, hashLabels), SpHashes)
-      val cand = hashesIdx.join(broadcast(inTh), Seq("th"))
-        .join(broadcast(batchIds), Seq(idCol), "left_anti")
-        .persist(lvl) // part collect + the confirm join
-      label("hash-dup candidate parts")
-      val candParts = chainParts(cand, chData, col(idCol), col(sourceCol))
       val candStored = cat.readManifestParts(table, dataManifest,
           storedSchema(idCol, sourceCol, textCol), candParts)
         .select(col(idCol),
@@ -1043,38 +1109,7 @@ object CorpusStore {
         .filter(col("_graft_sn") === col("_graft_bn"))
         .select(col("_graft_bid").as(idCol)).distinct()
       val kept = incoming.join(dropIds, Seq(idCol), "left_anti")
-      // gram-probe the store with the surviving docs: stored docs are
-      // canonical at ingest (they committed first) — a batch passage
-      // duplicating ANY unreplaced stored doc's text is confirmed
-      // against that doc's CURRENT text (a stale index entry yields no
-      // confirmed gram) and stripped from the batch. Only the ids this
-      // batch replaces are excluded (their stale grams must not strip
-      // their own new versions). Both probe sides winnow with the SAME
-      // pinned window; only the index buckets on the batch's own route
-      // chains are read.
-      val batchToks = SubstringDedup.tokenFrame(
-          kept.select(col(idCol), col(textCol)), idCol, textCol)
-        .persist(lvl) // feeds the probe grams AND the pre-strip
-      val batchKeys = SubstringDedup
-        .winnowedGramKeys(batchToks, idCol, minWords, winnowW)
-        .select(col("gram_h.h1").as("h1"), col("gram_h.h2").as("h2"))
-        .distinct()
-        .persist(lvl) // consumed by the chain collect AND the probe join
-      val chGrams = chainUdf(splitsAll(SpGrams), b)
-      label("gram chain labels")
-      val gramLabels = batchKeys
-        .agg(collect_set(chGrams(col("h1")))).head()
-        .getSeq[Seq[String]](0).flatten.toSet
-      val gramsIdx = cat.readManifestParts(indexTable(table), idxManifest,
-        gramIndexSchema(idCol, sourceCol),
-        labelMatched(SpGrams, gramLabels), SpGrams)
-      val hits = gramsIdx.join(broadcast(batchKeys), Seq("h1", "h2"))
-        .select(col(idCol), col(sourceCol)).distinct()
-        .join(broadcast(batchIds), Seq(idCol), "left_anti")
-        .persist(lvl) // consumed by the part collect AND the id semi-join
       try {
-        label("gram-hit parts")
-        val hitParts = chainParts(hits, chData, col(idCol), col(sourceCol))
         val context = cat.readManifestParts(table, dataManifest,
             storedSchema(idCol, sourceCol, textCol), hitParts)
           .join(hits.select(col(idCol)), Seq(idCol))
