@@ -573,11 +573,6 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
-    val docs = graft.operators.Parallelism.ensure(
-        df.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r17 optimization (guide §2.3 "shuffle keys, not payloads"): the
     // vocabulary aggregate and the candidate equi-join key on an 8-byte
     // xxhash64 of the gram instead of the gram STRING — the two largest
@@ -587,9 +582,20 @@ object Dedup {
     // 64-bit collision (two docs can never rank tied grams differently),
     // and a collision in the join key can only ADD candidate pairs,
     // which exact verification on the full shingle arrays removes.
+    // Hashes are computed ONCE, inside the persisted frame — the words
+    // explode is evaluated twice (vocabulary branch + prefix branch),
+    // and hashing at the explode measurably charged q96's small-prefix
+    // case twice for nothing.
+    val docs = graft.operators.Parallelism.ensure(
+        df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("_graft_shh", transform(col("sh"), w => xxhash64(w)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("w"))
-      .withColumn("_graft_h", xxhash64(col("w")))
+        explode(arrays_zip(col("sh"), col("_graft_shh"))).as("_graft_z"))
+      .select(col("doc_id"), col("n"), col("_graft_z.sh").as("w"),
+        col("_graft_z._graft_shh").as("_graft_h"))
     val dfreq = words.groupBy(col("_graft_h")).agg(count(lit(1)).as("df"))
     // p = n - ceil(t*n) + 1; the 1e-9 slack keeps a ceil() landing on an
     // exact integer from under-sizing the prefix (larger prefix = more
@@ -654,6 +660,7 @@ object Dedup {
         df.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("_graft_shh", transform(col("sh"), w => xxhash64(w)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     containmentJoinFromShingles(docs, threshold, maxDf)
   }
@@ -670,10 +677,18 @@ object Dedup {
     // indexes its FULL gram set, so narrowing that join key from the gram
     // string to 8 bytes is the larger win here; (df, h, w) keeps the
     // prefix order total, and collision-added candidates die in the exact
-    // verify below
-    val words = docs.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("w"))
-      .withColumn("_graft_h", xxhash64(col("w")))
+    // verify below. A caller whose persisted frame already carries the
+    // per-gram hash array (`_graft_shh`) pays the hashes once; a bare
+    // (doc_id, sh) frame hashes at the explode.
+    val words = (if (docs.columns.contains("_graft_shh"))
+        docs.select(col("doc_id"), size(col("sh")).as("n"),
+            explode(arrays_zip(col("sh"), col("_graft_shh"))).as("_graft_z"))
+          .select(col("doc_id"), col("n"), col("_graft_z.sh").as("w"),
+            col("_graft_z._graft_shh").as("_graft_h"))
+      else
+        docs.select(col("doc_id"), size(col("sh")).as("n"),
+            explode(col("sh")).as("w"))
+          .withColumn("_graft_h", xxhash64(col("w"))))
     val dfreq = words.groupBy(col("_graft_h")).agg(count(lit(1)).as("df"))
     val prefix0 = words.join(dfreq, "_graft_h")
       .withColumn("_graft_rank", row_number().over(
@@ -724,6 +739,7 @@ object Dedup {
         df.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), shingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("_graft_shh", transform(col("sh"), w => xxhash64(w)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = containmentJoinFromShingles(shingled, threshold)
     val docs = shingled
